@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet fixture tables
+  * (see TESTDATA.md / FIXTURES.md §B). All reads go through here so
+  * schema expectations and scan options live in one place.
+  *
+  * Scale notes: each table is a single parquet file locally, but the
+  * loaders make no single-file assumption — `spark.read.parquet` on a
+  * directory of many files / a partitioned layout works identically on
+  * a real cluster. Filters and projections applied by callers are
+  * pushed into the scan by Catalyst (verify via `PushedFilters` in
+  * `df.explain("formatted")`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it as a raw nanosecond long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microseconds with integer arithmetic (`div` — a double round-trip
+    * would lose precision above 2^53 ns). This matches DuckDB's own
+    * truncating ns→µs read, so oracle comparisons line up exactly. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

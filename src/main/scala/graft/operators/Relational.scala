@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Exact._
+import graft.syntax._
+
+/** Relational core: the reference's scan/filter/aggregate/top-k/join/
+  * reshape surface (SURVEY.md §2.1, §2.3–§2.7) expressed over the
+  * driver fixture tables.
+  *
+  * Scale notes (local[32] now, 1000 executors later):
+  *  - Dimension joins (region/nation/customer) are explicitly
+  *    `broadcast()` — no shuffle of the fact side.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  *    aggregations afterwards reuse the same key where possible.
+  *  - Top-k queries compile to TakeOrderedAndProject (no global sort).
+  *  - All money aggregates use the exact decimal-sum helpers (see
+  *    [[graft.functions.Exact]]) so results are partition-order
+  *    independent — a correctness property, not just an oracle trick.
+  */
+object Relational {
+
+  /** q01 — TPC-H-Q1-style pricing summary (SURVEY A1/A4/W3; reference
+    * summary aggregates at fastapi/app/main.py:81-104). Partial
+    * aggregation (map-side combine) happens automatically in the
+    * hash-aggregate; 6 groups → tiny shuffle.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsumRevenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        dsumCharge($"l_extendedprice", $"l_discount", $"l_tax").as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_extendedprice").as("avg_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlDsumRevenue("l_extendedprice", "l_discount")} AS sum_disc_price,
+       |  ${sqlDsumCharge("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02 — distinct key list (SURVEY A2; reference fetch_sites,
+    * fastapi/app/main.py:74-77). Distinct on a low-cardinality column:
+    * partial distinct map-side, 5-row shuffle. */
+  def distinctTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select($"event_type").distinct().orderBy($"event_type")
+
+  val distinctTypesSql: String =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  /** q03 — per-key count/min/max summary (SURVEY A1; reference
+    * fetch_weather_summary, fastapi/app/main.py:81-104). */
+  def summaryByType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min($"ts").as("min_ts"),
+        max($"ts").as("max_ts"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+
+  val summaryByTypeSql: String =
+    """SELECT event_type, COUNT(*) AS n_rows, MIN(ts) AS min_ts,
+      |  MAX(ts) AS max_ts, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q04 — recent-N time slice, newest n rows re-sorted chronological
+    * (SURVEY W1; reference fetch_hourly_rows, fastapi/app/main.py:
+    * 112-124,141-154). The DESC limit compiles to
+    * TakeOrderedAndProject — true top-k, no full sort; the final ASC
+    * sort is over ≤336 rows. event_id is the deterministic tiebreak.
+    */
+  def recentN(spark: SparkSession, dir: String, n: Int = 336): DataFrame =
+    Tables.events(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"value")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .limit(n)
+      .orderBy($"ts".asc, $"event_id".asc)
+
+  val recentNSql: String =
+    """SELECT * FROM (
+      |  SELECT event_id, ts, user_id, value FROM events
+      |  WHERE event_type = 'click'
+      |  ORDER BY ts DESC, event_id DESC LIMIT 336)
+      |ORDER BY ts ASC, event_id ASC""".stripMargin
+
+  /** q05 — star-schema rollup: orders → customer → nation → region
+    * (SURVEY JN2-shape). Dimensions are broadcast — the orders fact
+    * table never shuffles for the joins, only for the 5-group
+    * aggregate. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(spark, dir).select($"n_nationkey", $"n_regionkey")
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum($"o_totalprice").as("total_revenue"))
+      .orderBy($"r_name")
+  }
+
+  val regionRevenueSql: String =
+    s"""SELECT r_name, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total_revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** q06 — fact-fact join + composite-key aggregate: lineitem ⋈ orders
+    * on orderkey, revenue per (priority, ship year-month). One shuffle
+    * for the join (or none if AQE converts to broadcast at small SF),
+    * one for the ~400-group aggregate. */
+  def priorityMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val o = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+           dsumRevenue($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val priorityMonthlyRevenueSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${sqlDsumRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q07 — left-semi join / EXISTS (SURVEY P5 membership validation;
+    * reference 404 check at fastapi/app/main.py:221-222): customers
+    * that have at least one big order. */
+  def customersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val big = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 450000.0)
+      .select($"o_custkey")
+    c.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val customersWithBigOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q08 — left-anti join / NOT EXISTS (the insert-half of the upsert
+    * merge, SURVEY JN3): customers with no order since 2001. The date
+    * filter is pushed below the join into the orders scan. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast(TimestampType))
+      .select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q09 — pivot to wide (SURVEY SO3; reference series pivot at
+    * fastapi/app/etl/nasa.py:103-107): daily counts per event type as
+    * columns. Explicit pivot values → no extra distinct-collect job. */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"day")
+
+  val dailyTypePivotSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** q10 — unpivot/melt to long (SURVEY SO2; reference completeness
+    * melt at streamlit/app.py:525-526): lineitem measures → one row per
+    * (line, metric). Narrow transform — no shuffle until the sort. */
+  def lineitemUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter($"l_orderkey" < 1000)
+      .select($"l_orderkey", $"l_linenumber",
+              $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        "metric", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+
+  val lineitemUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      |  FROM lineitem WHERE l_orderkey < 1000
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 1000
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 1000)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  /** q11 — ranked window / top-k per group (SURVEY W2; the dedup-rank
+    * pattern at transform/silver_clean.py:99-101): top-3 orders per
+    * customer. One shuffle on o_custkey; rank inside partitions. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 300)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders WHERE o_custkey < 300)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** q12 — running aggregate over an explicit ROWS frame (SURVEY §2.6;
+    * groundwork for the mart_forecast rolling features). Decimal
+    * accumulation keeps the running sum exact regardless of how either
+    * engine internally accumulates the frame. */
+  def runningUserSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter($"user_id" < 20)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("running_value",
+        sum($"value".cast(DecimalType(12, 2))).over(w).cast(DoubleType))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val runningUserSpendSql: String =
+    """SELECT user_id, event_id, ts, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value
+      |FROM events WHERE user_id < 20
+      |ORDER BY user_id, ts, event_id""".stripMargin
+}
