@@ -32,6 +32,19 @@ object SparkEntry {
     "q10_unpivot_lineitem"  -> (Relational.lineitemUnpivot(_, _)),
     "q11_window_topk"       -> (Relational.topOrdersPerCustomer(_, _)),
     "q12_running_sum"       -> (Relational.runningUserSpend(_, _)),
+    "q20_bronze_scan"       -> (Weather.bronzeScan(_, _)),
+    "q21_silver_clean"      -> (Weather.silverClean(_, _)),
+    "q22_drop_reasons"      -> (Weather.dropReasons(_, _)),
+    "q23_completeness"      -> (Weather.completeness(_, _)),
+    "q24_site_metrics"      -> (Weather.siteMetrics(_, _)),
+    "q25_site_means"        -> (Weather.siteMeans(_, _)),
+    "q26_aligned_series"    -> (Weather.alignedSeries(_, _)),
+    "q27_gold_features"     -> (Weather.goldFeatures(_, _)),
+    "q28_gold_kpis"         -> (Weather.goldKpis(_, _)),
+    "q29_forecast_baseline" -> (Weather.forecastBaseline(_, _)),
+    "q31_upsert_merge"      -> (Weather.upsertMerge(_, _)),
+    "q32_json_extract"      -> (Weather.jsonExtract(_, _)),
+    "q33_ts_dual_parse"     -> (Weather.dualFormatTsParse(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -47,5 +60,18 @@ object SparkEntry {
     "q10_unpivot_lineitem"  -> Relational.lineitemUnpivotSql,
     "q11_window_topk"       -> Relational.topOrdersPerCustomerSql,
     "q12_running_sum"       -> Relational.runningUserSpendSql,
+    "q20_bronze_scan"       -> Weather.bronzeScanSql,
+    "q21_silver_clean"      -> Weather.silverCleanSql,
+    "q22_drop_reasons"      -> Weather.dropReasonsSql,
+    "q23_completeness"      -> Weather.completenessSql,
+    "q24_site_metrics"      -> Weather.siteMetricsSql,
+    "q25_site_means"        -> Weather.siteMeansSql,
+    "q26_aligned_series"    -> Weather.alignedSeriesSql,
+    "q27_gold_features"     -> Weather.goldFeaturesSql,
+    "q28_gold_kpis"         -> Weather.goldKpisSql,
+    "q29_forecast_baseline" -> Weather.forecastBaselineSql,
+    "q31_upsert_merge"      -> Weather.upsertMergeSql,
+    "q32_json_extract"      -> Weather.jsonExtractSql,
+    "q33_ts_dual_parse"     -> Weather.dualFormatTsParseSql,
   )
 }
