@@ -45,6 +45,19 @@ object SparkEntry {
     "q31_upsert_merge"      -> (Weather.upsertMerge(_, _)),
     "q32_json_extract"      -> (Weather.jsonExtract(_, _)),
     "q33_ts_dual_parse"     -> (Weather.dualFormatTsParse(_, _)),
+    "q40_token_stats"       -> (TextOps.tokenStats(_, _)),
+    "q41_quality_score"     -> (TextOps.qualityScore(_, _)),
+    "q42_lang_id"           -> (TextOps.langId(_, _)),
+    "q43_fingerprint"       -> (TextOps.fingerprint(_, _)),
+    "q44_exact_dedup"       -> (TextOps.exactDedup(_, _)),
+    "q45_jaccard_pairs"     -> (Dedup.jaccardPairs(_, _)),
+    "q46_minhash_sig"       -> (Dedup.minhashSignatures(_, _)),
+    "q47_lsh_near_dups"     -> (Dedup.lshNearDupPairs(_, _)),
+    "q48_simhash"           -> (Dedup.simhash(_, _)),
+    "q49_cosine_topk"       -> (VectorOps.cosineTopK(_, _)),
+    "q50_ivf_assign"        -> (VectorOps.ivfAssign(_, _)),
+    "q51_embedding_dups"    -> (VectorOps.embeddingNearDups(_, _)),
+    "q52_media_meta"        -> (Multimodal.mediaMeta(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -73,5 +86,18 @@ object SparkEntry {
     "q31_upsert_merge"      -> Weather.upsertMergeSql,
     "q32_json_extract"      -> Weather.jsonExtractSql,
     "q33_ts_dual_parse"     -> Weather.dualFormatTsParseSql,
+    "q40_token_stats"       -> TextOps.tokenStatsSql,
+    "q41_quality_score"     -> TextOps.qualityScoreSql,
+    "q42_lang_id"           -> TextOps.langIdSql,
+    "q43_fingerprint"       -> TextOps.fingerprintSql,
+    "q44_exact_dedup"       -> TextOps.exactDedupSql,
+    "q45_jaccard_pairs"     -> Dedup.jaccardPairsSql,
+    "q46_minhash_sig"       -> Dedup.minhashSignaturesSql,
+    "q47_lsh_near_dups"     -> Dedup.lshNearDupPairsSql,
+    "q48_simhash"           -> Dedup.simhashSql,
+    "q49_cosine_topk"       -> VectorOps.cosineTopKSql,
+    "q50_ivf_assign"        -> VectorOps.ivfAssignSql,
+    "q51_embedding_dups"    -> VectorOps.embeddingNearDupsSql,
+    "q52_media_meta"        -> Multimodal.mediaMetaSql,
   )
 }

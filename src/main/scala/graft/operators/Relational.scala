@@ -249,7 +249,7 @@ object Relational {
     Tables.orders(spark, dir)
       .filter($"o_custkey" < 300)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .filter($"rn" <= 3)
       .orderBy($"o_custkey", $"rn")
   }

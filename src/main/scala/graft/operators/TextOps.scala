@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.syntax._
+
+/** Text-analysis operators for the training-data-pipeline surface
+  * (north star in BASELINE.json): token statistics, quality scoring,
+  * language-ID, and document fingerprinting over the `documents`
+  * fixture table.
+  *
+  * All operators are embarrassingly parallel per-document expressions
+  * (no shuffle except final aggregation/sort) and stay inside
+  * whole-stage codegen except the higher-order array functions — at
+  * 100 TB they scan-and-project with full column pruning.
+  */
+object TextOps {
+
+  /** Whitespace tokenization shared by all text operators. Documents
+    * are pre-trimmed; `\s+` matches the same token boundaries in both
+    * engines. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val tokensSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** q40 — token statistics: counts, distinct counts, total token
+    * length (an `aggregate` fold — the BPE-ish regex tokenizer's
+    * bookkeeping primitive). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .select(
+        $"doc_id",
+        length($"text").cast(LongType).as("n_chars_actual"),
+        size($"toks").cast(LongType).as("n_tokens"),
+        size(array_distinct($"toks")).cast(LongType).as("n_distinct_tokens"),
+        expr("aggregate(transform(toks, x -> length(x)), 0, (a, b) -> a + b)")
+          .cast(LongType).as("total_token_len"))
+      .orderBy($"doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id, length(text) AS n_chars_actual,
+       |  len($tokensSql) AS n_tokens,
+       |  len(list_distinct($tokensSql)) AS n_distinct_tokens,
+       |  list_reduce(list_prepend(0, list_transform($tokensSql,
+       |    x -> length(x))), (a, b) -> a + b) AS total_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stopword list used by quality scoring and language-ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in")
+
+  /** q41 — quality scoring (length / stopword-ratio / vocabulary
+    * diversity), the reference-free quality gate of an LLM data
+    * pipeline. Ratios and the blended score are IEEE-identical in both
+    * engines (same operand order), rounded to 6dp. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))").cast(LongType))
+      .withColumn("uniq_ratio",
+        size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
+      .withColumn("stop_ratio", $"n_stop".cast(DoubleType) / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"n_stop",
+        round($"uniq_ratio", 6).as("uniq_ratio"),
+        round($"stop_ratio", 6).as("stop_ratio"),
+        round(lit(0.4) * $"uniq_ratio"
+          + lit(0.3) * least(lit(1.0), $"n_tokens" / 100.0)
+          + lit(0.3) * (lit(1.0) - $"stop_ratio"), 6).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  def qualityScoreSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> x IN ($stopList))) AS n_stop,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+       |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_stop,
+       |  ROUND(uniq_ratio, 6) AS uniq_ratio,
+       |  ROUND(stop_ratio, 6) AS stop_ratio,
+       |  ROUND(0.4 * uniq_ratio + 0.3 * LEAST(1.0, n_tokens / 100.0)
+       |        + 0.3 * (1.0 - stop_ratio), 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. (The fixture vocabulary is synthetic; the operator
+    * structure — marker join → per-language scores → argmax — is what
+    * a real n-gram profile LID does.) */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "data", "en" -> "query",
+    "de" -> "table", "de" -> "join",
+    "es" -> "fast", "es" -> "scan",
+    "fr" -> "row", "fr" -> "sort",
+    "zh" -> "hash", "zh" -> "merge")
+
+  /** q42 — language identification: explode tokens, join the marker
+    * profile (broadcast — it is tiny), score per language, argmax with
+    * deterministic tiebreak. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val markers = spark.createDataFrame(LangMarkers)
+      .toDF("cand_lang", "marker")
+    val scores = docs
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .join(broadcast(markers), $"token" === $"marker")
+      .groupBy($"doc_id", $"cand_lang")
+      .agg(count(lit(1)).as("hits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy($"hits".desc, $"cand_lang".asc)
+    val best = scores
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"cand_lang".as("predicted_lang"), $"hits")
+    docs.select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"lang",
+        coalesce($"predicted_lang", lit("unknown")).as("predicted_lang"),
+        coalesce($"hits", lit(0L)).as("marker_hits"))
+      .orderBy($"doc_id")
+  }
+
+  def langIdSql: String = {
+    val values = LangMarkers
+      .map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+    s"""WITH markers(cand_lang, marker) AS (VALUES $values),
+       |tok AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |scores AS (
+       |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+       |  FROM tok JOIN markers ON token = marker
+       |  GROUP BY doc_id, cand_lang),
+       |best AS (
+       |  SELECT doc_id, cand_lang AS predicted_lang, hits
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, cand_lang ASC) AS rn FROM scores)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(b.predicted_lang, 'unknown') AS predicted_lang,
+       |  COALESCE(b.hits, 0) AS marker_hits
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q43 — document fingerprinting: whitespace-normalized md5 content
+    * hash + its 64-bit prefix (both engines emit identical lowercase
+    * hex, so fingerprints are directly comparable). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")
+          .cast(BinaryType)).as("fp"))
+      .withColumn("fp64", substring($"fp", 1, 16))
+      .orderBy($"doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
+      |            1, 16) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q44 — exact deduplication: hash-groupBy on the content
+    * fingerprint; keeper = min doc_id per group (deterministic). At
+    * scale this is the classic one-shuffle dedup — the fingerprint is
+    * computed map-side, the groupBy shuffles only (hash, id). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ")
+          .cast(BinaryType)).as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keeper_doc_id")
+
+  val exactDedupSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+}

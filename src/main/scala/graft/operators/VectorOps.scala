@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.syntax._
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline and an
+  * IVF-style cell assignment as the scale path.
+  *
+  * Numeric parity: elements are cast FLOAT→DOUBLE before any
+  * arithmetic, and dot/norm folds are explicit sequential left-folds
+  * (`aggregate` in Spark, `list_reduce` in DuckDB) — both engines do
+  * the same IEEE ops in the same order, so cosines match bit-for-bit
+  * before the defensive 6dp rounding.
+  *
+  * Scale notes: brute-force is O(Q·N·d) with a broadcast query side —
+  * fine for reranking, not for N=10^9; the IVF assignment shows the
+  * bucketed layout (partition by cell, prune cells at query time). A
+  * codegen'd Catalyst Expression for the dot product is the next
+  * optimization if the fold shows up in profiles.
+  */
+object VectorOps {
+
+  /** embedding as array<double>. */
+  private def vecD(c: String): Column =
+    expr(s"transform($c, x -> CAST(x AS DOUBLE))")
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** DuckDB equivalents (list_reduce has no init; prepending 0.0
+    * yields the same fold: 0.0 + x == x). */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), x -> x[1] * x[2])), (p, q) -> p + q)"
+  def sqlNorm(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (p, q) -> p + q))"
+
+  /** Normalized vectors with precomputed norms. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", vecD("embedding").as("v"))
+      .withColumn("nrm", l2norm($"v"))
+
+  private val vecsCte: String =
+    """vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, v, %s AS nrm FROM vecs)"""
+      .stripMargin.format(sqlNorm("v"))
+
+  val TopK = 5
+  val NumQueries = 10
+
+  /** q49 — brute-force cosine top-k: the exact ANN baseline. The tiny
+    * query side broadcasts; the corpus scan is a single pass. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val queries = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = all.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val cosineTopKSql: String =
+    s"""WITH $vecsCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ROUND(${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cos_sim
+       |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** q50 — IVF cell assignment: every vector is assigned to its
+    * nearest "centroid" (the deterministic vec_id % 100 == 0 subset —
+    * a stand-in for a k-means codebook, which would be fit offline).
+    * At scale this is the write-path of an IVF index: partition the
+    * corpus by cell_id; queries then probe a few cells instead of the
+    * full corpus. Centroids broadcast. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val centroids = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"))
+    val d2 = aggregate(zip_with($"v", $"cv", (x, y) => (x - y) * (x - y)),
+                       lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"dist2".asc, $"centroid_id".asc)
+    all.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"centroid_id", round(d2, 6).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"centroid_id".as("cell_id"), $"dist2")
+      .orderBy($"vec_id")
+  }
+
+  val ivfAssignSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH $vecsCte,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM normed
+       |  WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT a.vec_id, c.centroid_id, ROUND($d2, 6) AS dist2
+       |  FROM normed a CROSS JOIN cents c)
+       |SELECT vec_id, centroid_id AS cell_id, dist2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY dist2 ASC, centroid_id ASC) AS rn
+       |  FROM scored)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** q51 — embedding-cosine near-duplicate pairs above a threshold
+    * (the embedding variant of the dedup family). All-pairs here;
+    * the LSH/IVF bucketing above is the scale path. */
+  val CosineDupThreshold = 0.45
+
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val a = all.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = all.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        round(dot($"va", $"vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= CosineDupThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embeddingNearDupsSql: String =
+    s"""WITH $vecsCte
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+       |WHERE ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+       |      >= $CosineDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

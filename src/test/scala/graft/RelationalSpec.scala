@@ -93,9 +93,9 @@ class RelationalSpec extends AnyFunSuite {
     val byCust = rows.groupBy(_.getLong(0))
     byCust.values.foreach { g =>
       assert(g.length <= 3)
-      assert(g.map(_.getInt(3)).sorted.toSeq === (1 to g.length))
+      assert(g.map(_.getLong(3)).sorted.toSeq === (1L to g.length))
       // prices non-increasing in rank
-      val prices = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      val prices = g.sortBy(_.getLong(3)).map(_.getDouble(2))
       assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, TextOps, VectorOps}
+
+class TextDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("token stats: totals consistent (distinct <= tokens, lengths add up)") {
+    val rows = TextOps.tokenStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getLong(r.fieldIndex("n_tokens"))
+      val nDis = r.getLong(r.fieldIndex("n_distinct_tokens"))
+      val totLen = r.getLong(r.fieldIndex("total_token_len"))
+      assert(nDis <= nTok)
+      // tokens + single separators == n_chars for space-joined text
+      assert(totLen <= r.getLong(r.fieldIndex("n_chars_actual")))
+    }
+  }
+
+  test("quality score in [0,1], ratios in [0,1]") {
+    TextOps.qualityScore(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(r.fieldIndex("uniq_ratio")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("uniq_ratio")) <= 1.0)
+      assert(r.getDouble(r.fieldIndex("quality")) >= 0.0)
+      assert(r.getDouble(r.fieldIndex("quality")) <= 1.0)
+    }
+  }
+
+  test("langid covers every document with a deterministic prediction") {
+    val out = TextOps.langId(spark, sf)
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter(col("predicted_lang").isNull).count() === 0)
+  }
+
+  test("fingerprint: md5 hex shape, unique per distinct text") {
+    val fp = TextOps.fingerprint(spark, sf).collect()
+    fp.foreach(r => assert(r.getString(1).matches("[0-9a-f]{32}")))
+    val distinctTexts = Tables.documents(spark, sf)
+      .select(countDistinct(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .collect()(0).getLong(0)
+    assert(fp.map(_.getString(1)).distinct.length.toLong === distinctTexts)
+  }
+
+  test("LSH near-dup pairs == exact Jaccard pairs on the fixture (full recall here)") {
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (it verifies)")
+    assert(exact === lsh, s"fixture near-dups are J≈0.9+; 4x4 bands must catch all")
+  }
+
+  test("simhash: near-dup pairs collide, signature is 32 bits") {
+    val sims = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sims.values.foreach(s => assert(s.matches("[01]{32}")))
+    val pairs = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hams = pairs.map { case (a, b) =>
+      sims(a).zip(sims(b)).count { case (x, y) => x != y }
+    }
+    // J≈0.9 near-dups should have tiny Hamming distance
+    assert(hams.forall(_ <= 6), s"hamming distances: ${hams.mkString(",")}")
+  }
+
+  test("cosine top-k: ranks ordered by similarity, no self-matches") {
+    val rows = VectorOps.cosineTopK(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.forall(_.getLong(1) != q))
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF assignment: every vector assigned to exactly one existing centroid") {
+    val assign = VectorOps.ivfAssign(spark, sf)
+    assert(assign.count() === Tables.embeddings(spark, sf).count())
+    val cells = assign.select("cell_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(cells.forall(_ % 100 === 0))
+  }
+
+  test("multimodal: typed mapPartitions decode agrees with the DataFrame metadata path") {
+    val typed = Multimodal.decodeMedia(spark, sf).collect()
+      .map(m => m.doc_id -> m).toMap
+    val df = Multimodal.mediaMeta(spark, sf).collect()
+    assert(df.length === typed.size)
+    df.foreach { r =>
+      val m = typed(r.getLong(0))
+      assert(m.n_bytes.toLong === r.getLong(1))
+      assert(m.head_byte === r.getInt(2))
+      assert(m.width.toLong === r.getLong(3))
+      assert(m.height.toLong === r.getLong(4))
+      assert(m.feature.length === 8)
+    }
+  }
+}
