@@ -45,6 +45,8 @@ object SparkEntry {
     "q31_upsert_merge"      -> (Weather.upsertMerge(_, _)),
     "q32_json_extract"      -> (Weather.jsonExtract(_, _)),
     "q33_ts_dual_parse"     -> (Weather.dualFormatTsParse(_, _)),
+    "q34_streaming_clean"   -> (graft.streaming.StreamingClean.silverViaStreaming(_, _)),
+    "q35_nasa_roundtrip"    -> (graft.sources.NasaIngest.roundTrip(_, _)),
     "q40_token_stats"       -> (TextOps.tokenStats(_, _)),
     "q41_quality_score"     -> (TextOps.qualityScore(_, _)),
     "q42_lang_id"           -> (TextOps.langId(_, _)),
@@ -86,6 +88,9 @@ object SparkEntry {
     "q31_upsert_merge"      -> Weather.upsertMergeSql,
     "q32_json_extract"      -> Weather.jsonExtractSql,
     "q33_ts_dual_parse"     -> Weather.dualFormatTsParseSql,
+    // q34: oracle == the batch silver SQL — streaming/batch parity.
+    "q34_streaming_clean"   -> Weather.silverCleanSql,
+    // q35 intentionally has no oracle (payload build isn't SQL-mirrored).
     "q40_token_stats"       -> TextOps.tokenStatsSql,
     "q41_quality_score"     -> TextOps.qualityScoreSql,
     "q42_lang_id"           -> TextOps.langIdSql,

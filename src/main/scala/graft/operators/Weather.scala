@@ -37,7 +37,11 @@ object Weather {
   // ---------------------------------------------------------------
 
   def bronze(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    bronzeFromEvents(Tables.events(spark, dir))
+
+  /** Same mapping over any events-shaped frame (batch or streaming). */
+  def bronzeFromEvents(events: DataFrame): DataFrame =
+    events.select(
       $"event_type".as("site"),
       $"ts".as("ts_utc"),
       $"event_id".as("ingest_seq"),
@@ -94,7 +98,13 @@ object Weather {
   /** The kernel as a reusable DataFrame→DataFrame pipeline — the same
     * function serves batch here and streaming foreachBatch (SURVEY
     * §2.10). Input must have Bronze columns. */
-  def cleanToHourly(bronzeDf: DataFrame): DataFrame = {
+  def cleanToHourly(bronzeDf: DataFrame): DataFrame =
+    cleanToHourlyAudit(bronzeDf).drop("ingested_at", "ingest_seq")
+
+  /** Kernel variant keeping the audit columns — the streaming merge
+    * needs them to arbitrate last-write-wins ACROSS micro-batches,
+    * not just within one (SURVEY §2.10). */
+  def cleanToHourlyAudit(bronzeDf: DataFrame): DataFrame = {
     val validated = bronzeDf.select(
       $"site",
       date_trunc("hour", $"ts_utc").as("ts_hour"),
@@ -113,7 +123,7 @@ object Weather {
       .filter($"rn" === 1)
       .select($"site", $"ts_hour".as("ts_utc"),
               $"ghi_v".as("ghi_wm2"), $"t2m_v".as("temp_c"),
-              $"ws_v".as("wind_mps"))
+              $"ws_v".as("wind_mps"), $"ingested_at", $"ingest_seq")
   }
 
   /** silver CTE (requires bronzeCte in scope). */

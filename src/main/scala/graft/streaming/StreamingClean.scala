@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.operators.Weather
+import graft.sources.UpsertWriter
+import graft.syntax._
+
+/** The cleaning kernel as a Structured Streaming pipeline (SURVEY
+  * §2.10): `readStream` over the events source → Bronze mapping → the
+  * same Q1–Q5 kernel per micro-batch → idempotent keyed merge via
+  * `foreachBatch`. Late or re-delivered data for an already-written
+  * (site, hour) overwrites iff newer — exactly the reference's upsert
+  * contract, which pure watermarked state cannot express for
+  * arbitrarily-late keys (SURVEY §7.4-8); the merge sink is the
+  * reprocessing-safe path.
+  *
+  * `Trigger.AvailableNow` drains the backlog as bounded micro-batches
+  * and stops — the streaming analogue of the reference's chunked
+  * backfill loop (nasa.py:160-177). The same query with a continuous
+  * trigger is the live path; nothing else changes.
+  */
+object StreamingClean {
+
+  /** events.parquet raw schema for the streaming reader — `ts` arrives
+    * as nanosecond INT64 (see graft.Tables.events). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Run the streaming clean over `$sfDir/events.parquet`, merging
+    * each micro-batch into the silver store at `outPath`. Blocks until
+    * the backlog is drained; returns the final silver table. */
+  def run(spark: SparkSession, eventsPath: String, outPath: String,
+          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    // The file-stream source requires a directory; stage the input
+    // file(s) into one (symlink — no copy).
+    val src = java.nio.file.Paths.get(eventsPath)
+    val inputDir =
+      if (java.nio.file.Files.isDirectory(src)) eventsPath
+      else {
+        val d = Files.createTempDirectory("graft-stream-in-")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val reader = spark.readStream
+      .schema(eventsRawSchema)
+    val withRate = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val raw = withRate.parquet(inputDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val bronzeStream = Weather.bronzeFromEvents(raw)
+    val query = bronzeStream.writeStream
+      .queryName("graft_streaming_clean")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cleaned = Weather.cleanToHourlyAudit(batch)
+        UpsertWriter.upsert(batch.sparkSession, outPath, cleaned,
+          keys = Seq("site", "ts_utc"),
+          versionCols = Seq("ingested_at", "ingest_seq"))
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outPath)
+  }
+
+  /** q34 — streaming-vs-batch parity: the full streaming pipeline on
+    * the fixture events, projected to the Silver schema. Its oracle is
+    * the BATCH silver SQL — passing means the streaming path computes
+    * exactly what the batch kernel computes. */
+  def silverViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-silver-").toString + "/silver"
+    run(spark, s"$sfDir/events.parquet", out)
+      .drop("ingested_at", "ingest_seq")
+      .orderBy($"site", $"ts_utc")
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Weather
+import graft.sources.{NasaIngest, UpsertWriter}
+import graft.streaming.StreamingClean
+
+class UpsertWriterSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def kv(rows: (String, Int, Double)*) =
+    rows.toSeq.toDF("k", "version", "v")
+
+  test("merge: incoming wins on key conflict; version arbitrates") {
+    val existing = kv(("a", 1, 1.0), ("b", 5, 2.0))
+    val incoming = kv(("a", 2, 10.0), ("b", 3, 20.0), ("c", 1, 30.0))
+    val merged = UpsertWriter.merge(existing, incoming,
+      Seq("k"), Seq("version")).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(merged === Map("a" -> 10.0, "b" -> 2.0, "c" -> 30.0))
+  }
+
+  test("merge: equal versions — incoming wins (ON CONFLICT DO UPDATE)") {
+    val existing = kv(("a", 1, 1.0))
+    val incoming = kv(("a", 1, 99.0))
+    val merged = UpsertWriter.merge(existing, incoming,
+      Seq("k"), Seq("version")).collect()
+    assert(merged.length === 1 && merged.head.getDouble(2) === 99.0)
+  }
+
+  test("upsert: rerunning the same window is a no-op (idempotency)") {
+    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    val batch = kv(("a", 1, 1.0), ("b", 1, 2.0))
+    val n1 = UpsertWriter.upsert(spark, path, batch, Seq("k"), Seq("version"))
+    val snap1 = spark.read.parquet(path).orderBy("k").collect().toSeq
+    val n2 = UpsertWriter.upsert(spark, path, batch, Seq("k"), Seq("version"))
+    val snap2 = spark.read.parquet(path).orderBy("k").collect().toSeq
+    assert(n1 === 2 && n2 === 2)
+    assert(snap1 === snap2)
+  }
+
+  test("upsert: late newer data overwrites, late older data is ignored") {
+    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    UpsertWriter.upsert(spark, path, kv(("a", 5, 1.0)), Seq("k"), Seq("version"))
+    UpsertWriter.upsert(spark, path, kv(("a", 9, 2.0)), Seq("k"), Seq("version"))
+    UpsertWriter.upsert(spark, path, kv(("a", 3, 3.0)), Seq("k"), Seq("version"))
+    val rows = spark.read.parquet(path).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("v") === 2.0)
+    assert(rows.head.getAs[Int]("version") === 9)
+  }
+}
+
+class StreamingCleanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming clean == batch clean on the fixture (micro-batched, merged)") {
+    val out = Files.createTempDirectory("graft-stream-").toString + "/silver"
+    val streamed = StreamingClean.run(spark, s"$sf/events.parquet", out)
+      .drop("ingested_at", "ingest_seq")
+    val batch = Weather.cleanToHourly(Weather.bronze(spark, sf))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+}
+
+class NasaIngestSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** FIXTURES.md §A1 payload: list form with nulls, scalar form with a
+    * malformed key, one parameter absent from some timestamps, plus an
+    * unknown parameter that J2 must project away. */
+  private val payload =
+    """{"properties": {"parameter": {
+      |  "ALLSKY_SFC_SW_DWN": {"20250101": [0.0, null, 12.5, 3.0]},
+      |  "T2M":               {"2025010100": -3.4, "2025010101": null, "badkey": 1.0},
+      |  "WS10M":             {"2025010100": 4.2, "2025010102": 5.0},
+      |  "IGNORED_PARAM":     {"2025010100": 9.9}
+      |}}}""".stripMargin
+
+  private lazy val bronzeOut =
+    NasaIngest.ingest(Seq(("site_a", payload)).toDF("site", "payload"))
+      .collect()
+      .map(r => r.getAs[Timestamp]("ts").toString -> r).toMap
+
+  test("J1 list form: day key explodes to hourly timestamps with positions") {
+    assert(bronzeOut("2025-01-01 00:00:00.0").getAs[Double]("ghi_wm2") === 0.0)
+    assert(bronzeOut("2025-01-01 02:00:00.0").getAs[Double]("ghi_wm2") === 12.5)
+    assert(bronzeOut("2025-01-01 03:00:00.0").getAs[Double]("ghi_wm2") === 3.0)
+    // null element in the list survives as a null measure
+    assert(bronzeOut("2025-01-01 01:00:00.0").isNullAt(
+      bronzeOut("2025-01-01 01:00:00.0").fieldIndex("ghi_wm2")))
+  }
+
+  test("J1 scalar form parses YYYYMMDDHH keys; malformed keys are skipped") {
+    assert(bronzeOut("2025-01-01 00:00:00.0").getAs[Double]("t2m_c") === -3.4)
+    // 'badkey' contributed no row: the only timestamps are the union of
+    // valid keys (hours 0-3)
+    assert(bronzeOut.size === 4)
+  }
+
+  test("J2: unknown parameters are projected away") {
+    val cols = bronzeOut.head._2.schema.fieldNames.toSet
+    assert(!cols.contains("IGNORED_PARAM"))
+    assert(cols === Set("site", "ts", "ghi_wm2", "t2m_c", "ws10_mps", "raw_json"))
+  }
+
+  test("J3: full-outer alignment — per-param gaps surface as nulls") {
+    val r1 = bronzeOut("2025-01-01 01:00:00.0") // WS10M absent at hour 1
+    assert(r1.isNullAt(r1.fieldIndex("ws10_mps")))
+    val r2 = bronzeOut("2025-01-01 02:00:00.0") // T2M absent at hour 2
+    assert(r2.isNullAt(r2.fieldIndex("t2m_c")))
+    assert(r2.getAs[Double]("ws10_mps") === 5.0)
+  }
+
+  test("S7: raw_json blob carries source + measures") {
+    val blob = bronzeOut("2025-01-01 00:00:00.0").getAs[String]("raw_json")
+    assert(blob.contains("\"source\":\"NASA_POWER\""))
+    assert(blob.contains("\"t2m_c\":-3.4"))
+  }
+
+  test("round-trip on fixture data yields bronze-shaped rows") {
+    val rt = NasaIngest.roundTrip(spark, sf)
+    assert(rt.count() > 0)
+    assert(rt.columns.toSet ===
+      Set("site", "ts", "ghi_wm2", "t2m_c", "ws10_mps", "raw_json"))
+  }
+}
