@@ -42,6 +42,7 @@ object SparkEntry {
     "q27_gold_features"     -> (Weather.goldFeatures(_, _)),
     "q28_gold_kpis"         -> (Weather.goldKpis(_, _)),
     "q29_forecast_baseline" -> (Weather.forecastBaseline(_, _)),
+    "q30_forecast_ml"       -> (Forecast.forecastMl(_, _)),
     "q31_upsert_merge"      -> (Weather.upsertMerge(_, _)),
     "q32_json_extract"      -> (Weather.jsonExtract(_, _)),
     "q33_ts_dual_parse"     -> (Weather.dualFormatTsParse(_, _)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "q50_ivf_assign"        -> (VectorOps.ivfAssign(_, _)),
     "q51_embedding_dups"    -> (VectorOps.embeddingNearDups(_, _)),
     "q52_media_meta"        -> (Multimodal.mediaMeta(_, _)),
+    "q53_regex_tokens"      -> (TextOps.regexTokens(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,5 +106,8 @@ object SparkEntry {
     "q50_ivf_assign"        -> VectorOps.ivfAssignSql,
     "q51_embedding_dups"    -> VectorOps.embeddingNearDupsSql,
     "q52_media_meta"        -> Multimodal.mediaMetaSql,
+    "q53_regex_tokens"      -> TextOps.regexTokensSql,
+    // q30 intentionally has no oracle (MLlib WLS fit isn't
+    // bit-reproducible in SQL); shape/bounds pinned in ForecastSpec.
   )
 }

@@ -189,4 +189,28 @@ object TextOps {
     """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
       |  MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin
+
+  /** BPE-ish pretokenizer: letter runs / digit runs / single
+    * punctuation, the regex shape GPT-style tokenizers pre-split on. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** q53 — regex token counting (the second tokenizer of the token-
+    * counting operator family; q40 is the whitespace one): counts plus
+    * an order-sensitive md5 digest of the token stream. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("btoks",
+        expr(s"regexp_extract_all(lower(text), '${BpePattern.replace("\\", "\\\\")}', 0)"))
+      .select($"doc_id",
+        size($"btoks").cast(LongType).as("n_bpe_tokens"),
+        size(array_distinct($"btoks")).cast(LongType).as("n_distinct_bpe"),
+        md5(array_join($"btoks", "|").cast(BinaryType)).as("stream_digest"))
+      .orderBy($"doc_id")
+
+  val regexTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_bpe,
+      |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'), '|')) AS stream_digest
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

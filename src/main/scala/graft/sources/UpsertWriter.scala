@@ -6,7 +6,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Idempotent keyed upsert over a file-backed table — the Spark
   * re-expression of the reference's `INSERT ... ON CONFLICT (keys) DO
@@ -64,6 +64,39 @@ object UpsertWriter {
     if (fs.exists(target)) fs.rename(target, bak)
     fs.rename(tmp, target)
     fs.delete(bak, true)
+    spark.read.parquet(path).count()
+  }
+
+  /** Partition-pruned upsert: the store is laid out
+    * `partitionBy(partitionCol)` and only partitions present in
+    * `incoming` are read, merged, and rewritten (dynamic partition
+    * overwrite). This is the shape that survives 100 TB — a day's
+    * ingest merges a day's partitions, not the table. */
+  def upsertPartitioned(spark: SparkSession, path: String,
+                        incoming: DataFrame, keys: Seq[String],
+                        versionCols: Seq[String],
+                        partitionCol: String): Long = {
+    val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    if (!fs.exists(target)) {
+      incoming.write.partitionBy(partitionCol).parquet(path)
+    } else {
+      val touched = incoming.select(partitionCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      // partition filter prunes the scan to touched partitions only
+      val existingSlice = spark.read.parquet(path)
+        .filter(col(partitionCol).isin(touched: _*))
+      val merged = merge(existingSlice, incoming, keys, versionCols)
+      // stage: the merge reads the partitions we are about to rewrite
+      val tmp = new Path(path + ".stage-" + UUID.randomUUID().toString.take(8))
+      merged.write.parquet(tmp.toString)
+      spark.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(path)
+      fs.delete(tmp, true)
+    }
     spark.read.parquet(path).count()
   }
 }

@@ -40,12 +40,13 @@ object StreamingClean {
   /** Run the streaming clean over `$sfDir/events.parquet`, merging
     * each micro-batch into the silver store at `outPath`. Blocks until
     * the backlog is drained; returns the final silver table. */
-  def run(spark: SparkSession, eventsPath: String, outPath: String,
-          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  /** Streaming reader over an events parquet file or directory,
+    * normalized to the batch `Tables.events` shape (ns → µs). The
+    * file-stream source requires a directory, so single files are
+    * staged via symlink. */
+  def readEventsStream(spark: SparkSession, eventsPath: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
-    // The file-stream source requires a directory; stage the input
-    // file(s) into one (symlink — no copy).
     val src = java.nio.file.Paths.get(eventsPath)
     val inputDir =
       if (java.nio.file.Files.isDirectory(src)) eventsPath
@@ -59,8 +60,14 @@ object StreamingClean {
       .schema(eventsRawSchema)
     val withRate = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val raw = withRate.parquet(inputDir)
+    withRate.parquet(inputDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def run(spark: SparkSession, eventsPath: String, outPath: String,
+          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val checkpoint = Files.createTempDirectory("graft-ckpt-").toString
+    val raw = readEventsStream(spark, eventsPath, maxFilesPerTrigger)
     val bronzeStream = Weather.bronzeFromEvents(raw)
     val query = bronzeStream.writeStream
       .queryName("graft_streaming_clean")

@@ -1,0 +1,117 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Forecast, Weather, WeatherApi}
+
+class WeatherApiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val bronze = Weather.bronze(spark, sf)
+  private lazy val silver = Weather.cleanToHourly(bronze)
+
+  test("/sites: sorted distinct site list") {
+    val s = WeatherApi.sites(silver).collect().map(_.getString(0))
+    assert(s.toSeq === s.sorted.toSeq && s.distinct.length === s.length)
+  }
+
+  test("unknown site raises the 404 analogue") {
+    intercept[WeatherApi.UnknownSiteException] {
+      WeatherApi.recentHours(silver, "nope", 24)
+    }
+    intercept[WeatherApi.UnknownSiteException] {
+      WeatherApi.metrics(bronze, silver, "nope")
+    }
+  }
+
+  test("summary: empty filter yields (0, null, null)") {
+    val r = WeatherApi.summary(silver.filter(lit(false))).collect()(0)
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("recentHours: hours clamped to [1,336], chronological output") {
+    val rows = WeatherApi.recentHours(silver, "click", 10000).collect()
+    assert(rows.length <= WeatherApi.MaxHours)
+    val ts = rows.map(_.getTimestamp(1).getTime)
+    assert(ts.toSeq === ts.sorted.toSeq)
+    assert(WeatherApi.clampHours(0) === 1)
+    assert(WeatherApi.clampHours(9999) === 336)
+  }
+
+  test("metrics: kept_pct consistent with row counts") {
+    val m = WeatherApi.metrics(bronze, silver, "click").collect()(0)
+    val raw = m.getLong(1); val kept = m.getLong(2)
+    assert(m.getDouble(3) === kept.toDouble / raw * 100)
+    assert(m.getLong(4) === math.max(raw - kept, 0L))
+  }
+
+  test("toJsonRows: ISO-8601 timestamps in JSON output") {
+    val js = WeatherApi.toJsonRows(silver.limit(1)).collect()(0)
+    assert(js.matches(""".*"ts_utc":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z".*"""),
+      s"got $js")
+  }
+
+  test("ingestWindows: 7-day chunks, inclusive remainder, validation") {
+    val w = WeatherApi.ingestWindows(
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 17))
+    assert(w === Seq(
+      (LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 7)),
+      (LocalDate.of(2024, 1, 8), LocalDate.of(2024, 1, 14)),
+      (LocalDate.of(2024, 1, 15), LocalDate.of(2024, 1, 17))))
+    // single-day window
+    assert(WeatherApi.ingestWindows(
+      LocalDate.of(2024, 2, 1), LocalDate.of(2024, 2, 1)).size === 1)
+    intercept[IllegalArgumentException] {
+      WeatherApi.ingestWindows(LocalDate.of(2024, 2, 2), LocalDate.of(2024, 2, 1))
+    }
+  }
+
+  test("F8 formatting: magnitude-dependent decimals, signed pct, buckets") {
+    import spark.implicits._
+    val df = Seq(1234.567, 12.345, -3.2, 0.0)
+      .toDF("x")
+      .select(
+        WeatherApi.formatMetric(col("x")).as("m"),
+        WeatherApi.formatPct(col("x")).as("p"),
+        WeatherApi.pctBucket(col("x")).as("b"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) === ("1,235", "+1,234.6%", "pos"))
+    assert(rows(1) === ("12.3", "+12.3%", "pos"))
+    assert(rows(2) === ("-3.2", "-3.2%", "neg"))
+    assert(rows(3) === ("0.0", "0.0%", "neutral"))
+    val nulls = Seq[Option[Double]](None).toDF("x")
+      .select(WeatherApi.formatMetric(col("x")), WeatherApi.pctBucket(col("x")))
+      .collect()(0)
+    assert(nulls.getString(0) === "--" && nulls.getString(1) === "neutral")
+  }
+}
+
+class ForecastSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q30 sarimax-slot forecast honors the mart_forecast contract") {
+    val fc = Forecast.forecastMl(spark, sf).collect()
+    val bySite = fc.groupBy(_.getString(0))
+    assert(bySite.nonEmpty)
+    bySite.values.foreach { g =>
+      assert(g.length === Forecast.Horizons)
+      assert(g.map(_.getInt(4)).sorted.toSeq === (1 to 48))
+      g.foreach { r =>
+        val yhat = r.getDouble(5)
+        val lo = r.getDouble(6); val hi = r.getDouble(7)
+        assert(yhat >= 0.0 && lo >= 0.0)
+        assert(lo <= yhat && yhat <= hi)
+        assert(r.getString(2) === "sarimax" && r.getString(3) === "pv")
+      }
+    }
+  }
+
+  test("training frame: lags align (lag24 equals the value 24 rows back)") {
+    val t = Forecast.trainingFrame(Weather.goldFeatures(spark, sf))
+      .filter(col("site") === "click").orderBy("ts_utc").collect()
+    assert(t.nonEmpty)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Weather
+import graft.sources.UpsertWriter
+import graft.streaming.{StreamingClean, StreamingWindows}
+
+class StreamingWindowsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("watermarked hourly aggregation matches the batch hourly aggregate") {
+    val streamed = StreamingWindows.hourlyStats(spark, s"$sf/events.parquet")
+    val batch = Weather.bronze(spark, sf)
+      .groupBy(date_trunc("hour", col("ts_utc")).as("ts_hour"), col("site"))
+      .agg(count(lit(1)).as("n"), round(avg(col("ghi_wm2")), 6).as("ghi_mean"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("stateful LWW dedup winners match the batch kernel's dedup choice") {
+    val winners = StreamingWindows.statefulDedup(spark, s"$sf/events.parquet")
+    // batch reference: winner per (site, hour) among ALL bronze rows
+    // (pre-validation — the stateful op dedups, it does not validate)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("site"), col("tsHour"))
+      .orderBy(col("version").desc, col("seq").desc)
+    val batch = Weather.bronze(spark, sf)
+      .select(col("site"),
+        unix_micros(date_trunc("hour", col("ts_utc"))).as("tsHour"),
+        coalesce(col("ghi_wm2"), lit(0.0)).as("ghi"),
+        unix_micros(col("ingested_at")).as("version"),
+        col("ingest_seq").as("seq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(winners.count() === batch.count())
+    assert(winners.exceptAll(batch).count() === 0)
+  }
+
+  test("multi-batch streaming: late-but-newer data overwrites, older is ignored") {
+    import spark.implicits._
+    // two files => two AvailableNow micro-batches (maxFilesPerTrigger=1)
+    val inDir = Files.createTempDirectory("graft-mb-in-")
+    val out = Files.createTempDirectory("graft-mb-out-").toString + "/silver"
+    def mkEvents(ids: Seq[Long], tsBase: Long, file: String): Unit = {
+      val stage = Files.createTempDirectory("graft-mb-stage-").toString + "/p"
+      ids.map(i => (i, (tsBase + i * 1000000L) * 1000L, 1L, "click", 50.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, inDir.resolve(file + ".parquet"))
+      ()
+    }
+    // batch 1: seqs 2,4 — batch 2: seqs 1,3 (older seq, same hours)
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    mkEvents(Seq(2L, 4L), base, "b1")
+    mkEvents(Seq(1L, 3L), base, "b2")
+    val silver = StreamingClean.run(spark, inDir.toString, out,
+      maxFilesPerTrigger = Some(1))
+    // all 4 events are in hour 0 → one (site, hour) key; the winner
+    // must be the max (ingested_at, seq) across BOTH batches = seq 4
+    val rows = silver.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("ingest_seq") === 4L)
+  }
+}
+
+class PartitionedUpsertSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("partitioned upsert only rewrites touched partitions and keeps others") {
+    val path = Files.createTempDirectory("graft-pups-").toString + "/t"
+    val day1 = Seq(("d1", "a", 1, 1.0), ("d1", "b", 1, 2.0),
+                   ("d2", "a", 1, 3.0))
+      .toDF("day", "k", "version", "v")
+    UpsertWriter.upsertPartitioned(spark, path, day1,
+      Seq("day", "k"), Seq("version"), "day")
+    // merge only d2: newer version for (d2, a), new key (d2, b)
+    val day2 = Seq(("d2", "a", 2, 30.0), ("d2", "b", 1, 40.0))
+      .toDF("day", "k", "version", "v")
+    val n = UpsertWriter.upsertPartitioned(spark, path, day2,
+      Seq("day", "k"), Seq("version"), "day")
+    assert(n === 4)
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getAs[String]("day"), r.getAs[String]("k"))
+        -> r.getAs[Double]("v")).toMap
+    assert(rows(("d1", "a")) === 1.0) // untouched partition intact
+    assert(rows(("d1", "b")) === 2.0)
+    assert(rows(("d2", "a")) === 30.0) // newer version won
+    assert(rows(("d2", "b")) === 40.0) // inserted
+  }
+}
