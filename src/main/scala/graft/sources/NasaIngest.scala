@@ -25,6 +25,24 @@ object NasaIngest {
 
   val Params: Seq[String] = Seq("ALLSKY_SFC_SW_DWN", "T2M", "WS10M")
 
+  /** S1 — NASA POWER hourly point-endpoint URL (nasa.py:34-46). The
+    * HTTP GET itself stays a driver-side concern behind any transport;
+    * the engine owns the request construction and the parse. */
+  def powerUrl(lat: Double, lon: Double,
+               startYyyymmdd: String, endYyyymmdd: String): String = {
+    val base = "https://power.larc.nasa.gov/api/temporal/hourly/point"
+    val params = Seq(
+      "parameters" -> Params.mkString(","),
+      "community" -> "RE",
+      "longitude" -> lon.toString,
+      "latitude" -> lat.toString,
+      "start" -> startYyyymmdd,
+      "end" -> endYyyymmdd,
+      "format" -> "JSON",
+      "time-standard" -> "UTC")
+    base + "?" + params.map { case (k, v) => s"$k=$v" }.mkString("&")
+  }
+
   /** Raw payload schema: parameter values captured as raw JSON text so
     * each series can be re-parsed per its own encoding. */
   private val payloadSchema = StructType(Seq(

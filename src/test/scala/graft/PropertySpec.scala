@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Weather
+import graft.schema.{Schemas, Validator}
+import graft.sources.UpsertWriter
+
+/** Property-based invariants (SURVEY §5.2-3): randomized dirty Bronze
+  * frames through the kernel must always satisfy the Silver contract;
+  * the upsert must be idempotent and version-monotone for arbitrary
+  * batch splits. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** Deterministic property driver: sample `gen` across fixed seeds
+    * (scalatest+scalacheck bridge isn't a dependency; raw Gen sampling
+    * gives the same coverage reproducibly). */
+  private def forAllSampled[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      val v = gen.pureApply(Gen.Parameters.default, Seed(42L + i))
+      withClue(s"seed=${42 + i}: ")(body(v))
+    }
+
+  private val baseMs = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private case class BronzeRow(site: String, offsetMin: Int, seq: Long,
+                               ghi: Option[Double], t2m: Option[Double],
+                               ws: Option[Double])
+
+  private val rowGen: Gen[BronzeRow] = for {
+    site <- Gen.oneOf("s1", "s2", "s3")
+    offset <- Gen.choose(0, 72 * 60) // three days of minutes
+    seq <- Gen.choose(0L, 100000L)
+    ghi <- Gen.option(Gen.choose(-50.0, 500.0))
+    t2m <- Gen.option(Gen.choose(-120.0, 120.0))
+    ws <- Gen.option(Gen.choose(-5.0, 40.0))
+  } yield BronzeRow(site, offset, seq, ghi, t2m, ws)
+
+  private def toBronzeDf(rows: List[BronzeRow]) =
+    rows.map(r => (r.site,
+        new Timestamp(baseMs + r.offsetMin * 60000L), r.seq,
+        r.ghi.map(Double.box).orNull,
+        r.t2m.map(Double.box).orNull,
+        r.ws.map(Double.box).orNull))
+      .toDF("site", "ts_utc", "ingest_seq", "ghi_wm2", "t2m_c", "ws10_mps")
+      .withColumn("ingested_at", col("ts_utc"))
+
+  test("property: kernel output always satisfies the Silver contract") {
+    forAllSampled(Gen.listOfN(60, rowGen), 8) { rows =>
+      {
+        val silver = Weather.cleanToHourly(toBronzeDf(rows))
+        // no violations of any fact_weather CHECK
+        val v = Validator.violations(silver,
+          Schemas.factWeatherChecks.filterNot(_.name == "measures_not_null"))
+        assert(v.values.forall(_ === 0L), v)
+        // no null measures, one row per (site, hour)
+        assert(silver.filter(col("ghi_wm2").isNull || col("temp_c").isNull
+          || col("wind_mps").isNull).count() === 0)
+        val dup = silver.groupBy("site", "ts_utc").count()
+          .filter(col("count") > 1).count()
+        assert(dup === 0)
+      }
+    }
+  }
+
+  test("property: clean is idempotent on its own output") {
+    forAllSampled(Gen.listOfN(50, rowGen), 5) { rows =>
+      {
+        val once = Weather.cleanToHourly(toBronzeDf(rows))
+        val refeed = once.select(col("site"), col("ts_utc"), col("ghi_wm2"),
+            col("temp_c").as("t2m_c"), col("wind_mps").as("ws10_mps"))
+          .withColumn("ingested_at", col("ts_utc"))
+          .withColumn("ingest_seq", lit(0L))
+        val twice = Weather.cleanToHourly(refeed)
+        assert(twice.exceptAll(once).count() === 0)
+        assert(once.exceptAll(twice).count() === 0)
+      }
+    }
+  }
+
+  test("property: merging batches in any split equals one-shot dedup") {
+    forAllSampled(Gen.zip(Gen.listOfN(40, rowGen), Gen.choose(0, 40)), 6) {
+      case (rows, splitAt) =>
+      {
+        val keys = Seq("site", "ts_utc")
+        val version = Seq("ingested_at", "ingest_seq")
+        val all = toBronzeDf(rows)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("site"), col("ts_utc"))
+          .orderBy(col("ingested_at").desc, col("ingest_seq").desc)
+        val oneShot = all.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val (a, b) = rows.splitAt(math.min(splitAt, rows.length))
+        val merged =
+          if (a.isEmpty) toBronzeDf(b)
+          else if (b.isEmpty) toBronzeDf(a)
+          else UpsertWriter.merge(
+            // dedup within each batch first (store holds one row/key)
+            toBronzeDf(a).withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn"),
+            toBronzeDf(b).withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn"),
+            keys, version)
+        // same winners (modulo exact row equality)
+        assert(merged.count() === oneShot.count())
+        assert(merged.exceptAll(oneShot).count() === 0)
+      }
+    }
+  }
+}
