@@ -152,10 +152,13 @@ object Dedup {
       struct(lit(b).as("band_id"),
              md5(concat_ws("", cols: _*).cast(BinaryType)).as("band_val"))
     }
+    // cached: the self-join below would otherwise compute the whole
+    // signature subtree once per side
     val bands = wide
       .select($"doc_id", explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"bnd.band_id".as("band_id"),
               $"bnd.band_val".as("band_val"))
+      .cache()
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band_id", "band_val"))
       .filter($"x.doc_id" < $"y.doc_id")

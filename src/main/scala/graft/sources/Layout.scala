@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities for the 100 TB path: bucketing (co-located
+  * joins — the Spark analogue of the reference's `(site, ts_utc)`
+  * indexes, SURVEY S6) and salting (skew mitigation).
+  */
+object Layout {
+
+  /** Persist `df` bucketed by `cols` into the session catalog. Joins
+    * and aggregations on the bucket columns between tables bucketed
+    * the same way run shuffle-free — at 100 TB that removes the
+    * dominant exchange from every fact-fact join on the bucket key. */
+  def writeBucketed(df: DataFrame, table: String,
+                    cols: Seq[String], numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Salted equi-join for skewed keys: the skewed (big) side gets a
+    * random-but-deterministic salt in [0, buckets); the small side is
+    * replicated across all salt values. Converts one hot key's single
+    * reducer into `buckets` parallel reducers. AQE's skew-join handles
+    * moderate skew automatically; explicit salting is for the extreme
+    * tail (one key >> one executor's memory). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+}
