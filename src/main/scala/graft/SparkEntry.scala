@@ -62,6 +62,8 @@ object SparkEntry {
     "q51_embedding_dups"    -> (VectorOps.embeddingNearDups(_, _)),
     "q52_media_meta"        -> (Multimodal.mediaMeta(_, _)),
     "q53_regex_tokens"      -> (TextOps.regexTokens(_, _)),
+    "q54_ivf_topk"          -> (VectorOps.ivfTopK(_, _)),
+    "q55_winnow_fp"         -> (Dedup.winnowFingerprints(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -107,6 +109,8 @@ object SparkEntry {
     "q51_embedding_dups"    -> VectorOps.embeddingNearDupsSql,
     "q52_media_meta"        -> Multimodal.mediaMetaSql,
     "q53_regex_tokens"      -> TextOps.regexTokensSql,
+    "q54_ivf_topk"          -> VectorOps.ivfTopKSql,
+    "q55_winnow_fp"         -> Dedup.winnowFingerprintsSql,
     // q30 intentionally has no oracle (MLlib WLS fit isn't
     // bit-reproducible in SQL); shape/bounds pinned in ForecastSpec.
   )

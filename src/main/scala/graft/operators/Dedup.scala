@@ -231,6 +231,49 @@ object Dedup {
   private def voteSum(p: Int): Column =
     sum(when(expr(s"substring(h, $p, 1)") >= "8", 1).otherwise(-1))
 
+  // ---------------------------------------------------------------
+  // q55 — winnowing fingerprints (the MOSS rolling-hash scheme): hash
+  // every char k-gram, slide a w-position window, keep each window's
+  // minimum hash; the distinct minima are the document's fingerprint
+  // set. Guarantees any match of length ≥ w+k-1 shares a fingerprint.
+  // ---------------------------------------------------------------
+
+  val WinnowK = 8   // k-gram length
+  val WinnowW = 4   // winnowing window (positions)
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
+      .filter(length($"norm") >= WinnowK)
+      .select($"doc_id", $"norm",
+        explode(sequence(lit(1), length($"norm") - (WinnowK - 1))).as("pos"))
+      .select($"doc_id", $"pos",
+        md5(expr(s"substring(norm, pos, $WinnowK)").cast(BinaryType)).as("h"))
+      .withColumn("wfp", min($"h").over(w))
+      .select($"doc_id", $"wfp".as("fp"))
+      .distinct()
+      .orderBy($"doc_id", $"fp")
+  }
+
+  val winnowFingerprintsSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       |    md5(substring(norm, CAST(pos AS INTEGER), $WinnowK)) AS h
+       |  FROM (SELECT doc_id, norm,
+       |          unnest(generate_series(1, length(norm) - ${WinnowK - 1})) AS pos
+       |        FROM norm WHERE length(norm) >= $WinnowK)),
+       |winnowed AS (
+       |  SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |  FROM grams)
+       |SELECT DISTINCT doc_id, fp FROM winnowed ORDER BY doc_id, fp""".stripMargin
+
   val simhashSql: String =
     s"""WITH ${shinglesCte()},
        |votes AS (

@@ -130,6 +130,84 @@ object VectorOps {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** q54 — IVF top-k SEARCH: each query probes its `NumProbes` nearest
+    * centroids and scans only vectors assigned to those cells — the
+    * read-path of the IVF index whose write-path is q50. At 100 TB the
+    * corpus is laid out partitioned by cell_id, so a probe touches
+    * `probes/cells` of the data; recall vs the exact q49 baseline is
+    * measured in VectorSpec. All arithmetic is the same deterministic
+    * kernel chain, so the result is oracle-checkable. */
+  val NumProbes = 2
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val centroids = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("centroid_id"), $"v".as("cv"))
+    // cell assignment (the q50 write-path)
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"dist2".asc, $"centroid_id".asc)
+    val assigned = all.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"v", $"nrm", $"centroid_id",
+              expr("graft_sqdist(v, cv)").as("dist2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"centroid_id".as("cell_id"))
+    // probe list: each query's NumProbes nearest centroids
+    val queries = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"qdist2".asc, $"centroid_id".asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select($"query_id", $"qv", $"qn", $"centroid_id",
+              expr("graft_sqdist(qv, cv)").as("qdist2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= NumProbes)
+      .select($"query_id", $"qv", $"qn", $"centroid_id".as("cell_id"))
+    // scan only the probed cells
+    val scored = probes.join(assigned, Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(dot("qv", "v") / ($"qn" * $"nrm"), 6).as("cos_sim"))
+    val wTop = Window.partitionBy($"query_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
+  val ivfTopKSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH $vecsCte,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, v AS cv FROM normed
+       |  WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id AS cell_id FROM (
+       |    SELECT a.vec_id, a.v, a.nrm, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${d2.format("a.v")} ASC, c.centroid_id ASC) AS rn
+       |    FROM normed a CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qv, qn, centroid_id AS cell_id FROM (
+       |    SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2.format("q.v")} ASC, c.centroid_id ASC) AS pr
+       |    FROM normed q CROSS JOIN cents c
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ROUND(${sqlDot("p.qv", "a.v")} / (p.qn * a.nrm), 6) AS cos_sim
+       |  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** q51 — embedding-cosine near-duplicate pairs above a threshold
     * (the embedding variant of the dedup family). All-pairs here;
     * the LSH/IVF bucketing above is the scale path. */

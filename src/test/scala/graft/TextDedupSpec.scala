@@ -85,6 +85,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(cells.forall(_ % 100 === 0))
   }
 
+  test("IVF top-k search: sane recall vs the exact brute-force baseline") {
+    val exact = VectorOps.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every IVF hit is a real vector pair; recall is partial by design
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall collapsed: $recall")
+    assert(ivf.nonEmpty)
+  }
+
+  test("winnowing: near-dup documents share fingerprints; fingerprint sets are compact") {
+    val fps = Dedup.winnowFingerprints(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    // winnowing selects ≤ 1 fingerprint per window start → far fewer
+    // than one per k-gram
+    val doc = Tables.documents(spark, sf).limit(1).collect()(0)
+    val n = doc.getAs[Long]("n_chars")
+    assert(fps(doc.getAs[Long]("doc_id")).size < n)
+    // planted near-dup pairs (Jaccard >= 0.9) must overlap heavily
+    Dedup.jaccardPairs(spark, sf).collect().take(5).foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val inter = (fps(a) intersect fps(b)).size.toDouble
+      val overlap = inter / math.min(fps(a).size, fps(b).size)
+      assert(overlap > 0.5, s"pair ($a,$b) winnow overlap $overlap")
+    }
+  }
+
   test("multimodal: typed mapPartitions decode agrees with the DataFrame metadata path") {
     val typed = Multimodal.decodeMedia(spark, sf).collect()
       .map(m => m.doc_id -> m).toMap
