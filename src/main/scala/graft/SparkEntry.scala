@@ -32,6 +32,8 @@ object SparkEntry {
     "q10_unpivot_lineitem"  -> (Relational.lineitemUnpivot(_, _)),
     "q11_window_topk"       -> (Relational.topOrdersPerCustomer(_, _)),
     "q12_running_sum"       -> (Relational.runningUserSpend(_, _)),
+    "q13_rollup"            -> (Relational.pricingRollup(_, _)),
+    "q16_asof_locf"         -> (Relational.asofLastError(_, _)),
     "q20_bronze_scan"       -> (Weather.bronzeScan(_, _)),
     "q21_silver_clean"      -> (Weather.silverClean(_, _)),
     "q22_drop_reasons"      -> (Weather.dropReasons(_, _)),
@@ -79,6 +81,8 @@ object SparkEntry {
     "q10_unpivot_lineitem"  -> Relational.lineitemUnpivotSql,
     "q11_window_topk"       -> Relational.topOrdersPerCustomerSql,
     "q12_running_sum"       -> Relational.runningUserSpendSql,
+    "q13_rollup"            -> Relational.pricingRollupSql,
+    "q16_asof_locf"         -> Relational.asofLastErrorSql,
     "q20_bronze_scan"       -> Weather.bronzeScanSql,
     "q21_silver_clean"      -> Weather.silverCleanSql,
     "q22_drop_reasons"      -> Weather.dropReasonsSql,

@@ -278,6 +278,64 @@ object Relational {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
+  /** q13 — hierarchical ROLLUP totals (subtotal + grand-total rows),
+    * the grouping-sets surface a reporting layer needs at scale; the
+    * partial-aggregation tree means the rollup costs barely more than
+    * the leaf aggregate. NULLS FIRST pinned in the oracle (DuckDB
+    * defaults NULLS LAST; Spark defaults NULLS FIRST). */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+           count(lit(1)).as("n_rows"),
+           (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+             .cast(LongType).as("gid"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+               $"l_linestatus".asc_nulls_first)
+
+  val pricingRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n_rows,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+       |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** q16 — as-of join via last-observation-carried-forward: for every
+    * event, the most recent strictly-earlier 'error' event of the same
+    * user. The union-free window formulation is the scalable as-of
+    * shape — one shuffle on the partition key, no range-join blowup
+    * (SURVEY §4.3 lists as-of as the canonical custom-operator
+    * candidate; the LOCF window covers the reference-adjacent case
+    * without a custom SparkPlan). */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+      .withColumn("prev_error_ts",
+        last(when($"event_type" === "error", $"ts"), ignoreNulls = true)
+          .over(w))
+      .withColumn("gap_us",
+        unix_micros($"ts") - unix_micros($"prev_error_ts"))
+      .orderBy($"event_id")
+  }
+
+  val asofLastErrorSql: String =
+    """SELECT event_id, user_id, ts, event_type, prev_error_ts,
+      |  epoch_us(ts) - epoch_us(prev_error_ts) AS gap_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_error_ts
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val runningUserSpendSql: String =
     """SELECT user_id, event_id, ts, value,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
