@@ -34,8 +34,11 @@ object Dedup {
   /** Distinct 3-word shingles per document: (doc_id, s). Narrow
     * (generate → explode → distinct is map-side except the distinct). */
   def shingles(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame =
-    Tables.documents(spark, dir)
-      .filter($"doc_id" < maxDocId)
+    shinglesFrom(Tables.documents(spark, dir).filter($"doc_id" < maxDocId))
+
+  /** Shingles over any documents-shaped frame. */
+  def shinglesFrom(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens($"text"))
       .filter(size($"toks") >= 3)
       .select($"doc_id",
@@ -134,8 +137,10 @@ object Dedup {
   // docs sharing a band bucket, verify candidates with true Jaccard.
   // ---------------------------------------------------------------
 
-  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shd = shingles(spark, dir).cache()
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupPairsFrom(shingles(spark, dir).cache())
+
+  def lshNearDupPairsFrom(shd: DataFrame): DataFrame = {
     // Wide conditional-min aggregation instead of a collect_list object
     // aggregate: partial (map-side) min per seed collapses each doc to
     // one 16-column row BEFORE the shuffle — measured 30×+ faster than

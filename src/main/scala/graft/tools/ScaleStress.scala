@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, VectorOps, Weather}
+
+/** Dev scratch: 10× data amplification (≈ sf1 from sf0.1) to observe
+  * how the core pipelines scale — the "would this survive 100×"
+  * check run empirically. Replication extends the time axis for events
+  * (same per-hour density, 10× the groups) and suffixes documents
+  * (near-dup structure preserved per replica).
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.syntax._
+
+    def time[T](label: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // events ×reps: shift each replica by `rep` months of seconds so
+    // hour-group density stays constant while group count scales
+    val events = graft.Tables.events(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("event_id", $"event_id" * reps + $"rep")
+      .withColumn("ts", expr("timestampadd(SECOND, rep * 2678400, ts)"))
+      .drop("rep")
+    val bronze = Weather.bronzeFromEvents(events)
+    println(s"events rows: ${events.count()}")
+    time("silver clean (kernel)")(Weather.cleanToHourly(bronze).count())
+
+    val docs = graft.Tables.documents(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("doc_id", $"doc_id" * reps + $"rep")
+      .withColumn("text", concat($"text", lit(" r"), $"rep"))
+      .drop("rep")
+    println(s"docs rows: ${docs.count()}")
+    val shd = Dedup.shinglesFrom(docs).cache()
+    time("shingles")(shd.count())
+    time("LSH near-dup pairs")(Dedup.lshNearDupPairsFrom(shd).count())
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("vec_id", $"vec_id" * reps + $"rep")
+      .drop("rep")
+    println(s"embeddings rows: ${emb.count()}")
+    graft.functions.VectorExpressions.register(spark)
+    val vecs = emb
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("graft_l2norm(v)"))
+    val queries = vecs.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    time("brute-force cosine 10 queries") {
+      vecs.join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .select(expr("graft_dot(qv, v) / (qn * nrm)").as("c"))
+        .agg(max($"c")).collect()
+    }
+    spark.stop()
+  }
+}
