@@ -35,6 +35,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !skip(name) =>
+        // queries may cache intermediates (shingles, LSH bands); clear
+        // between queries so storage memory doesn't accumulate
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>

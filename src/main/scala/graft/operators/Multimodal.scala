@@ -60,8 +60,13 @@ object Multimodal {
         // per-partition init would go here (codec ctx / model load)
         rows.map { case (id, payload) =>
           val (w, h, feat) = stubDecode(payload)
+          // head_byte = first Unicode codepoint of the decoded text —
+          // matches mediaMeta's ascii(substring(text,1,1)) for
+          // non-ASCII payloads too (a raw first-byte read would
+          // diverge on multi-byte characters)
+          val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
           MediaMeta(id, payload.length,
-            if (payload.isEmpty) 0 else payload(0) & 0xff, w, h, feat)
+            if (text.isEmpty) 0 else text.codePointAt(0), w, h, feat)
         }
       }
   }

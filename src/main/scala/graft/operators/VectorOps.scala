@@ -99,18 +99,28 @@ object VectorOps {
     * At scale this is the write-path of an IVF index: partition the
     * corpus by cell_id; queries then probe a few cells instead of the
     * full corpus. Centroids broadcast. */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
-    val centroids = all.filter($"vec_id" % 100 === 0)
+  private def centroidsOf(all: DataFrame): DataFrame =
+    all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("centroid_id"), $"v".as("cv"))
-    val d2 = expr("graft_sqdist(v, cv)")
+
+  /** Shared nearest-centroid assignment (one row per vector with its
+    * cell and distance) — used by both the q50 write-path and the q54
+    * read-path so the two cannot drift. */
+  private def assignCells(all: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy($"vec_id")
       .orderBy($"dist2".asc, $"centroid_id".asc)
     all.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"centroid_id", round(d2, 6).as("dist2"))
+      .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .select($"vec_id", $"centroid_id".as("cell_id"), $"dist2")
+      .withColumnRenamed("centroid_id", "cell_id")
+      .drop("rn", "cv")
+  }
+
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    assignCells(all, centroidsOf(all))
+      .select($"vec_id", $"cell_id", $"dist2")
       .orderBy($"vec_id")
   }
 
@@ -141,17 +151,10 @@ object VectorOps {
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val centroids = all.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("centroid_id"), $"v".as("cv"))
-    // cell assignment (the q50 write-path)
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"dist2".asc, $"centroid_id".asc)
-    val assigned = all.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"v", $"nrm", $"centroid_id",
-              expr("graft_sqdist(v, cv)").as("dist2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"nrm", $"centroid_id".as("cell_id"))
+    val centroids = centroidsOf(all)
+    // cell assignment — exactly the q50 write-path (shared helper)
+    val assigned = assignCells(all, centroids)
+      .select($"vec_id", $"v", $"nrm", $"cell_id")
     // probe list: each query's NumProbes nearest centroids
     val queries = all.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -185,7 +188,7 @@ object VectorOps {
        |  SELECT vec_id, v, nrm, centroid_id AS cell_id FROM (
        |    SELECT a.vec_id, a.v, a.nrm, c.centroid_id,
        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |        ORDER BY ${d2.format("a.v")} ASC, c.centroid_id ASC) AS rn
+       |        ORDER BY ROUND(${d2.format("a.v")}, 6) ASC, c.centroid_id ASC) AS rn
        |    FROM normed a CROSS JOIN cents c)
        |  WHERE rn = 1),
        |probes AS (

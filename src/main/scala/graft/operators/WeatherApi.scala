@@ -25,14 +25,18 @@ object WeatherApi {
   val MaxHours = 336
   def clampHours(h: Int): Int = math.max(1, math.min(MaxHours, h))
 
-  /** GET /sites — A2 distinct list (main.py:74-77). */
-  def sites(silver: DataFrame): DataFrame =
-    silver.select($"site").distinct().orderBy($"site")
+  /** GET /sites — A2 distinct list. The reference reads the site list
+    * from BRONZE (`SELECT DISTINCT site FROM raw_weather`,
+    * main.py:74-77) — a site whose rows were all dropped by cleaning
+    * still exists for the API. Pass the Bronze table here. */
+  def sites(bronze: DataFrame): DataFrame =
+    bronze.select($"site").distinct().orderBy($"site")
 
   /** Membership validation (P5): throws the 404 analogue when the site
-    * list is non-empty and doesn't contain `site`. */
-  def requireSite(silver: DataFrame, site: String): Unit = {
-    val known = sites(silver).collect().map(_.getString(0))
+    * list is non-empty and doesn't contain `site`. `siteSource` should
+    * be Bronze to match the reference's fetch_sites. */
+  def requireSite(siteSource: DataFrame, site: String): Unit = {
+    val known = sites(siteSource).collect().map(_.getString(0))
     if (known.nonEmpty && !known.contains(site))
       throw UnknownSiteException(site)
   }
@@ -47,9 +51,12 @@ object WeatherApi {
 
   /** GET /weather/hourly — W1 recent-N slice re-sorted chronological
     * (main.py:108-134): TakeOrderedAndProject top-k, then an ASC sort
-    * over ≤336 rows. */
-  def recentHours(silver: DataFrame, site: String, hours: Int): DataFrame = {
-    requireSite(silver, site)
+    * over ≤336 rows. Site membership is validated against Bronze
+    * (main.py:220-222) — a fully-dropped site yields 200 + empty rows,
+    * not a 404. */
+  def recentHours(bronze: DataFrame, silver: DataFrame, site: String,
+                  hours: Int): DataFrame = {
+    requireSite(bronze, site)
     val n = clampHours(hours)
     silver.filter($"site" === site)
       .orderBy($"ts_utc".desc)
@@ -57,8 +64,10 @@ object WeatherApi {
       .orderBy($"ts_utc".asc)
   }
 
-  /** GET /weather/raw — same slice over Bronze (main.py:138-154). */
+  /** GET /weather/raw — same slice over Bronze, same 404 validation
+    * (main.py:238-255). */
   def recentRaw(bronze: DataFrame, site: String, hours: Int): DataFrame = {
+    requireSite(bronze, site)
     val n = clampHours(hours)
     bronze.filter($"site" === site)
       .orderBy($"ts_utc".desc, $"ingest_seq".desc)
@@ -70,7 +79,7 @@ object WeatherApi {
     * (main.py:262-289): kept_pct null-safe on zero raw rows, dropped
     * clamped at 0. */
   def metrics(bronze: DataFrame, silver: DataFrame, site: String): DataFrame = {
-    requireSite(silver, site)
+    requireSite(bronze, site)
     val raw = bronze.filter($"site" === site)
       .agg(count(lit(1)).as("raw_rows"))
     val kept = silver.filter($"site" === site)

@@ -61,8 +61,15 @@ object UpsertWriter {
     merged.write.mode("overwrite").parquet(tmp.toString)
     val bak = new Path(path + ".bak")
     if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(target)) fs.rename(target, bak)
-    fs.rename(tmp, target)
+    // Hadoop rename signals failure by returning false, not throwing —
+    // ignoring it here could delete the only surviving copy. Roll the
+    // backup back if the forward rename fails.
+    if (fs.exists(target) && !fs.rename(target, bak))
+      throw new java.io.IOException(s"upsert: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      if (fs.exists(bak)) fs.rename(bak, target) // restore old version
+      throw new java.io.IOException(s"upsert: cannot publish $tmp to $target")
+    }
     fs.delete(bak, true)
     spark.read.parquet(path).count()
   }

@@ -20,10 +20,17 @@ object StreamingWindows {
 
   /** Hourly per-site counts/means as a watermarked streaming
     * aggregation, drained with AvailableNow into a memory sink.
-    * Watermark bounds state: hours more than `watermark` behind the
-    * max event time are finalized and evicted — unbounded-input safe. */
+    *
+    * Output mode matters: Complete (the default here, so a bounded
+    * drain emits every window for the batch-parity check) retains all
+    * window state and does NOT evict on the watermark. The
+    * unbounded-input live path is `OutputMode.Append`, where the
+    * watermark finalizes windows older than the event-time high-mark
+    * minus `watermark` and evicts their state — same query, different
+    * output mode. */
   def hourlyStats(spark: SparkSession, eventsPath: String,
-                  watermark: String = "2 hours"): DataFrame = {
+                  watermark: String = "2 hours",
+                  mode: OutputMode = OutputMode.Complete): DataFrame = {
     val bronze = Weather.bronzeFromEvents(
       StreamingClean.readEventsStream(spark, eventsPath))
     val agg = bronze
@@ -34,7 +41,7 @@ object StreamingWindows {
       .select($"window.start".as("ts_hour"), $"site", $"n", $"ghi_mean")
     val name = "graft_hourly_" + math.abs(eventsPath.hashCode).toString
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory").queryName(name)
       .option("checkpointLocation",
         Files.createTempDirectory("graft-wm-").toString)
@@ -90,6 +97,14 @@ object StreamingWindows {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The memory sink holds the UPDATE CHANGELOG (one row per winner
+    // change per batch); reduce it to the final winner per key so
+    // multi-batch inputs don't surface superseded rows.
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"site", $"tsHour")
+      .orderBy($"version".desc, $"seq".desc)
     spark.table(name)
+      .withColumn("rn", row_number().over(wFinal))
+      .filter($"rn" === 1).drop("rn")
   }
 }

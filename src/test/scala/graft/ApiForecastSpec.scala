@@ -18,13 +18,23 @@ class WeatherApiSpec extends AnyFunSuite {
     assert(s.toSeq === s.sorted.toSeq && s.distinct.length === s.length)
   }
 
-  test("unknown site raises the 404 analogue") {
+  test("unknown site raises the 404 analogue on hourly, raw, and metrics") {
     intercept[WeatherApi.UnknownSiteException] {
-      WeatherApi.recentHours(silver, "nope", 24)
+      WeatherApi.recentHours(bronze, silver, "nope", 24)
+    }
+    intercept[WeatherApi.UnknownSiteException] {
+      WeatherApi.recentRaw(bronze, "nope", 24)
     }
     intercept[WeatherApi.UnknownSiteException] {
       WeatherApi.metrics(bronze, silver, "nope")
     }
+  }
+
+  test("site membership is judged on Bronze (a fully-dropped site is not a 404)") {
+    // restrict silver to exclude one site entirely; bronze still has it
+    val silverNoClick = silver.filter(col("site") =!= "click")
+    val rows = WeatherApi.recentHours(bronze, silverNoClick, "click", 24)
+    assert(rows.count() === 0) // 200 + empty, like the reference
   }
 
   test("summary: empty filter yields (0, null, null)") {
@@ -33,7 +43,7 @@ class WeatherApiSpec extends AnyFunSuite {
   }
 
   test("recentHours: hours clamped to [1,336], chronological output") {
-    val rows = WeatherApi.recentHours(silver, "click", 10000).collect()
+    val rows = WeatherApi.recentHours(bronze, silver, "click", 10000).collect()
     assert(rows.length <= WeatherApi.MaxHours)
     val ts = rows.map(_.getTimestamp(1).getTime)
     assert(ts.toSeq === ts.sorted.toSeq)
