@@ -34,6 +34,9 @@ object SparkEntry {
     "q12_running_sum"       -> (Relational.runningUserSpend(_, _)),
     "q13_rollup"            -> (Relational.pricingRollup(_, _)),
     "q16_asof_locf"         -> (Relational.asofLastError(_, _)),
+    "q17_sessionize"        -> (Relational.sessionize(_, _)),
+    "q18_cube"              -> (Relational.pricingCube(_, _)),
+    "q19_percentiles"       -> (Relational.valuePercentiles(_, _)),
     "q20_bronze_scan"       -> (Weather.bronzeScan(_, _)),
     "q21_silver_clean"      -> (Weather.silverClean(_, _)),
     "q22_drop_reasons"      -> (Weather.dropReasons(_, _)),
@@ -83,6 +86,9 @@ object SparkEntry {
     "q12_running_sum"       -> Relational.runningUserSpendSql,
     "q13_rollup"            -> Relational.pricingRollupSql,
     "q16_asof_locf"         -> Relational.asofLastErrorSql,
+    "q17_sessionize"        -> Relational.sessionizeSql,
+    "q18_cube"              -> Relational.pricingCubeSql,
+    "q19_percentiles"       -> Relational.valuePercentilesSql,
     "q20_bronze_scan"       -> Weather.bronzeScanSql,
     "q21_silver_clean"      -> Weather.silverCleanSql,
     "q22_drop_reasons"      -> Weather.dropReasonsSql,

@@ -303,6 +303,90 @@ object Relational {
        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
        |  l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** q17 — gap-based sessionization: a new session starts after a
+    * 30-minute silence per user (lag → flag → running sum → per-session
+    * aggregate). The batch twin of streaming session windows; one
+    * shuffle on user_id, everything else window-local. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_session",
+        when($"prev_ts".isNull
+          || unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+           min($"ts").as("session_start"),
+           max($"ts").as("session_end"))
+      .withColumn("duration_us",
+        unix_micros($"session_end") - unix_micros($"session_start"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** q18 — CUBE over (returnflag, linestatus): all 4 grouping sets in
+    * one pass (the Expand operator fans each row out; partial
+    * aggregation keeps the shuffle tiny). */
+  def pricingCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"),
+           count(lit(1)).as("n_rows"),
+           (grouping($"l_returnflag") * 2 + grouping($"l_linestatus"))
+             .cast(LongType).as("gid"))
+      .orderBy($"gid", $"l_returnflag".asc_nulls_first,
+               $"l_linestatus".asc_nulls_first)
+
+  val pricingCubeSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS n_rows,
+       |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+       |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** q19 — exact interpolated percentiles per group (median + p90 of
+    * event value). Both engines interpolate linearly on the sorted
+    * values; the 6dp rounding absorbs any last-ulp formula difference. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+           round(expr("percentile(value, 0.9)"), 6).as("p90"),
+           round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy($"event_type")
+
+  val valuePercentilesSql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q16 — as-of join via last-observation-carried-forward: for every
     * event, the most recent strictly-earlier 'error' event of the same
     * user. The union-free window formulation is the scalable as-of
