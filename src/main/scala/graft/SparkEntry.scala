@@ -33,6 +33,7 @@ object SparkEntry {
     "q11_window_topk"       -> (Relational.topOrdersPerCustomer(_, _)),
     "q12_running_sum"       -> (Relational.runningUserSpend(_, _)),
     "q13_rollup"            -> (Relational.pricingRollup(_, _)),
+    "q14_approx_distinct"   -> (Relational.approxDistinct(_, _)),
     "q16_asof_locf"         -> (Relational.asofLastError(_, _)),
     "q17_sessionize"        -> (Relational.sessionize(_, _)),
     "q18_cube"              -> (Relational.pricingCube(_, _)),
@@ -121,7 +122,8 @@ object SparkEntry {
     "q53_regex_tokens"      -> TextOps.regexTokensSql,
     "q54_ivf_topk"          -> VectorOps.ivfTopKSql,
     "q55_winnow_fp"         -> Dedup.winnowFingerprintsSql,
-    // q30 intentionally has no oracle (MLlib WLS fit isn't
-    // bit-reproducible in SQL); shape/bounds pinned in ForecastSpec.
+    // No oracle by design: q14 (HLL sketches differ across engines —
+    // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
+    // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).
   )
 }

@@ -303,6 +303,19 @@ object Relational {
        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
        |  l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** q14 — approximate distinct counting (HyperLogLog++): the
+    * mergeable-sketch aggregate that replaces exact COUNT(DISTINCT) at
+    * 100 TB (constant memory per group, partial sketches merge across
+    * partitions — no giant distinct shuffle). Rows-only check: HLL
+    * sketch values differ across engines by construction; the error
+    * bound vs the exact count is pinned in SessionizeSpec. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+           countDistinct($"user_id").as("exact_users"))
+      .orderBy($"event_type")
+
   /** q17 — gap-based sessionization: a new session starts after a
     * 30-minute silence per user (lag → flag → running sum → per-session
     * aggregate). The batch twin of streaming session windows; one

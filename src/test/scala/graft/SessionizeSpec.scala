@@ -42,6 +42,15 @@ class SessionizeSpec extends AnyFunSuite {
     assert(cube.size > rollup.size)
   }
 
+  test("approx distinct within the configured 2% rsd of the exact count") {
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.06,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("percentiles are ordered p50 <= p90 <= p99 and within value bounds") {
     Relational.valuePercentiles(spark, sf).collect().foreach { r =>
       val (p50, p90, p99) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
