@@ -36,17 +36,15 @@ object Dedup {
   def shingles(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame =
     shinglesFrom(Tables.documents(spark, dir).filter($"doc_id" < maxDocId))
 
-  /** Shingles over any documents-shaped frame. */
-  def shinglesFrom(docs: DataFrame): DataFrame =
+  /** Shingles over any documents-shaped frame — emitted by the
+    * [[graft.functions.WordShingles]] Generator (one tight loop per
+    * document instead of an interpreted lambda per shingle). */
+  def shinglesFrom(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
     docs
-      .withColumn("toks", TextOps.tokens($"text"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id",
-        explode(expr(
-          """transform(sequence(0, size(toks) - 3),
-            |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))""".stripMargin))
-          .as("s"))
+      .select($"doc_id", expr("graft_shingles(text, 3)").as("s"))
       .distinct()
+  }
 
   /** shingle CTE for the oracle (DuckDB 1-based list indexing). */
   def shinglesCte(maxDocId: String = "9223372036854775807"): String =
