@@ -19,16 +19,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Memoized per (session, path): repeated loads of the same table
+  // Memoized per session+path: repeated loads of the same table
   // otherwise re-list files and re-read parquet footers on every
   // query — measurable fixed cost when a suite runs 50 queries
-  // against the same ten tables.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // against the same ten tables. The outer map holds sessions WEAKLY
+  // (a stopped session and its cached plans stay GC-able); entries
+  // assume the fixture files are immutable for the session lifetime —
+  // call invalidate() after rewriting a table path in-session.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+  }
+
+  /** Drop memoized frames (needed only if a fixture path is rewritten
+    * within a live session). */
+  def invalidate(): Unit = cache.synchronized(cache.clear())
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

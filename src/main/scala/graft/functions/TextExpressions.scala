@@ -35,7 +35,11 @@ case class WordShingles(child: Expression, k: Int)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
     if (raw == null) return Nil
-    val toks = raw.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    // Replicate Spark's trim/split semantics exactly (and therefore
+    // the DuckDB oracle's): UTF8String.trim strips only spaces (Java
+    // String.trim would also strip tabs/newlines), and split uses
+    // limit -1 (keeps trailing empty tokens) like Spark's StringSplit.
+    val toks = raw.asInstanceOf[UTF8String].trim().toString.split("\\s+", -1)
     if (toks.length < k) return Nil
     val n = toks.length - k + 1
     val out = new Array[InternalRow](n)
@@ -60,11 +64,26 @@ case class WordShingles(child: Expression, k: Int)
 }
 
 object TextExpressions {
-  /** Register `graft_shingles(text, k)` (idempotent, per-session). */
+  /** Register `graft_shingles(text, k)` (idempotent, per-session).
+    * `k` must be a foldable integer literal — validated here so SQL
+    * callers get an analysis-time message, not a ClassCastException. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
-      exprs => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]),
+      { exprs =>
+        require(exprs.length == 2,
+          s"graft_shingles(text, k) expects 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case e if e.foldable =>
+            e.eval(null) match {
+              case i: Int if i >= 1 => i
+              case other => throw new IllegalArgumentException(
+                s"graft_shingles k must be a positive INT literal, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles k must be a literal, not a column")
+        }
+        WordShingles(exprs.head, k)
+      },
       "scala_udf")
 }

@@ -19,10 +19,13 @@ class SessionizeSpec extends AnyFunSuite {
         assert(!s.getTimestamp(3).after(s.getTimestamp(4)))
         assert(s.getLong(5) >= 0)
       }
+      def micros(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000
       sorted.sliding(2).foreach {
         case Array(a, b) =>
-          val gapUs = b.getTimestamp(3).getTime * 1000 -
-            a.getTimestamp(4).getTime * 1000
+          // full microsecond precision — getTime truncates to ms, which
+          // could spuriously fail a boundary gap of 30min + <1ms
+          val gapUs = micros(b.getTimestamp(3)) - micros(a.getTimestamp(4))
           assert(gapUs > 1800000000L,
             s"sessions ${a.getLong(1)} and ${b.getLong(1)} not gap-separated")
         case _ =>
