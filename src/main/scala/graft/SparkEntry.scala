@@ -34,6 +34,7 @@ object SparkEntry {
     "q12_running_sum"       -> (Relational.runningUserSpend(_, _)),
     "q13_rollup"            -> (Relational.pricingRollup(_, _)),
     "q14_approx_distinct"   -> (Relational.approxDistinct(_, _)),
+    "q15_set_ops"           -> (Relational.customerSetOps(_, _)),
     "q16_asof_locf"         -> (Relational.asofLastError(_, _)),
     "q17_sessionize"        -> (Relational.sessionize(_, _)),
     "q18_cube"              -> (Relational.pricingCube(_, _)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q11_window_topk"       -> Relational.topOrdersPerCustomerSql,
     "q12_running_sum"       -> Relational.runningUserSpendSql,
     "q13_rollup"            -> Relational.pricingRollupSql,
+    "q15_set_ops"           -> Relational.customerSetOpsSql,
     "q16_asof_locf"         -> Relational.asofLastErrorSql,
     "q17_sessionize"        -> Relational.sessionizeSql,
     "q18_cube"              -> Relational.pricingCubeSql,

@@ -400,6 +400,38 @@ object Relational {
       |  ROUND(quantile_cont(value, 0.99), 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q15 — set operations (INTERSECT / EXCEPT): customers who buy in
+    * both the BUILDING and MACHINERY segments' order pools vs only the
+    * first. Both engines implement set ops as distinct-based joins;
+    * the pre-sorted distinct output hash-matches directly. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def buyers(segment: String) =
+      c.filter($"c_mktsegment" === segment)
+        .join(o, $"c_custkey" === $"o_custkey")
+        .filter($"o_totalprice" > 300000.0)
+        .select($"c_nationkey")
+    val both = buyers("BUILDING").intersect(buyers("MACHINERY"))
+      .withColumn("set_op", lit("intersect"))
+    val onlyBuilding = buyers("BUILDING").except(buyers("MACHINERY"))
+      .withColumn("set_op", lit("except"))
+    both.unionByName(onlyBuilding)
+      .orderBy($"set_op", $"c_nationkey")
+  }
+
+  val customerSetOpsSql: String =
+    """WITH b AS (
+      |  SELECT c_nationkey FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'BUILDING' AND o_totalprice > 300000.0),
+      |m AS (
+      |  SELECT c_nationkey FROM customer JOIN orders ON c_custkey = o_custkey
+      |  WHERE c_mktsegment = 'MACHINERY' AND o_totalprice > 300000.0)
+      |SELECT c_nationkey, 'intersect' AS set_op FROM (SELECT * FROM b INTERSECT SELECT * FROM m)
+      |UNION ALL
+      |SELECT c_nationkey, 'except' FROM (SELECT * FROM b EXCEPT SELECT * FROM m)
+      |ORDER BY set_op, c_nationkey""".stripMargin
+
   /** q16 — as-of join via last-observation-carried-forward: for every
     * event, the most recent strictly-earlier 'error' event of the same
     * user. The union-free window formulation is the scalable as-of
