@@ -33,6 +33,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +67,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses this from stdout, where sbt's log prefixes can
+    // bury it (BENCH_r01 recorded "parsed": null). Belt and braces:
+    // print the bare line AND write it to bench.json (cwd = repo root
+    // under `sbt run`; override via SPARK_GRAFT_BENCH_OUT).
+    println(line)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+    try java.nio.file.Files.writeString(outPath, line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

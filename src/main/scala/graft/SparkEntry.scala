@@ -54,6 +54,8 @@ object SparkEntry {
     "q32_json_extract"      -> (Weather.jsonExtract(_, _)),
     "q33_ts_dual_parse"     -> (Weather.dualFormatTsParse(_, _)),
     "q34_streaming_clean"   -> (graft.streaming.StreamingClean.silverViaStreaming(_, _)),
+    "q36_mart_kpis"         -> (Weather.martKpisHourly(_, _)),
+    "q37_silver_audit"      -> (Weather.silverAudit(_, _)),
     "q35_nasa_roundtrip"    -> (graft.sources.NasaIngest.roundTrip(_, _)),
     "q40_token_stats"       -> (TextOps.tokenStats(_, _)),
     "q41_quality_score"     -> (TextOps.qualityScore(_, _)),
@@ -107,6 +109,8 @@ object SparkEntry {
     "q33_ts_dual_parse"     -> Weather.dualFormatTsParseSql,
     // q34: oracle == the batch silver SQL — streaming/batch parity.
     "q34_streaming_clean"   -> Weather.silverCleanSql,
+    "q36_mart_kpis"         -> Weather.martKpisHourlySql,
+    "q37_silver_audit"      -> Weather.silverAuditSql,
     // q35 intentionally has no oracle (payload build isn't SQL-mirrored).
     "q40_token_stats"       -> TextOps.tokenStatsSql,
     "q41_quality_score"     -> TextOps.qualityScoreSql,

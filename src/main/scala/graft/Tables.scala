@@ -54,13 +54,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. Read it as a raw nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds with integer arithmetic (`div` — a double round-trip
-    * would lose precision above 2^53 ns). This matches DuckDB's own
-    * truncating ns→µs read, so oracle comparisons line up exactly. */
+    * reader rejects outright. The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft entry
+    * points — Bench, Verify, TestSpark, tools — set it at builder
+    * time; setting it here per-call would mutate shared session conf
+    * under concurrently-planning queries). The raw nanosecond long is
+    * truncated to microseconds with integer arithmetic (`div` — a
+    * double round-trip would lose precision above 2^53 ns), matching
+    * DuckDB's truncating ns→µs read, so oracle comparisons line up
+    * exactly. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

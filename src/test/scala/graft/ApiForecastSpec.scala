@@ -104,9 +104,11 @@ class ForecastSpec extends AnyFunSuite {
 
   test("q30 sarimax-slot forecast honors the mart_forecast contract") {
     val fc = Forecast.forecastMl(spark, sf).collect()
-    val bySite = fc.groupBy(_.getString(0))
-    assert(bySite.nonEmpty)
-    bySite.values.foreach { g =>
+    val bySiteVar = fc.groupBy(r => (r.getString(0), r.getString(3)))
+    assert(bySiteVar.nonEmpty)
+    assert(bySiteVar.keys.map(_._2).toSet === Set("pv", "wind"),
+      "both DDL vars (init.sql:65) must be forecast")
+    bySiteVar.values.foreach { g =>
       assert(g.length === Forecast.Horizons)
       assert(g.map(_.getInt(4)).sorted.toSeq === (1 to 48))
       g.foreach { r =>
@@ -114,7 +116,7 @@ class ForecastSpec extends AnyFunSuite {
         val lo = r.getDouble(6); val hi = r.getDouble(7)
         assert(yhat >= 0.0 && lo >= 0.0)
         assert(lo <= yhat && yhat <= hi)
-        assert(r.getString(2) === "sarimax" && r.getString(3) === "pv")
+        assert(r.getString(2) === "sarimax")
       }
     }
   }

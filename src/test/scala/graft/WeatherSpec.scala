@@ -128,14 +128,18 @@ class WeatherSpec extends AnyFunSuite {
     }
   }
 
-  test("forecast baseline: 24 horizons per site, yhat >= 0, target hours extend t_max") {
+  test("forecast baseline: 24 horizons per site per var, yhat >= 0") {
     val fc = Weather.forecastBaseline(spark, sf).collect()
-    val bySite = fc.groupBy(_.getString(0))
-    bySite.values.foreach { g =>
+    val bySiteVar = fc.groupBy(r => (r.getString(0), r.getAs[String]("var")))
+    assert(bySiteVar.keys.map(_._2).toSet === Set("pv", "wind"))
+    bySiteVar.values.foreach { g =>
       assert(g.length === 24)
-      assert(g.map(_.getInt(4)).sorted.toSeq === (1 to 24))
+      assert(g.map(_.getAs[Int]("horizon_h")).sorted.toSeq === (1 to 24))
       assert(g.forall(_.getAs[Double]("yhat") >= 0))
     }
+    // wind capped by the 10 MWh power-curve clamp carried from features
+    fc.filter(_.getAs[String]("var") == "wind")
+      .foreach(r => assert(r.getAs[Double]("yhat") <= 10.0))
   }
 
   test("upsert merge: overlap region comes entirely from the incoming batch") {
