@@ -22,22 +22,28 @@ object Tables {
   // Memoized per session+path: repeated loads of the same table
   // otherwise re-list files and re-read parquet footers on every
   // query — measurable fixed cost when a suite runs 50 queries
-  // against the same ten tables. The outer map holds sessions WEAKLY
-  // (a stopped session and its cached plans stay GC-able); entries
-  // assume the fixture files are immutable for the session lifetime —
-  // call invalidate() after rewriting a table path in-session.
+  // against the same ten tables. The outer map holds sessions WEAKLY,
+  // and the inner map sits behind a SoftReference: cached DataFrames
+  // strongly reference their SparkSession (via QueryExecution), so a
+  // strongly-held value would pin its own WeakHashMap key forever —
+  // the soft indirection breaks that cycle, letting a stopped,
+  // otherwise-unreferenced session (and its plans) be reclaimed under
+  // memory pressure. Entries assume the fixture files are immutable
+  // for the session lifetime — call invalidate() after rewriting a
+  // table path in-session.
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, m)
-      }
-      m
+      val ref = cache.get(spark)
+      val existing = if (ref == null) null else ref.get()
+      if (existing == null) {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, new java.lang.ref.SoftReference(m))
+        m
+      } else existing
     }
     perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
   }

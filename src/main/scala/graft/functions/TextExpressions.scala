@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-shingle generator (UDTF-shaped Catalyst `Generator`, the
@@ -54,6 +54,62 @@ case class WordShingles(child: Expression, k: Int)
         j += 1
       }
       out(i) = InternalRow(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word-shingle FINGERPRINT generator: emits the 32-bit fingerprint of
+  * every k-word shingle — numerically identical to
+  * `CAST(CONV(SUBSTRING(md5(shingle), 1, 8), 16, 10) AS BIGINT)` over
+  * [[WordShingles]] output (the digest's first 4 bytes, big-endian
+  * unsigned), but hashed inside the generator loop. The dedup family
+  * (q45–q47) then shuffles, joins, and aggregates compact longs
+  * instead of ~20-char shingle strings — less shuffle volume and no
+  * per-row md5/hex/parse expression chain. The DuckDB oracle derives
+  * the same values from the string shingles.
+  */
+case class ShingleFingerprints(child: Expression, k: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType =
+    StructType(StructField("fp", LongType) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_fps expects a string column, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) return Nil
+    // identical tokenization to WordShingles (and TextOps.tokens)
+    val toks = raw.asInstanceOf[UTF8String].trim().toString.split("\\s+", -1)
+    if (toks.length < k) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = toks.length - k + 1
+    val out = new Array[InternalRow](n)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = InternalRow(fp)
       i += 1
     }
     out
@@ -184,6 +240,15 @@ object TextExpressions {
         require(exprs.length == 2,
           s"graft_shingles(text, k) expects 2 arguments, got ${exprs.length}")
         WordShingles(exprs.head, intLit("graft_shingles", "k", exprs(1)))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_fps",
+      { exprs =>
+        require(exprs.length == 2,
+          s"graft_shingle_fps(text, k) expects 2 arguments, got ${exprs.length}")
+        ShingleFingerprints(exprs.head,
+          intLit("graft_shingle_fps", "k", exprs(1)))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -47,6 +47,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct 32-bit shingle FINGERPRINTS per document: (doc_id, fp) —
+    * what q45–q47 actually join and aggregate on. Hashed-shingle
+    * Jaccard is the standard formulation at scale: the shuffle carries
+    * 8-byte longs instead of ~20-char strings, and every downstream
+    * comparison is an integer compare. fp values equal
+    * `CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)` over the string
+    * shingles, so the oracle derives them in SQL. */
+  def shingleFps(spark: SparkSession, dir: String,
+                 maxDocId: Long = Long.MaxValue): DataFrame =
+    shingleFpsFrom(Tables.documents(spark, dir).filter($"doc_id" < maxDocId))
+
+  def shingleFpsFrom(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .select($"doc_id", expr("graft_shingle_fps(text, 3)").as("fp"))
+      .distinct()
+  }
+
+  /** fps CTE for the oracle (requires `shd` in scope). DISTINCT at the
+    * fp level matches the engine: {distinct fp of occurrences} ==
+    * {fp of distinct shingles} as a set. */
+  val fpsCte: String =
+    """fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS fp
+      |  FROM shd)""".stripMargin
+
   /** shingle CTE for the oracle (DuckDB 1-based list indexing). */
   def shinglesCte(maxDocId: String = "9223372036854775807"): String =
     s"""tok AS (
@@ -63,11 +90,11 @@ object Dedup {
   // ---------------------------------------------------------------
 
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shd = shingles(spark, dir).cache()
-    val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = shd.select($"doc_id".as("doc_a"), $"s")
-    val b = shd.select($"doc_id".as("doc_b"), $"s")
-    val inter = a.join(b, Seq("s"))
+    val shf = shingleFps(spark, dir).cache()
+    val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select($"doc_id".as("doc_a"), $"fp")
+    val b = shf.select($"doc_id".as("doc_b"), $"fp")
+    val inter = a.join(b, Seq("fp"))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
     inter
@@ -83,10 +110,11 @@ object Dedup {
 
   val jaccardPairsSql: String =
     s"""WITH ${shinglesCte()},
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |$fpsCte,
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |  FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
        |FROM inter
@@ -118,11 +146,6 @@ object Dedup {
     2912185606L, 2527961026L, 746857961L, 2569806788L, 195316026L,
     1141034629L)
 
-  /** 32-bit shingle fingerprint: the md5 digest's first 8 hex chars as
-    * an integer. The ONLY cryptographic hash in the MinHash path. */
-  private def fpCol: Column =
-    conv(substring(md5($"s".cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
-
   /** h_seed(fp): affine mix of the shingle fingerprint. Non-monotone in
     * fp (the mod wraps), so each seed ranks shingles independently —
     * the property MinHash needs. */
@@ -131,18 +154,16 @@ object Dedup {
 
   /** One row per doc with all 16 signature mins — a wide conditional
     * min whose partial aggregation runs map-side, so shuffle volume is
-    * docs, not docs × seeds × shingles. */
-  private def wideSignatures(shd: DataFrame): DataFrame = {
-    val withFp = shd.select($"doc_id", fpCol.as("fp"))
-    withFp.groupBy($"doc_id").agg(
+    * docs, not docs × seeds × shingles. Input: (doc_id, fp). */
+  private def wideSignatures(shf: DataFrame): DataFrame =
+    shf.groupBy($"doc_id").agg(
       min(mix(0, $"fp")).as("mh0"),
       (1 until NumHashes).map(k => min(mix(k, $"fp")).as(s"mh$k")): _*)
-  }
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val stackArgs = (0 until NumHashes)
       .map(k => s"CAST($k AS BIGINT), mh$k").mkString(", ")
-    wideSignatures(shingles(spark, dir))
+    wideSignatures(shingleFps(spark, dir))
       .selectExpr("doc_id", s"stack($NumHashes, $stackArgs) AS (seed, minhash)")
       .orderBy($"doc_id", $"seed")
   }
@@ -155,9 +176,7 @@ object Dedup {
   /** Long-form signature CTE: expects `shd(doc_id, s)` in scope and
     * yields mh(doc_id, seed INTEGER, minhash BIGINT). */
   val minhashCte: String =
-    s"""fps AS (
-       |  SELECT doc_id, CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS fp
-       |  FROM shd),
+    s"""$fpsCte,
        |mh AS (
        |  SELECT doc_id, seed, MIN((a * fp + b) % $MixP) AS minhash
        |  FROM fps, (VALUES $mixValuesSql) AS mix(seed, a, b)
@@ -183,15 +202,16 @@ object Dedup {
   val MaxBucketDocs = 64
 
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    lshNearDupPairsFrom(shingles(spark, dir).cache())
+    lshNearDupPairsFrom(shingleFps(spark, dir).cache())
 
-  def lshNearDupPairsFrom(shd: DataFrame): DataFrame = {
+  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
+  def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
     // Wide conditional-min aggregation instead of a collect_list object
     // aggregate: partial (map-side) min per seed collapses each doc to
     // one 16-column row BEFORE the shuffle — measured 30×+ faster than
     // the collect_list formulation, and the shape that survives 100 TB
     // (shuffle volume = docs, not docs × seeds × shingles).
-    val wide = wideSignatures(shd)
+    val wide = wideSignatures(shf)
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until BandSize)
@@ -217,10 +237,10 @@ object Dedup {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val sizes = shd.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(shd.select($"doc_id".as("doc_a"), $"s"), Seq("doc_a"))
-      .join(shd.select($"doc_id".as("doc_b"), $"s"), Seq("doc_b", "s"))
+      .join(shf.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
+      .join(shf.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -250,12 +270,12 @@ object Dedup {
        |  FROM pruned x JOIN pruned y
        |    ON x.band_id = y.band_id AND x.band_val = y.band_val
        |   AND x.doc_id < y.doc_id),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
        |  FROM cand c
-       |  JOIN shd a ON a.doc_id = c.doc_a
-       |  JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  JOIN fps a ON a.doc_id = c.doc_a
+       |  JOIN fps b ON b.doc_id = c.doc_b AND b.fp = a.fp
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
        |FROM inter

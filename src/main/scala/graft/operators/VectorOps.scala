@@ -45,7 +45,11 @@ object VectorOps {
   def sqlNorm(a: String): String =
     s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (p, q) -> p + q))"
 
-  /** Normalized vectors with precomputed norms. */
+  /** Normalized vectors with precomputed norms. Scan parallelism comes
+    * from the warehouse layout (multi-split files — see Bench's
+    * ingest step); an explicit repartition here was measured SLOWER
+    * for the broadcast-probe queries (the 2k-vector fixture corpus is
+    * too small to amortize an extra exchange). */
   private def vecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)

@@ -254,9 +254,13 @@ object Weather {
   // ---------------------------------------------------------------
 
   def siteMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val raw = bronze(spark, dir).groupBy($"site")
+    // NOTE: the raw/kept branches intentionally recompute the Bronze
+    // subtree rather than cache it — the narrow codegen'd scan is
+    // cheaper than materializing the cache (measured at sf0.1)
+    val b = bronze(spark, dir)
+    val raw = b.groupBy($"site")
       .agg(count(lit(1)).as("raw_rows"))
-    val kept = cleanToHourly(bronze(spark, dir)).groupBy($"site")
+    val kept = cleanToHourly(b).groupBy($"site")
       .agg(count(lit(1)).as("kept_rows"))
     raw.join(kept, Seq("site"), "left_outer")
       .select(
@@ -291,11 +295,12 @@ object Weather {
   // ---------------------------------------------------------------
 
   def siteMeans(spark: SparkSession, dir: String): DataFrame = {
-    val raw = bronze(spark, dir).groupBy($"site").agg(
+    val b = bronze(spark, dir) // recompute beats cache for narrow scans
+    val raw = b.groupBy($"site").agg(
       round(avg($"ghi_wm2"), 6).as("raw_ghi"),
       round(avg($"t2m_c"), 6).as("raw_t2m"),
       round(avg($"ws10_mps"), 6).as("raw_ws"))
-    val clean = cleanToHourly(bronze(spark, dir)).groupBy($"site").agg(
+    val clean = cleanToHourly(b).groupBy($"site").agg(
       round(avg($"ghi_wm2"), 6).as("clean_ghi"),
       round(avg($"temp_c"), 6).as("clean_t2m"),
       round(avg($"wind_mps"), 6).as("clean_ws"))
@@ -336,8 +341,9 @@ object Weather {
   // ---------------------------------------------------------------
 
   def alignedSeries(spark: SparkSession, dir: String): DataFrame = {
+    val b = bronze(spark, dir)
     def series(site: String, out: String) =
-      bronze(spark, dir).filter($"site" === site)
+      b.filter($"site" === site)
         .groupBy(date_trunc("hour", $"ts_utc").as("ts_hour"))
         .agg(round(avg($"ghi_wm2"), 6).as(out))
     series("click", "click_ghi")
@@ -541,9 +547,9 @@ object Weather {
   // ---------------------------------------------------------------
 
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val b = bronze(spark, dir)
     def hourly(lo: String, hi: String, batch: String) =
-      bronze(spark, dir)
-        .filter($"ts_utc" >= lit(lo).cast(TimestampType)
+      b.filter($"ts_utc" >= lit(lo).cast(TimestampType)
                 && $"ts_utc" < lit(hi).cast(TimestampType))
         .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
         .agg(round(avg($"ghi_wm2"), 6).as("ghi_mean"))

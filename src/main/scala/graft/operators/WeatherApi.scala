@@ -97,12 +97,18 @@ object WeatherApi {
   // main.py:22-23), one JSON object per row.
   // ---------------------------------------------------------------
 
-  /** Timestamp columns → ISO-8601 strings (null-safe), then JSON rows. */
+  /** Timestamp columns → ISO-8601 strings (null-safe), then JSON rows.
+    * Byte-level parity with Python `datetime.isoformat()`
+    * (main.py:22-23): the UTC offset renders as "+00:00" (not "Z"),
+    * and microseconds appear as exactly 6 digits iff non-zero. */
   def toJsonRows(df: DataFrame): Dataset[String] = {
     val isoified = df.schema.fields.foldLeft(df) {
       case (acc, f) if f.dataType == TimestampType =>
-        acc.withColumn(f.name,
-          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+        val micros = pmod(expr(s"unix_micros(`${f.name}`)"), lit(1000000L))
+        acc.withColumn(f.name, concat(
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss"),
+          when(micros =!= 0, format_string(".%06d", micros)).otherwise(""),
+          date_format(col(f.name), "xxx")))
       case (acc, _) => acc
     }
     isoified.toJSON
@@ -134,12 +140,16 @@ object WeatherApi {
       .when(abs(c) >= 100, format_number(c, 0))
       .otherwise(format_number(c, 1))
 
+  /** _format_delta magnitude (app.py:320-327): '+' for ALL deltas
+    * ≥ 0 (so "+0.0%"), plain %.1f (no thousands separator — unlike
+    * formatMetric), null/NaN → "N/A". */
   def formatPct(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.isNull || isnan(c), lit("--"))
+    when(c.isNull || isnan(c), lit("N/A"))
       .otherwise(concat(
-        when(c > 0, "+").otherwise(""), format_number(c, 1), lit("%")))
+        when(c >= 0, "+").otherwise(""), format_string("%.1f", c), lit("%")))
 
+  /** _format_delta status strings (app.py:326). */
   def pctBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(c.isNull || isnan(c), "neutral")
-      .when(c > 0, "pos").when(c < 0, "neg").otherwise("neutral")
+      .when(c > 0, "positive").when(c < 0, "negative").otherwise("neutral")
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for the 100 TB path: bucketing (co-located
@@ -23,15 +23,23 @@ object Layout {
       .saveAsTable(table)
 
   /** Salted equi-join for skewed keys: the skewed (big) side gets a
-    * random-but-deterministic salt in [0, buckets); the small side is
-    * replicated across all salt values. Converts one hot key's single
-    * reducer into `buckets` parallel reducers. AQE's skew-join handles
+    * deterministic salt in [0, buckets); the small side is replicated
+    * across all salt values. Converts one hot key's single reducer
+    * into `buckets` parallel reducers. AQE's skew-join handles
     * moderate skew automatically; explicit salting is for the extreme
-    * tail (one key >> one executor's memory). */
+    * tail (one key >> one executor's memory).
+    *
+    * The salt is derived from STABLE row content (`saltCols`, default
+    * all of `big`'s columns) — never from monotonically_increasing_id
+    * or rand, whose values change across task/stage retries after an
+    * upstream shuffle (the SPARK-23207 class of bug: a retried
+    * partition re-salts its rows differently and the join silently
+    * duplicates or drops them). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 buckets: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+                 buckets: Int, saltCols: Seq[Column] = Nil): DataFrame = {
+    val src = if (saltCols.nonEmpty) saltCols
+              else big.columns.map(col).toSeq
+    val saltedBig = big.withColumn("_salt", pmod(hash(src: _*), lit(buckets)))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "_salt")).drop("_salt")

@@ -47,9 +47,9 @@ object ScaleStress {
       .withColumn("text", concat($"text", lit(" r"), $"rep"))
       .drop("rep")
     println(s"docs rows: ${docs.count()}")
-    val shd = Dedup.shinglesFrom(docs).cache()
-    time("shingles")(shd.count())
-    time("LSH near-dup pairs")(Dedup.lshNearDupPairsFrom(shd).count())
+    val shf = Dedup.shingleFpsFrom(docs).cache()
+    time("shingle fps")(shf.count())
+    time("LSH near-dup pairs")(Dedup.lshNearDupPairsFrom(shf).count())
 
     val emb = graft.Tables.embeddings(spark, dir)
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))

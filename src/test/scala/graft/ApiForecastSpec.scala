@@ -58,10 +58,17 @@ class WeatherApiSpec extends AnyFunSuite {
     assert(m.getLong(4) === math.max(raw - kept, 0L))
   }
 
-  test("toJsonRows: ISO-8601 timestamps in JSON output") {
+  test("toJsonRows: Python-isoformat timestamps in JSON output") {
     val js = WeatherApi.toJsonRows(silver.limit(1)).collect()(0)
-    assert(js.matches(""".*"ts_utc":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z".*"""),
+    // datetime.isoformat() parity: +00:00 offset, no .000000 for whole
+    // seconds (main.py:22-23)
+    assert(js.matches(""".*"ts_utc":"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\+00:00".*"""),
       s"got $js")
+    import spark.implicits._
+    val frac = Seq(java.sql.Timestamp.valueOf("2024-01-01 01:02:03.0405"))
+      .toDF("ts")
+    val js2 = WeatherApi.toJsonRows(frac).collect()(0)
+    assert(js2.contains("\"2024-01-01T01:02:03.040500+00:00\""), s"got $js2")
   }
 
   test("ingestWindows: 7-day chunks, inclusive remainder, validation") {
@@ -88,14 +95,18 @@ class WeatherApiSpec extends AnyFunSuite {
         WeatherApi.formatPct(col("x")).as("p"),
         WeatherApi.pctBucket(col("x")).as("b"))
     val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    assert(rows(0) === ("1,235", "+1,234.6%", "pos"))
-    assert(rows(1) === ("12.3", "+12.3%", "pos"))
-    assert(rows(2) === ("-3.2", "-3.2%", "neg"))
-    assert(rows(3) === ("0.0", "0.0%", "neutral"))
+    // _format_delta parity (app.py:320-327): sign for >= 0 (so +0.0%),
+    // %.1f without thousands separators, positive/negative/neutral
+    assert(rows(0) === ("1,235", "+1234.6%", "positive"))
+    assert(rows(1) === ("12.3", "+12.3%", "positive"))
+    assert(rows(2) === ("-3.2", "-3.2%", "negative"))
+    assert(rows(3) === ("0.0", "+0.0%", "neutral"))
     val nulls = Seq[Option[Double]](None).toDF("x")
-      .select(WeatherApi.formatMetric(col("x")), WeatherApi.pctBucket(col("x")))
+      .select(WeatherApi.formatMetric(col("x")), WeatherApi.pctBucket(col("x")),
+              WeatherApi.formatPct(col("x")))
       .collect()(0)
     assert(nulls.getString(0) === "--" && nulls.getString(1) === "neutral")
+    assert(nulls.getString(2) === "N/A")
   }
 }
 

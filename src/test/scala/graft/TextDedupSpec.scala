@@ -55,6 +55,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(exact === lsh, s"fixture near-dups are J≈0.9+; 4x4 bands must catch all")
   }
 
+  test("LSH mega-bucket guard: degenerate identical corpus is skipped, small clusters pass") {
+    import spark.implicits._
+    def corpus(n: Long) = (0L until n)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // 200 identical docs: every band bucket holds 200 > MaxBucketDocs —
+    // the quadratic bucket is skipped entirely (exact dedup handles
+    // identical docs upstream), so no candidate pairs emerge
+    assert(Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(corpus(200))).count() === 0)
+    // 10 identical docs fit under the cap: all C(10,2) pairs at J=1.0
+    assert(Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(corpus(10))).count() === 45)
+  }
+
   test("simhash: near-dup pairs collide, signature is 32 bits") {
     val sims = Dedup.simhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
