@@ -215,38 +215,47 @@ object Weather {
 
   // ---------------------------------------------------------------
   // A6 + SO2 — per-hour completeness matrix, long form
-  // (streamlit/app.py:519-526): available=1 iff every record that
-  // (site, hour) has the measure non-null; wide → melt.
+  // (streamlit/app.py:519-526): the reference nulls range-INVALID
+  // values first (analyse_cleaning), so an invalid-but-present value
+  // counts as unavailable; then available=1 iff every record that
+  // (site, hour) has the measure valid and non-null; wide → melt.
+  // Validation is the same Q3 range→null as the cleaning kernel.
   // ---------------------------------------------------------------
 
   def completeness(spark: SparkSession, dir: String): DataFrame = {
     def avail(c: Column) = min(when(c.isNotNull, 1).otherwise(0))
     bronze(spark, dir)
-      .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
-      .agg(avail($"ghi_wm2").as("ghi_wm2"),
-           avail($"t2m_c").as("t2m_c"),
-           avail($"ws10_mps").as("ws10_mps"))
+      .select($"site", date_trunc("hour", $"ts_utc").as("ts_hour"),
+        when($"ghi_wm2" < 0, lit(null).cast(DoubleType))
+          .otherwise($"ghi_wm2").as("ghi_v"),
+        when($"t2m_c" < -80 || $"t2m_c" > 80, lit(null).cast(DoubleType))
+          .otherwise($"t2m_c").as("t2m_v"),
+        when($"ws10_mps" < 0, lit(null).cast(DoubleType))
+          .otherwise($"ws10_mps").as("ws_v"))
+      .groupBy($"site", $"ts_hour")
+      .agg(avail($"ghi_v").as("ghi_wm2"),
+           avail($"t2m_v").as("t2m_c"),
+           avail($"ws_v").as("ws10_mps"))
       .unpivot(Array($"site", $"ts_hour"),
                Array($"ghi_wm2", $"t2m_c", $"ws10_mps"),
                "variable", "available")
       .orderBy($"site", $"ts_hour", $"variable")
   }
 
-  val completenessSql: String =
-    s"""WITH $bronzeCte,
-       |wide AS (
-       |  SELECT site, date_trunc('hour', ts_utc) AS ts_hour,
-       |    MIN(CASE WHEN ghi_wm2 IS NOT NULL THEN 1 ELSE 0 END) AS ghi_wm2,
-       |    MIN(CASE WHEN t2m_c IS NOT NULL THEN 1 ELSE 0 END) AS t2m_c,
-       |    MIN(CASE WHEN ws10_mps IS NOT NULL THEN 1 ELSE 0 END) AS ws10_mps
-       |  FROM bronze GROUP BY 1, 2)
-       |SELECT site, ts_hour, variable, available FROM (
-       |  SELECT site, ts_hour, 'ghi_wm2' AS variable, ghi_wm2 AS available FROM wide
-       |  UNION ALL
-       |  SELECT site, ts_hour, 't2m_c', t2m_c FROM wide
-       |  UNION ALL
-       |  SELECT site, ts_hour, 'ws10_mps', ws10_mps FROM wide)
-       |ORDER BY site, ts_hour, variable""".stripMargin
+  val completenessSql: String = withSilver(
+    """, wide AS (
+      |  SELECT site, ts_hour,
+      |    MIN(CASE WHEN ghi_v IS NOT NULL THEN 1 ELSE 0 END) AS ghi_wm2,
+      |    MIN(CASE WHEN t2m_v IS NOT NULL THEN 1 ELSE 0 END) AS t2m_c,
+      |    MIN(CASE WHEN ws_v IS NOT NULL THEN 1 ELSE 0 END) AS ws10_mps
+      |  FROM validated GROUP BY 1, 2)
+      |SELECT site, ts_hour, variable, available FROM (
+      |  SELECT site, ts_hour, 'ghi_wm2' AS variable, ghi_wm2 AS available FROM wide
+      |  UNION ALL
+      |  SELECT site, ts_hour, 't2m_c', t2m_c FROM wide
+      |  UNION ALL
+      |  SELECT site, ts_hour, 'ws10_mps', ws10_mps FROM wide)
+      |ORDER BY site, ts_hour, variable""".stripMargin)
 
   // ---------------------------------------------------------------
   // A8 — raw-vs-clean KPI metrics (fastapi/app/main.py:262-289):

@@ -43,6 +43,57 @@ object NasaIngest {
     base + "?" + params.map { case (k, v) => s"$k=$v" }.mkString("&")
   }
 
+  // ---------------------------------------------------------------
+  // S1 transport — the engine-side counterpart of fetch_power's
+  // GET + 60 s timeout + raise_for_status (nasa.py:50-54). The wire
+  // call is pluggable so the error paths are unit-testable without
+  // network (mirroring tests/test_fetch_json.py:28-41); the default
+  // transport is a plain HttpURLConnection GET.
+  // ---------------------------------------------------------------
+
+  sealed trait FetchError { def url: String }
+  /** Non-2xx response — raise_for_status's analogue. */
+  final case class HttpStatusError(url: String, code: Int) extends FetchError
+  /** Connect/read failure or timeout. */
+  final case class TransportFailure(url: String, cause: Throwable) extends FetchError
+
+  /** (url, timeoutMs) → (status, body) or the underlying exception. */
+  type Transport = (String, Int) => Either[Throwable, (Int, String)]
+
+  val DefaultTimeoutMs = 60000
+
+  /** Default wire transport (driver-side, like the reference's
+    * requests.get). */
+  val httpTransport: Transport = (url, timeoutMs) =>
+    try {
+      val conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("GET")
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(),
+                            java.nio.charset.StandardCharsets.UTF_8)
+        finally stream.close()
+      conn.disconnect()
+      Right(code -> body)
+    } catch { case e: Throwable => Left(e) }
+
+  /** GET `url`, propagating timeouts/transport failures and non-2xx
+    * statuses as typed errors; the body comes back only on success —
+    * exactly fetch_power's contract, minus the exception control
+    * flow. */
+  def fetch(url: String, timeoutMs: Int = DefaultTimeoutMs,
+            transport: Transport = httpTransport): Either[FetchError, String] =
+    transport(url, timeoutMs) match {
+      case Left(e) => Left(TransportFailure(url, e))
+      case Right((code, body)) if code >= 200 && code < 300 => Right(body)
+      case Right((code, _)) => Left(HttpStatusError(url, code))
+    }
+
   /** Raw payload schema: parameter values captured as raw JSON text so
     * each series can be re-parsed per its own encoding. */
   private val payloadSchema = StructType(Seq(

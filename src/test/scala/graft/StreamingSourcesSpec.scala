@@ -127,6 +127,29 @@ class NasaIngestSpec extends AnyFunSuite {
     assert(blob.contains("\"t2m_c\":-3.4"))
   }
 
+  test("S1 fetch: success body, non-2xx status, and transport failure propagate (stubbed wire)") {
+    // mirrors the reference's mocked requests.get tests
+    // (tests/test_fetch_json.py:28-41) — no network involved
+    val ok: NasaIngest.Transport = (_, _) => Right(200 -> """{"status":"ok"}""")
+    assert(NasaIngest.fetch("http://example.com/health", transport = ok)
+      === Right("""{"status":"ok"}"""))
+    val notFound: NasaIngest.Transport = (_, _) => Right(404 -> "missing")
+    assert(NasaIngest.fetch("http://example.com/health", transport = notFound)
+      === Left(NasaIngest.HttpStatusError("http://example.com/health", 404)))
+    val boom = new java.net.SocketTimeoutException("boom")
+    val timedOut: NasaIngest.Transport = (_, _) => Left(boom)
+    NasaIngest.fetch("http://example.com/health", transport = timedOut) match {
+      case Left(NasaIngest.TransportFailure(url, cause)) =>
+        assert(url === "http://example.com/health" && cause.getMessage === "boom")
+      case other => fail(s"expected TransportFailure, got $other")
+    }
+    // the configured timeout reaches the transport
+    var seenTimeout = -1
+    val probe: NasaIngest.Transport = (_, t) => { seenTimeout = t; Right(200 -> "") }
+    NasaIngest.fetch("http://x", timeoutMs = 1234, transport = probe)
+    assert(seenTimeout === 1234)
+  }
+
   test("round-trip on fixture data yields bronze-shaped rows") {
     val rt = NasaIngest.roundTrip(spark, sf)
     assert(rt.count() > 0)

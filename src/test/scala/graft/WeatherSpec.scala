@@ -128,6 +128,23 @@ class WeatherSpec extends AnyFunSuite {
     }
   }
 
+  test("completeness: range-invalid values count as unavailable (app.py:519-526)") {
+    val comp = Weather.completeness(spark, sf)
+      .filter($"variable" === "t2m_c")
+      .select($"site", $"ts_hour", $"available")
+    // availability on raw non-nullness only (the pre-fix semantics)
+    val naive = Weather.bronze(spark, sf)
+      .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
+      .agg(min(when($"t2m_c".isNotNull, 1).otherwise(0)).as("naive"))
+    val joined = comp.join(naive, Seq("site", "ts_hour")).collect()
+    assert(joined.forall(r => r.getAs[Int]("available") <= r.getAs[Int]("naive")),
+      "validation can only remove availability")
+    // the %79 dirt injects t2m=200 (present but out of range): at least
+    // one hour must flip from naively-available to unavailable
+    assert(joined.exists(r =>
+      r.getAs[Int]("available") == 0 && r.getAs[Int]("naive") == 1))
+  }
+
   test("forecast baseline: 24 horizons per site per var, yhat >= 0") {
     val fc = Weather.forecastBaseline(spark, sf).collect()
     val bySiteVar = fc.groupBy(r => (r.getString(0), r.getAs[String]("var")))
