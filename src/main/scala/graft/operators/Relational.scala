@@ -407,14 +407,19 @@ object Relational {
   def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
+    // each side feeds BOTH set operations — cache the (small) nationkey
+    // sets so the customer⋈orders join runs once per segment, not twice
     def buyers(segment: String) =
       c.filter($"c_mktsegment" === segment)
         .join(o, $"c_custkey" === $"o_custkey")
         .filter($"o_totalprice" > 300000.0)
         .select($"c_nationkey")
-    val both = buyers("BUILDING").intersect(buyers("MACHINERY"))
+        .cache()
+    val b = buyers("BUILDING")
+    val m = buyers("MACHINERY")
+    val both = b.intersect(m)
       .withColumn("set_op", lit("intersect"))
-    val onlyBuilding = buyers("BUILDING").except(buyers("MACHINERY"))
+    val onlyBuilding = b.except(m)
       .withColumn("set_op", lit("except"))
     both.unionByName(onlyBuilding)
       .orderBy($"set_op", $"c_nationkey")
