@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the hot paths — the properties
+  * that matter at cluster scale, pinned so a refactor cannot silently
+  * reintroduce a shuffle or drop a broadcast. (Hinted joins are
+  * planned statically, so the assertions hold with or without AQE.)
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q47: mega-bucket guard anti-join broadcasts — bands are never reshuffled") {
+    val p = plan("q47_lsh_near_dups")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n${p.take(3000)}")
+  }
+
+  test("q05: dimension joins broadcast, no sort-merge join of facts against dims") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"dims must broadcast, not sort-merge:\n${p.take(3000)}")
+  }
+
+  test("q44 exact dedup: exactly one hash-partition shuffle (the groupBy)") {
+    val p = plan("q44_exact_dedup")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1,
+      s"expected a single hash shuffle, found $hashExchanges:\n${p.take(3000)}")
+  }
+
+  test("q49 cosine top-k: the query side is broadcast, corpus scans once") {
+    val p = plan("q49_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(3000)}")
+  }
+
+  test("q04 recent-n compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q04_recent_n")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+}

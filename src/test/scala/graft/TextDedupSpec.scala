@@ -55,6 +55,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(exact === lsh, s"fixture near-dups are J≈0.9+; 4x4 bands must catch all")
   }
 
+  test("MinHash signatures are a Jaccard estimator: agreement tracks exact similarity") {
+    val sig = Dedup.minhashSignatures(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rows) =>
+        d -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    val exact = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    exact.foreach { case ((a, b), j) =>
+      val agree = sig(a).zip(sig(b)).count { case (x, y) => x == y } / 16.0
+      // E[agree] = J; sd = sqrt(J(1-J)/16) ≈ 0.12 — 0.35 is ~3σ
+      assert(math.abs(agree - j) <= 0.35,
+        s"pair ($a,$b): jaccard $j but signature agreement $agree")
+    }
+  }
+
   test("LSH mega-bucket guard: degenerate identical corpus is skipped, small clusters pass") {
     import spark.implicits._
     def corpus(n: Long) = (0L until n)
