@@ -350,11 +350,16 @@ object Weather {
   // ---------------------------------------------------------------
 
   def alignedSeries(spark: SparkSession, dir: String): DataFrame = {
-    val b = bronze(spark, dir)
+    // one scan + one shuffle builds all three per-site series; the
+    // full-outer alignment then joins three tiny cached slices (the
+    // same operator shape, without re-scanning events per series)
+    val byHourSite = bronze(spark, dir)
+      .filter($"site".isin("click", "error", "purchase"))
+      .groupBy(date_trunc("hour", $"ts_utc").as("ts_hour"), $"site")
+      .agg(round(avg($"ghi_wm2"), 6).as("ghi"))
+      .cache()
     def series(site: String, out: String) =
-      b.filter($"site" === site)
-        .groupBy(date_trunc("hour", $"ts_utc").as("ts_hour"))
-        .agg(round(avg($"ghi_wm2"), 6).as(out))
+      byHourSite.filter($"site" === site).select($"ts_hour", $"ghi".as(out))
     series("click", "click_ghi")
       .join(series("error", "error_ghi"), Seq("ts_hour"), "full_outer")
       .join(series("purchase", "purchase_ghi"), Seq("ts_hour"), "full_outer")
@@ -501,8 +506,12 @@ object Weather {
   // ---------------------------------------------------------------
 
   def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    // cached: both the last-hour aggregate and the horizon join read
+    // the full silver+features lineage (the result is site×hours —
+    // small — unlike the Bronze frames, where caching measured slower)
     val features = goldFeatures(spark, dir)
       .select($"site", $"ts_utc", $"pv_est_mwh", $"wind_est_mwh")
+      .cache()
     val lastHour = features.groupBy($"site").agg(max($"ts_utc").as("t_max"))
     val horizons = lastHour
       .select($"site", $"t_max",
@@ -556,15 +565,22 @@ object Weather {
   // ---------------------------------------------------------------
 
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
-    val b = bronze(spark, dir)
-    def hourly(lo: String, hi: String, batch: String) =
-      b.filter($"ts_utc" >= lit(lo).cast(TimestampType)
-                && $"ts_utc" < lit(hi).cast(TimestampType))
-        .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
-        .agg(round(avg($"ghi_wm2"), 6).as("ghi_mean"))
-        .withColumn("batch", lit(batch))
-    val existing = hourly("2024-01-01", "2024-01-16", "old")
-    val incoming = hourly("2024-01-10", "2024-01-31", "new")
+    // The window bounds are day-aligned, so every (site, hour) group
+    // falls wholly inside or outside each batch window — one scan +
+    // one aggregation over the union range yields BOTH batches as
+    // hour-level slices (identical means), instead of two full scans.
+    val hourly = bronze(spark, dir)
+      .filter($"ts_utc" >= lit("2024-01-01").cast(TimestampType)
+              && $"ts_utc" < lit("2024-01-31").cast(TimestampType))
+      .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
+      .agg(round(avg($"ghi_wm2"), 6).as("ghi_mean"))
+      .cache()
+    val existing = hourly
+      .filter($"ts_hour" < lit("2024-01-16").cast(TimestampType))
+      .withColumn("batch", lit("old"))
+    val incoming = hourly
+      .filter($"ts_hour" >= lit("2024-01-10").cast(TimestampType))
+      .withColumn("batch", lit("new"))
     existing.join(incoming, Seq("site", "ts_hour"), "left_anti")
       .unionByName(incoming)
       .orderBy($"site", $"ts_hour")
