@@ -76,9 +76,10 @@ object Bench {
     // warmup: session init + codegen of a trivial plan
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    // Two passes per query, report the best: pass 1 absorbs JIT /
-    // codegen / footer warmup and the machine's load spikes; the
-    // minimum approximates steady-state engine latency.
+    // Three passes per query, report the best: pass 1 absorbs JIT /
+    // codegen / footer warmup; the extra passes guard against the
+    // host's co-load spikes (observed inflating whole passes 2×) —
+    // the minimum approximates steady-state engine latency.
     def onePass(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).collect {
         case (name, fn) if !skip(name) =>
@@ -93,11 +94,15 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           name -> (if (ok) dt else -1.0)
       }.toMap
-    val p1 = onePass()
-    val p2 = onePass()
-    val results = p1.keys.toSeq.sorted.map { k =>
-      val (a, b) = (p1(k), p2(k))
-      k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    val passes = (1 to 3).map { i =>
+      val p = onePass()
+      System.err.println(
+        f"[bench] pass $i total ${p.values.filter(_ >= 0).sum}%.1f s")
+      p
+    }
+    val results = passes.head.keys.toSeq.sorted.map { k =>
+      val vs = passes.map(_(k))
+      k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -10,12 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Word-shingle generator (UDTF-shaped Catalyst `Generator`, the
   * escalation path SURVEY §2.11 names for the J-family parsers).
   *
-  * Emits every k-word shingle of the whitespace-tokenized input — the
-  * same strings as `transform(sequence(0, size(toks)-k), i ->
-  * concat_ws(' ', toks[i..i+k-1]))`, but in one tight loop per row
-  * instead of an interpreted lambda per shingle (measured ~2-3× on the
-  * shingle-heavy dedup queries; the HOF chain allocates boxed indices
-  * and per-element Catalyst eval frames).
+  * Emits every DISTINCT k-word shingle of the whitespace-tokenized
+  * input — the distinct set a downstream `.distinct()` would produce
+  * for (doc, shingle) pairs, but deduped inside the per-row loop, so
+  * no shuffle is needed at all (the dedup key is per-document by
+  * construction). One tight loop per row instead of an interpreted
+  * lambda per shingle plus an exchange (measured ~2-3× on the
+  * shingle-heavy dedup queries before counting the saved shuffle).
   *
   * Tokenization matches `TextOps.tokens`: trim, split on `\s+`.
   */
@@ -42,7 +43,7 @@ case class WordShingles(child: Expression, k: Int)
     val toks = raw.asInstanceOf[UTF8String].trim().toString.split("\\s+", -1)
     if (toks.length < k) return Nil
     val n = toks.length - k + 1
-    val out = new Array[InternalRow](n)
+    val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < n) {
@@ -53,8 +54,15 @@ case class WordShingles(child: Expression, k: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      out(i) = InternalRow(UTF8String.fromString(sb.toString))
+      seen.add(sb.toString)
       i += 1
+    }
+    val out = new Array[InternalRow](seen.size)
+    val it = seen.iterator()
+    var r = 0
+    while (it.hasNext) {
+      out(r) = InternalRow(UTF8String.fromString(it.next()))
+      r += 1
     }
     out
   }
@@ -64,15 +72,16 @@ case class WordShingles(child: Expression, k: Int)
 }
 
 /** Word-shingle FINGERPRINT generator: emits the 32-bit fingerprint of
-  * every k-word shingle — numerically identical to
+  * every DISTINCT k-word shingle — numerically identical to
   * `CAST(CONV(SUBSTRING(md5(shingle), 1, 8), 16, 10) AS BIGINT)` over
-  * [[WordShingles]] output (the digest's first 4 bytes, big-endian
-  * unsigned), but hashed inside the generator loop. The dedup family
-  * (q45–q47) then shuffles, joins, and aggregates compact longs
-  * instead of ~20-char shingle strings — less shuffle volume and no
-  * per-row md5/hex/parse expression chain. The DuckDB oracle derives
-  * the same values from the string shingles.
-  */
+  * distinct [[WordShingles]] output (the digest's first 4 bytes,
+  * big-endian unsigned), but hashed AND deduped inside the generator
+  * loop. The dedup family (q45–q47) then shuffles, joins, and
+  * aggregates compact longs instead of ~20-char shingle strings, with
+  * no distinct exchange at all (dedup is per-document by
+  * construction). The DuckDB oracle derives the same values from the
+  * string shingles — {distinct fp} == {fp of distinct shingles} as a
+  * set. */
 case class ShingleFingerprints(child: Expression, k: Int)
     extends UnaryExpression with Generator with CodegenFallback {
 
@@ -94,7 +103,11 @@ case class ShingleFingerprints(child: Expression, k: Int)
     if (toks.length < k) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
     val n = toks.length - k + 1
-    val out = new Array[InternalRow](n)
+    // dedup SHINGLES (not fps): distinct-fp-of-occurrences and
+    // fp-of-distinct-shingles are the same set, and hashing each
+    // distinct shingle once is also the cheapest order of operations
+    val seenShingles = new java.util.HashSet[String]()
+    val fps = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < n) {
@@ -105,12 +118,21 @@ case class ShingleFingerprints(child: Expression, k: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      val d = md.digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      out(i) = InternalRow(fp)
+      val s = sb.toString
+      if (seenShingles.add(s)) {
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val fp = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                 ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        fps.add(fp)
+      }
       i += 1
+    }
+    val out = new Array[InternalRow](fps.size)
+    val it = fps.iterator()
+    var r = 0
+    while (it.hasNext) {
+      out(r) = InternalRow(it.next().longValue())
+      r += 1
     }
     out
   }

@@ -37,14 +37,13 @@ object Dedup {
   def shingles(spark: SparkSession, dir: String, maxDocId: Long = Long.MaxValue): DataFrame =
     shinglesFrom(Tables.documents(spark, dir).filter($"doc_id" < maxDocId))
 
-  /** Shingles over any documents-shaped frame — emitted by the
-    * [[graft.functions.WordShingles]] Generator (one tight loop per
-    * document instead of an interpreted lambda per shingle). */
+  /** Shingles over any documents-shaped frame — the
+    * [[graft.functions.WordShingles]] Generator emits each document's
+    * DISTINCT shingles in one tight loop, so no distinct exchange
+    * exists anywhere in the shingle pipelines. */
   def shinglesFrom(docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
-    docs
-      .select($"doc_id", expr("graft_shingles(text, 3)").as("s"))
-      .distinct()
+    docs.select($"doc_id", expr("graft_shingles(text, 3)").as("s"))
   }
 
   /** Distinct 32-bit shingle FINGERPRINTS per document: (doc_id, fp) —
@@ -60,9 +59,7 @@ object Dedup {
 
   def shingleFpsFrom(docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
-    docs
-      .select($"doc_id", expr("graft_shingle_fps(text, 3)").as("fp"))
-      .distinct()
+    docs.select($"doc_id", expr("graft_shingle_fps(text, 3)").as("fp"))
   }
 
   /** fps CTE for the oracle (requires `shd` in scope). DISTINCT at the
