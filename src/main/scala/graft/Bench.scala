@@ -55,20 +55,33 @@ object Bench {
     val queryDir =
       if (sys.env.get("SPARK_GRAFT_PREP").contains("false")) sfDir
       else {
+        val srcDir = new java.io.File(sfDir).getAbsoluteFile
+        // invalidation key: source identity + file inventory + mtimes +
+        // sizes + table list — regenerated fixtures, a different dir
+        // with the same basename, or a new table all force a rewrite
+        val fingerprint = (srcDir.getPath +: Tables.all.map { t =>
+          val f = new java.io.File(srcDir, s"$t.parquet")
+          s"$t:${f.exists()}:${f.lastModified()}:${f.length()}"
+        }).mkString("\n")
         val dest = new java.io.File(
-          s"/tmp/graft_wh_${new java.io.File(sfDir).getName}")
+          s"/tmp/graft_wh_${srcDir.getName}_${Integer.toHexString(fingerprint.hashCode)}")
         val marker = new java.io.File(dest, "_READY")
-        if (!marker.exists()) {
+        val fresh = marker.exists() &&
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            "UTF-8") == fingerprint
+        if (!fresh) {
           val n = spark.sparkContext.defaultParallelism
           Tables.all.foreach { t =>
-            val src = new java.io.File(s"$sfDir/$t.parquet")
+            val src = new java.io.File(srcDir, s"$t.parquet")
             if (src.exists())
               // events.ts (TIMESTAMP NANOS) surfaces as a plain int64
               // under nanosAsLong and round-trips losslessly
               spark.read.parquet(src.toString).repartition(n)
-                .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+                .write.mode("overwrite").parquet(s"$dest/${t}.parquet")
           }
-          new java.io.FileOutputStream(marker).close()
+          dest.mkdirs() // no-op if a table was written; real if none were
+          java.nio.file.Files.write(marker.toPath,
+            fingerprint.getBytes("UTF-8"))
         }
         dest.toString
       }

@@ -187,20 +187,24 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val raw = child.eval(input)
     if (raw == null) return Nil
     val norm = raw.asInstanceOf[UTF8String].toString
-    val n = norm.length - k + 1
-    if (n <= 0) return Nil
     val md = java.security.MessageDigest.getInstance("MD5")
-    // md5 operates on the UTF-8 bytes of each k-CHAR gram (positions
-    // are character-based in both engines). Pure-ASCII docs hash byte
-    // slices directly; otherwise fall back to per-gram substring.
+    // Gram positions are CODE-POINT based — matching Spark's
+    // substring()/length() and the DuckDB oracle. Pure-ASCII docs
+    // (byte length == UTF-16 length ⇒ no multi-byte, no surrogates)
+    // hash UTF-8 byte slices directly; otherwise index by code point
+    // so astral characters are neither split nor double-counted.
     val bytes = norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val ascii = bytes.length == norm.length
+    val ascii = bytes.length == norm.length && !norm.exists(Character.isSurrogate)
+    val cps: Array[Int] = if (ascii) null else norm.codePoints().toArray
+    val cpLen = if (ascii) norm.length else cps.length
+    val n = cpLen - k + 1
+    if (n <= 0) return Nil
     val hashes = new Array[String](n)
     var i = 0
     while (i < n) {
       val digest =
         if (ascii) { md.update(bytes, i, k); md.digest() }
-        else md.digest(norm.substring(i, i + k)
+        else md.digest(new String(cps, i, k)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       hashes(i) = hex(digest)
       i += 1

@@ -83,7 +83,14 @@ object Dedup {
        |  FROM tok WHERE len(toks) >= 3)""".stripMargin
 
   // ---------------------------------------------------------------
-  // q45 — exact n-gram Jaccard pairs (the oracle baseline).
+  // q45 — exact n-gram Jaccard pairs (the oracle baseline), over
+  // 32-bit HASHED shingles. Collision bound: with S distinct shingles
+  // corpus-wide, P(any collision) ≈ S²/2³³ (≈8% at sf0.1's 27k
+  // shingles, and then only if the colliding pair co-occurs with a
+  // pair of docs) — standard hashed-shingling practice; the oracle
+  // hashes identically so the gate is exact. When true string-level
+  // Jaccard is required (e.g. auditing a borderline pair), compose it
+  // from [[shinglesFrom]] — the string path stays available.
   // ---------------------------------------------------------------
 
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {

@@ -95,7 +95,11 @@ object Forecast {
       .withColumn("hod", hour($"ts_utc").cast(DoubleType))
       .withColumn("sin_h", sin($"hod" * (2 * math.Pi / 24)))
       .withColumn("cos_h", cos($"hod" * (2 * math.Pi / 24)))
-      .filter($"lag24_pv".isNotNull && $"lag48_pv".isNotNull)
+      // all four lags must be present: per-term null-skipping inside
+      // the sums would otherwise assemble X'X and X'y from different
+      // row subsets and silently corrupt the fit
+      .filter($"lag24_pv".isNotNull && $"lag48_pv".isNotNull
+              && $"lag24_wind".isNotNull && $"lag48_wind".isNotNull)
 
     // Sufficient statistics for both vars in ONE pass: per var the
     // design row is x = (1, lag24, lag48, sin_h, cos_h).
@@ -110,6 +114,9 @@ object Forecast {
       xtx ++ xty :+ sum(y * y).as(s"${v}_yy")
     } :+ count(lit(1)).as("n")
     val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(row.getAs[Long]("n") > 0,
+      "forecastMl: empty training frame — every site needs > 48 hours " +
+        "of history for the seasonal lags")
     val n = row.getAs[Long]("n").toDouble
 
     def fit(v: String): (Array[Double], Double) = {

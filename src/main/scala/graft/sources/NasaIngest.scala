@@ -68,18 +68,19 @@ object NasaIngest {
     try {
       val conn = new java.net.URI(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      conn.setRequestMethod("GET")
-      val code = conn.getResponseCode
-      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
-        if (stream == null) ""
-        else try new String(stream.readAllBytes(),
-                            java.nio.charset.StandardCharsets.UTF_8)
-        finally stream.close()
-      conn.disconnect()
-      Right(code -> body)
+      try {
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        conn.setRequestMethod("GET")
+        val code = conn.getResponseCode
+        val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body =
+          if (stream == null) ""
+          else try new String(stream.readAllBytes(),
+                              java.nio.charset.StandardCharsets.UTF_8)
+          finally stream.close()
+        Right(code -> body)
+      } finally conn.disconnect() // also on timeout/reset — no fd leak
     } catch { case e: Throwable => Left(e) }
 
   /** GET `url`, propagating timeouts/transport failures and non-2xx

@@ -60,28 +60,37 @@ object UpsertWriter {
     // Constraint gate at the write boundary (the engine-side stand-in
     // for the reference DDL's CHECKs): only the INCOMING slice is
     // validated — existing rows passed the gate when they were written.
+    // The frame is persisted first so the validation aggregate and the
+    // merge write share one computation of the incoming lineage
+    // (matters per-micro-batch in the streaming path).
     val guarded =
       if (checks.isEmpty) incoming
-      else graft.schema.Validator.enforce(incoming, checks, table)
-    val merged =
-      if (fs.exists(target))
-        merge(spark.read.parquet(path), guarded, keys, versionCols)
-      else guarded
-    val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString.take(8))
-    // materializes the merge BEFORE the old version is touched
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new Path(path + ".bak")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    // Hadoop rename signals failure by returning false, not throwing —
-    // ignoring it here could delete the only surviving copy. Roll the
-    // backup back if the forward rename fails.
-    if (fs.exists(target) && !fs.rename(target, bak))
-      throw new java.io.IOException(s"upsert: cannot move $target aside")
-    if (!fs.rename(tmp, target)) {
-      if (fs.exists(bak)) fs.rename(bak, target) // restore old version
-      throw new java.io.IOException(s"upsert: cannot publish $tmp to $target")
-    }
-    fs.delete(bak, true)
+      else {
+        val cached = incoming.cache()
+        graft.schema.Validator.enforce(cached, checks, table)
+        cached
+      }
+    try {
+      val merged =
+        if (fs.exists(target))
+          merge(spark.read.parquet(path), guarded, keys, versionCols)
+        else guarded
+      val tmp = new Path(path + ".tmp-" + UUID.randomUUID().toString.take(8))
+      // materializes the merge BEFORE the old version is touched
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      val bak = new Path(path + ".bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      // Hadoop rename signals failure by returning false, not throwing —
+      // ignoring it here could delete the only surviving copy. Roll the
+      // backup back if the forward rename fails.
+      if (fs.exists(target) && !fs.rename(target, bak))
+        throw new java.io.IOException(s"upsert: cannot move $target aside")
+      if (!fs.rename(tmp, target)) {
+        if (fs.exists(bak)) fs.rename(bak, target) // restore old version
+        throw new java.io.IOException(s"upsert: cannot publish $tmp to $target")
+      }
+      fs.delete(bak, true)
+    } finally if (checks.nonEmpty) guarded.unpersist()
   }
 
   /** Partition-pruned upsert: the store is laid out
@@ -97,27 +106,31 @@ object UpsertWriter {
                         table: String = "upsert-target"): Unit = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    val guarded =
-      if (checks.isEmpty) incoming
-      else graft.schema.Validator.enforce(incoming, checks, table)
-    if (!fs.exists(target)) {
-      guarded.write.partitionBy(partitionCol).parquet(path)
-    } else {
-      val touched = guarded.select(partitionCol).distinct()
-        .collect().map(_.get(0)).toSeq
-      // partition filter prunes the scan to touched partitions only
-      val existingSlice = spark.read.parquet(path)
-        .filter(col(partitionCol).isin(touched: _*))
-      val merged = merge(existingSlice, guarded, keys, versionCols)
-      // stage: the merge reads the partitions we are about to rewrite
-      val tmp = new Path(path + ".stage-" + UUID.randomUUID().toString.take(8))
-      merged.write.parquet(tmp.toString)
-      spark.read.parquet(tmp.toString)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCol)
-        .parquet(path)
-      fs.delete(tmp, true)
-    }
+    // the incoming lineage feeds the CHECK aggregate, the touched-
+    // partition listing, AND the merge — persist it once
+    val guarded = incoming.cache()
+    try {
+      if (checks.nonEmpty)
+        graft.schema.Validator.enforce(guarded, checks, table)
+      if (!fs.exists(target)) {
+        guarded.write.partitionBy(partitionCol).parquet(path)
+      } else {
+        val touched = guarded.select(partitionCol).distinct()
+          .collect().map(_.get(0)).toSeq
+        // partition filter prunes the scan to touched partitions only
+        val existingSlice = spark.read.parquet(path)
+          .filter(col(partitionCol).isin(touched: _*))
+        val merged = merge(existingSlice, guarded, keys, versionCols)
+        // stage: the merge reads the partitions we are about to rewrite
+        val tmp = new Path(path + ".stage-" + UUID.randomUUID().toString.take(8))
+        merged.write.parquet(tmp.toString)
+        spark.read.parquet(tmp.toString)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+        fs.delete(tmp, true)
+      }
+    } finally guarded.unpersist()
   }
 }

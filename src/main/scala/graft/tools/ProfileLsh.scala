@@ -20,8 +20,8 @@ object ProfileLsh {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val shd = Dedup.shingles(spark, dir).cache()
-    time("shingles count")(shd.count())
+    time("shingle fps count")(Dedup.shingleFps(spark, dir).count())
+    spark.catalog.clearCache()
     time("signatures count")(Dedup.minhashSignatures(spark, dir).count())
     spark.catalog.clearCache()
     time("full q47 (1st)")(Dedup.lshNearDupPairs(spark, dir).count())

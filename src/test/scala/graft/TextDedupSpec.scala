@@ -84,6 +84,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(corpus(10))).count() === 45)
   }
 
+  test("winnow generator: code-point parity with the declarative plan on non-BMP text") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextExpressions.register(spark)
+    val docs = Seq(
+      (1L, "ab😀cdef ghij 🎉klm nop qrs"), // astral chars
+      (2L, "tiny"),                                            // < k code points
+      (3L, "Exactly eight plus more normal ascii text here"))
+      .toDF("doc_id", "text")
+    val norm = docs.select($"doc_id",
+      regexp_replace(lower(trim($"text")), "\\s+", " ").as("norm"))
+    val gen = norm
+      .select($"doc_id", expr("graft_winnow(norm, 8, 4)").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the declarative reference: code-point positions via Spark's own
+    // substring/length (same semantics as the DuckDB oracle)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 3)
+    val ref = norm.filter(length($"norm") >= 8)
+      .select($"doc_id", $"norm",
+        explode(sequence(lit(1), length($"norm") - 7)).as("pos"))
+      .select($"doc_id", $"pos",
+        md5(expr("substring(norm, pos, 8)").cast("binary")).as("h"))
+      .withColumn("fp", min($"h").over(w))
+      .select($"doc_id", $"fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gen === ref)
+    assert(gen.exists(_._1 == 1L) && !gen.exists(_._1 == 2L))
+  }
+
   test("simhash: near-dup pairs collide, signature is 32 bits") {
     val sims = Dedup.simhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
