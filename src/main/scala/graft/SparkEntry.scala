@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_regex_tokens"      -> (TextOps.regexTokens(_, _)),
     "q54_ivf_topk"          -> (VectorOps.ivfTopK(_, _)),
     "q55_winnow_fp"         -> (Dedup.winnowFingerprints(_, _)),
+    "q56_simhash_pairs"     -> (Dedup.simhashPairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -128,6 +129,7 @@ object SparkEntry {
     "q53_regex_tokens"      -> TextOps.regexTokensSql,
     "q54_ivf_topk"          -> VectorOps.ivfTopKSql,
     "q55_winnow_fp"         -> Dedup.winnowFingerprintsSql,
+    "q56_simhash_pairs"     -> Dedup.simhashPairsSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

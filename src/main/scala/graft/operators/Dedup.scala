@@ -293,7 +293,9 @@ object Dedup {
   // bit string by per-hex-position majority vote over shingle hashes.
   // ---------------------------------------------------------------
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Signatures without the presentation sort — shared by q48 and the
+    * q56 pairing path. */
+  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     // One wide conditional aggregate (32 vote sums, map-side combined,
     // fully codegen'd) instead of a 32× explode + two shuffles + object
     // aggregate — same result, linear single-pass shape.
@@ -307,7 +309,95 @@ object Dedup {
       .select($"doc_id", concat(
         (1 to 32).map(p => when(col(s"v$p") > 0, "1").otherwise("0")): _*)
         .as("simhash"))
-      .orderBy($"doc_id")
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy($"doc_id")
+
+  // ---------------------------------------------------------------
+  // q56 — SimHash near-dup PAIRS via bit-sampling (Hamming) LSH: band
+  // the 32-bit signature into 4 bytes; docs sharing any byte are
+  // candidates; verify true Hamming distance ≤ HammingMax. Pigeonhole
+  // gives FULL recall at this radius: ≤3 differing bits cannot touch
+  // all 4 bands, so every qualifying pair shares at least one band.
+  // Same mega-bucket guard as q47 (a degenerate corpus is exact-dedup
+  // territory, not LSH territory).
+  // ---------------------------------------------------------------
+
+  val HammingMax = 3
+  val SimhashBands = 4
+  val SimhashBandBits = 8
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simhashSigs(spark, dir)
+    val bandStructs = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band_id"),
+        expr(s"substring(simhash, ${b * SimhashBandBits + 1}, $SimhashBandBits)")
+          .as("band_val"))
+    }
+    val bands = sims
+      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bnd"))
+      .select($"doc_id", $"simhash",
+        $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
+      .cache()
+    val oversized = bands.groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
+      .select($"band_id", $"band_val")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("band_id", "band_val"), "left_anti")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"), Seq("band_id", "band_val"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"x.simhash".as("sig_a"),
+              $"y.doc_id".as("doc_b"), $"y.simhash".as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("matches", expr(
+        "size(filter(sequence(1, 32), p -> substring(sig_a, p, 1) = substring(sig_b, p, 1)))"))
+      .select($"doc_a", $"doc_b",
+        (lit(32) - $"matches").cast(LongType).as("hamming"))
+      .filter($"hamming" <= HammingMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashPairsSql: String = {
+    val bandValues = (0 until SimhashBands).map(b => s"($b)").mkString(", ")
+    val matches =
+      """len(list_filter(generate_series(1, 32),
+        |      p -> substring(sig_a, CAST(p AS INTEGER), 1)
+        |           = substring(sig_b, CAST(p AS INTEGER), 1)))""".stripMargin
+    s"""WITH ${shinglesCte()},
+       |votes AS (
+       |  SELECT doc_id, p,
+       |    SUM(CASE WHEN substring(md5(s), CAST(p AS INTEGER), 1) >= '8'
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM shd, (SELECT unnest(generate_series(1, 32)) AS p)
+       |  GROUP BY doc_id, p),
+       |sims AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |      AS simhash
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, simhash, band_id,
+       |    substring(simhash, band_id * $SimhashBandBits + 1, $SimhashBandBits)
+       |      AS band_val
+       |  FROM sims, (VALUES $bandValues) AS b(band_id)),
+       |pruned AS (
+       |  SELECT doc_id, simhash, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
+       |    FROM bands)
+       |  WHERE bn <= $MaxBucketDocs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sig_a,
+       |                  y.doc_id AS doc_b, y.simhash AS sig_b
+       |  FROM pruned x JOIN pruned y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(32 - $matches AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE 32 - $matches <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   private def voteSum(p: Int): Column =

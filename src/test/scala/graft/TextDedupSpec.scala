@@ -84,6 +84,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(corpus(10))).count() === 45)
   }
 
+  test("simhash pairs: full recall at Hamming ≤ 3 (pigeonhole over 4 bands)") {
+    val sims = Dedup.simhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // brute-force ground truth over all signature pairs
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      (a, sa) = sims(i); (b, sb) = sims(j)
+      h = sa.zip(sb).count { case (x, y) => x != y }
+      if h <= Dedup.HammingMax
+    } yield (math.min(a, b), math.max(a, b), h.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      "≤3 differing bits cannot touch all 4 bands — recall must be total")
+    assert(expected.nonEmpty, "fixture near-dups should collide")
+  }
+
   test("winnow generator: code-point parity with the declarative plan on non-BMP text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
