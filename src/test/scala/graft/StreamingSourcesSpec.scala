@@ -45,6 +45,22 @@ class UpsertWriterSpec extends AnyFunSuite {
     assert(snap1 === snap2)
   }
 
+  test("upsert: CHECK-violating incoming batch is rejected and the store is untouched") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    val checks = Seq(graft.schema.Schemas.Check("v_nonneg", col("v") < 0))
+    UpsertWriter.upsert(spark, path, kv(("a", 1, 1.0)), Seq("k"), Seq("version"),
+      checks = checks, table = "t")
+    val before = spark.read.parquet(path).collect().toSeq
+    val bad = kv(("a", 2, -5.0))
+    intercept[graft.schema.Validator.ConstraintViolation] {
+      UpsertWriter.upsert(spark, path, bad, Seq("k"), Seq("version"),
+        checks = checks, table = "t")
+    }
+    assert(spark.read.parquet(path).collect().toSeq === before,
+      "failed validation must not modify the published table")
+  }
+
   test("upsert: late newer data overwrites, late older data is ignored") {
     val path = Files.createTempDirectory("graft-ups-").toString + "/t"
     UpsertWriter.upsert(spark, path, kv(("a", 5, 1.0)), Seq("k"), Seq("version"))
