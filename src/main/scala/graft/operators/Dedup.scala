@@ -328,16 +328,32 @@ object Dedup {
   val SimhashBands = 4
   val SimhashBandBits = 8
 
+  /** The signature PACKED into one long (bit 32−p set iff vote v_p>0 —
+    * the same bits q48 renders as a 0/1 string). Banding becomes
+    * shift+mask and the Hamming verify becomes bit_count(xor) — all
+    * integer ops, in both engines. */
+  private def simhashLongSigs(spark: SparkSession, dir: String): DataFrame = {
+    val votes = shingles(spark, dir)
+      .withColumn("h", md5($"s".cast(BinaryType)))
+      .groupBy($"doc_id")
+      .agg(
+        voteSum(1).as("v1"),
+        (2 to 32).map(p => voteSum(p).as(s"v$p")): _*)
+    val sig = (1 to 32)
+      .map(p => when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L))
+      .reduce(_ + _)
+    votes.select($"doc_id", sig.as("sig"))
+  }
+
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhashSigs(spark, dir)
+    val sims = simhashLongSigs(spark, dir)
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band_id"),
-        expr(s"substring(simhash, ${b * SimhashBandBits + 1}, $SimhashBandBits)")
-          .as("band_val"))
+        (shiftright($"sig", b * SimhashBandBits) % 256).as("band_val"))
     }
     val bands = sims
-      .select($"doc_id", $"simhash", explode(array(bandStructs: _*)).as("bnd"))
-      .select($"doc_id", $"simhash",
+      .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bnd"))
+      .select($"doc_id", $"sig",
         $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
       .cache()
     val oversized = bands.groupBy($"band_id", $"band_val")
@@ -348,24 +364,18 @@ object Dedup {
     val cand = pruned.as("x")
       .join(pruned.as("y"), Seq("band_id", "band_val"))
       .filter($"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"x.simhash".as("sig_a"),
-              $"y.doc_id".as("doc_b"), $"y.simhash".as("sig_b"))
+      .select($"x.doc_id".as("doc_a"), $"x.sig".as("sig_a"),
+              $"y.doc_id".as("doc_b"), $"y.sig".as("sig_b"))
       .distinct()
     cand
-      .withColumn("matches", expr(
-        "size(filter(sequence(1, 32), p -> substring(sig_a, p, 1) = substring(sig_b, p, 1)))"))
       .select($"doc_a", $"doc_b",
-        (lit(32) - $"matches").cast(LongType).as("hamming"))
+        expr("bit_count(sig_a ^ sig_b)").cast(LongType).as("hamming"))
       .filter($"hamming" <= HammingMax)
       .orderBy($"doc_a", $"doc_b")
   }
 
   val simhashPairsSql: String = {
     val bandValues = (0 until SimhashBands).map(b => s"($b)").mkString(", ")
-    val matches =
-      """len(list_filter(generate_series(1, 32),
-        |      p -> substring(sig_a, CAST(p AS INTEGER), 1)
-        |           = substring(sig_b, CAST(p AS INTEGER), 1)))""".stripMargin
     s"""WITH ${shinglesCte()},
        |votes AS (
        |  SELECT doc_id, p,
@@ -375,28 +385,27 @@ object Dedup {
        |  GROUP BY doc_id, p),
        |sims AS (
        |  SELECT doc_id,
-       |    string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
-       |      AS simhash
+       |    SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << (32 - p)
+       |             ELSE 0 END) AS sig
        |  FROM votes GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, simhash, band_id,
-       |    substring(simhash, band_id * $SimhashBandBits + 1, $SimhashBandBits)
-       |      AS band_val
+       |  SELECT doc_id, sig, band_id,
+       |    (sig >> (band_id * $SimhashBandBits)) % 256 AS band_val
        |  FROM sims, (VALUES $bandValues) AS b(band_id)),
        |pruned AS (
-       |  SELECT doc_id, simhash, band_id, band_val FROM (
+       |  SELECT doc_id, sig, band_id, band_val FROM (
        |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
        |    FROM bands)
        |  WHERE bn <= $MaxBucketDocs),
        |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sig_a,
-       |                  y.doc_id AS doc_b, y.simhash AS sig_b
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sig AS sig_a,
+       |                  y.doc_id AS doc_b, y.sig AS sig_b
        |  FROM pruned x JOIN pruned y
        |    ON x.band_id = y.band_id AND x.band_val = y.band_val
        |   AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b, CAST(32 - $matches AS BIGINT) AS hamming
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
        |FROM cand
-       |WHERE 32 - $matches <= $HammingMax
+       |WHERE bit_count(xor(sig_a, sig_b)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
