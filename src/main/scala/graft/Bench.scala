@@ -21,6 +21,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
       .appName("graft-bench")
       // Small-SF local-mode posture: at sub-GB inputs AQE's per-stage
       // re-optimization barriers and wide shuffles are pure overhead

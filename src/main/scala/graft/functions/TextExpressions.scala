@@ -252,40 +252,38 @@ object TextExpressions {
       s"$fn $name must be a literal, not a column")
   }
 
-  /** Register `graft_shingles(text, k)` and `graft_winnow(norm, k, w)`
-    * (idempotent, per-session). Literal params are validated here so
-    * SQL callers get an analysis-time message, not a
+  /** Builders shared by per-session registration and the
+    * [[graft.GraftExtensions]] injection path. Literal params are
+    * validated here so SQL callers get an analysis-time message, not a
     * ClassCastException. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_shingles" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_shingles(text, k) expects 2 arguments, got ${exprs.length}")
+      WordShingles(exprs.head, intLit("graft_shingles", "k", exprs(1)))
+    },
+    "graft_shingle_fps" -> { exprs =>
+      require(exprs.length == 2,
+        s"graft_shingle_fps(text, k) expects 2 arguments, got ${exprs.length}")
+      ShingleFingerprints(exprs.head,
+        intLit("graft_shingle_fps", "k", exprs(1)))
+    },
+    "graft_winnow" -> { exprs =>
+      require(exprs.length == 3,
+        s"graft_winnow(norm, k, w) expects 3 arguments, got ${exprs.length}")
+      WinnowFingerprints(exprs.head,
+        intLit("graft_winnow", "k", exprs(1)),
+        intLit("graft_winnow", "w", exprs(2)))
+    })
+
+  /** Register the text generators (idempotent, per-session). */
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")))
       return
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles",
-      { exprs =>
-        require(exprs.length == 2,
-          s"graft_shingles(text, k) expects 2 arguments, got ${exprs.length}")
-        WordShingles(exprs.head, intLit("graft_shingles", "k", exprs(1)))
-      },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_fps",
-      { exprs =>
-        require(exprs.length == 2,
-          s"graft_shingle_fps(text, k) expects 2 arguments, got ${exprs.length}")
-        ShingleFingerprints(exprs.head,
-          intLit("graft_shingle_fps", "k", exprs(1)))
-      },
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow",
-      { exprs =>
-        require(exprs.length == 3,
-          s"graft_winnow(norm, k, w) expects 3 arguments, got ${exprs.length}")
-        WinnowFingerprints(exprs.head,
-          intLit("graft_winnow", "k", exprs(1)),
-          intLit("graft_winnow", "w", exprs(2)))
-      },
-      "scala_udf")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

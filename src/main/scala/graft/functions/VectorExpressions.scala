@@ -134,6 +134,13 @@ case class L2Norm(child: Expression)
 }
 
 object VectorExpressions {
+  /** Builders shared by per-session registration and the
+    * [[graft.GraftExtensions]] injection path. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_sqdist" -> (exprs => SquaredDistance(exprs(0), exprs(1))),
+    "graft_l2norm" -> (exprs => L2Norm(exprs.head)))
+
   /** Register the kernels as SQL functions (idempotent, per-session).
     * Callers then use `expr("graft_dot(a, b)")` — the registry route
     * works across the Spark 4 Column API without touching internals. */
@@ -143,11 +150,8 @@ object VectorExpressions {
     // and rebuilt the builder closure 3× per vector query
     if (reg.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sqdist",
-      exprs => SquaredDistance(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_l2norm",
-      exprs => L2Norm(exprs.head), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions wiring: the TestSpark session is built with
+  * `.withExtensions(new GraftExtensions)`, so every graft SQL function
+  * must resolve in pure SQL with no graft API call preceding it — the
+  * `spark.sql.extensions=graft.GraftExtensions` deployment story. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("vector kernels resolve in pure SQL via the session extension") {
+    assert(spark.sql("SELECT graft_l2norm(array(3.0D, 4.0D))")
+      .collect()(0).getDouble(0) === 5.0)
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .collect()(0).getDouble(0) === 11.0)
+    assert(spark.sql("SELECT graft_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+      .collect()(0).getDouble(0) === 25.0)
+  }
+
+  test("text generators resolve in pure SQL via the session extension") {
+    val shingles = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS s").collect().map(_.getString(0))
+    assert(shingles.toSeq === Seq("a b c", "b c d"))
+    val fps = spark.sql(
+      "SELECT graft_shingle_fps('a b c d', 3) AS fp").collect().map(_.getLong(0))
+    assert(fps.length === 2 && fps.forall(f => f >= 0 && f < (1L << 32)))
+    val wfp = spark.sql(
+      "SELECT graft_winnow('abcdefghij', 8, 4) AS fp").collect().map(_.getString(0))
+    assert(wfp.nonEmpty && wfp.forall(_.matches("[0-9a-f]{32}")))
+  }
+
+  test("arity/literal validation surfaces at analysis time") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_winnow('abc', 8, -1)").collect()
+    }
+  }
+}
