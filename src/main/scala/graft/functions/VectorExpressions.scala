@@ -136,10 +136,21 @@ case class L2Norm(child: Expression)
 object VectorExpressions {
   /** Builders shared by per-session registration and the
     * [[graft.GraftExtensions]] injection path. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument${if (n == 1) "" else "s"}, got ${exprs.length}")
+      build(exprs)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "graft_sqdist" -> (exprs => SquaredDistance(exprs(0), exprs(1))),
-    "graft_l2norm" -> (exprs => L2Norm(exprs.head)))
+    "graft_dot" -> arity("graft_dot(a, b)", 2)(
+      exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_sqdist" -> arity("graft_sqdist(a, b)", 2)(
+      exprs => SquaredDistance(exprs(0), exprs(1))),
+    "graft_l2norm" -> arity("graft_l2norm(a)", 1)(
+      exprs => L2Norm(exprs.head)))
 
   /** Register the kernels as SQL functions (idempotent, per-session).
     * Callers then use `expr("graft_dot(a, b)")` — the registry route

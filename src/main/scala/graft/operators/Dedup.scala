@@ -293,63 +293,59 @@ object Dedup {
   // bit string by per-hex-position majority vote over shingle hashes.
   // ---------------------------------------------------------------
 
-  /** Signatures without the presentation sort — shared by q48 and the
-    * q56 pairing path. */
-  private def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    // One wide conditional aggregate (32 vote sums, map-side combined,
-    // fully codegen'd) instead of a 32× explode + two shuffles + object
-    // aggregate — same result, linear single-pass shape.
-    val votes = shingles(spark, dir)
+  /** The 32 per-bit vote sums, one row per doc — one wide conditional
+    * aggregate (map-side combined, fully codegen'd) instead of a 32×
+    * explode + two shuffles + object aggregate. Shared by the q48
+    * string rendering and the q56 packed-long rendering. */
+  private def simhashVotes(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
       .withColumn("h", md5($"s".cast(BinaryType)))
       .groupBy($"doc_id")
       .agg(
         voteSum(1).as("v1"),
         (2 to 32).map(p => voteSum(p).as(s"v$p")): _*)
-    votes
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashVotes(spark, dir)
       .select($"doc_id", concat(
         (1 to 32).map(p => when(col(s"v$p") > 0, "1").otherwise("0")): _*)
         .as("simhash"))
-  }
-
-  def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashSigs(spark, dir).orderBy($"doc_id")
+      .orderBy($"doc_id")
 
   // ---------------------------------------------------------------
   // q56 — SimHash near-dup PAIRS via bit-sampling (Hamming) LSH: band
   // the 32-bit signature into 4 bytes; docs sharing any byte are
   // candidates; verify true Hamming distance ≤ HammingMax. Pigeonhole
-  // gives FULL recall at this radius: ≤3 differing bits cannot touch
-  // all 4 bands, so every qualifying pair shares at least one band.
-  // Same mega-bucket guard as q47 (a degenerate corpus is exact-dedup
-  // territory, not LSH territory).
+  // gives full recall at this radius — ≤3 differing bits cannot touch
+  // all 4 bands — WHILE no band bucket exceeds MaxBucketDocs: with
+  // only 2^8 buckets per band, buckets fill as the corpus grows
+  // (~16k docs for a uniform 32-bit signature), and the guard then
+  // trades recall for boundedness. The parameters are fixture-scaled;
+  // at production scale the same packed-integer plumbing carries a
+  // 64-bit simhash with 4×16-bit bands (2^16 buckets/band), which
+  // keeps buckets sparse into the hundreds of millions of docs.
   // ---------------------------------------------------------------
 
   val HammingMax = 3
   val SimhashBands = 4
   val SimhashBandBits = 8
-
-  /** The signature PACKED into one long (bit 32−p set iff vote v_p>0 —
-    * the same bits q48 renders as a 0/1 string). Banding becomes
-    * shift+mask and the Hamming verify becomes bit_count(xor) — all
-    * integer ops, in both engines. */
-  private def simhashLongSigs(spark: SparkSession, dir: String): DataFrame = {
-    val votes = shingles(spark, dir)
-      .withColumn("h", md5($"s".cast(BinaryType)))
-      .groupBy($"doc_id")
-      .agg(
-        voteSum(1).as("v1"),
-        (2 to 32).map(p => voteSum(p).as(s"v$p")): _*)
-    val sig = (1 to 32)
-      .map(p => when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L))
-      .reduce(_ + _)
-    votes.select($"doc_id", sig.as("sig"))
-  }
+  require(SimhashBands * SimhashBandBits == 32,
+    "simhash bands must tile the 32-bit signature")
+  private val BandMask = (1L << SimhashBandBits) - 1
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simhashLongSigs(spark, dir)
+    // signature packed into one long (bit 32−p set iff vote v_p>0 —
+    // the same bits q48 renders as a 0/1 string): banding becomes
+    // shift+mask and the Hamming verify becomes bit_count(xor) — all
+    // integer ops, in both engines
+    val sigCol = (1 to 32)
+      .map(p => when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L))
+      .reduce(_ + _)
+    val sims = simhashVotes(spark, dir).select($"doc_id", sigCol.as("sig"))
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band_id"),
-        (shiftright($"sig", b * SimhashBandBits) % 256).as("band_val"))
+        (shiftright($"sig", b * SimhashBandBits) % lit(BandMask + 1))
+          .as("band_val"))
     }
     val bands = sims
       .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bnd"))
@@ -390,7 +386,7 @@ object Dedup {
        |  FROM votes GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, sig, band_id,
-       |    (sig >> (band_id * $SimhashBandBits)) % 256 AS band_val
+       |    (sig >> (band_id * $SimhashBandBits)) % ${BandMask + 1} AS band_val
        |  FROM sims, (VALUES $bandValues) AS b(band_id)),
        |pruned AS (
        |  SELECT doc_id, sig, band_id, band_val FROM (

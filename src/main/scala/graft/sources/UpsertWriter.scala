@@ -62,15 +62,12 @@ object UpsertWriter {
     // validated — existing rows passed the gate when they were written.
     // The frame is persisted first so the validation aggregate and the
     // merge write share one computation of the incoming lineage
-    // (matters per-micro-batch in the streaming path).
-    val guarded =
-      if (checks.isEmpty) incoming
-      else {
-        val cached = incoming.cache()
-        graft.schema.Validator.enforce(cached, checks, table)
-        cached
-      }
+    // (matters per-micro-batch in the streaming path); enforce runs
+    // INSIDE the try so a rejected batch still unpersists its cache.
+    val guarded = if (checks.isEmpty) incoming else incoming.cache()
     try {
+      if (checks.nonEmpty)
+        graft.schema.Validator.enforce(guarded, checks, table)
       val merged =
         if (fs.exists(target))
           merge(spark.read.parquet(path), guarded, keys, versionCols)

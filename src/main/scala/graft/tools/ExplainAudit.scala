@@ -11,7 +11,8 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q04_recent_n", "q05_region_revenue", "q07_exists_big_orders",
-               "q21_silver_clean", "q49_cosine_topk")
+               "q21_silver_clean", "q36_mart_kpis", "q47_lsh_near_dups",
+               "q49_cosine_topk", "q55_winnow_fp", "q56_simhash_pairs")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,41 +1,48 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** GraftExtensions wiring: the TestSpark session is built with
-  * `.withExtensions(new GraftExtensions)`, so every graft SQL function
-  * must resolve in pure SQL with no graft API call preceding it — the
-  * `spark.sql.extensions=graft.GraftExtensions` deployment story. */
+/** GraftExtensions wiring, tested on an ISOLATED `newSession()`: a new
+  * session starts with a fresh temp-function registry (so functions
+  * registered by other suites' operator calls cannot leak in) but
+  * re-applies the builder's SparkSessionExtensions — exactly the
+  * `spark.sql.extensions=graft.GraftExtensions` deployment story where
+  * pure-SQL users never call a graft API first. */
 class ExtensionsSpec extends AnyFunSuite {
-  import TestSpark._
+
+  private lazy val fresh: SparkSession = TestSpark.spark.newSession()
 
   test("vector kernels resolve in pure SQL via the session extension") {
-    assert(spark.sql("SELECT graft_l2norm(array(3.0D, 4.0D))")
+    assert(fresh.sql("SELECT graft_l2norm(array(3.0D, 4.0D))")
       .collect()(0).getDouble(0) === 5.0)
-    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+    assert(fresh.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
       .collect()(0).getDouble(0) === 11.0)
-    assert(spark.sql("SELECT graft_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D))")
+    assert(fresh.sql("SELECT graft_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D))")
       .collect()(0).getDouble(0) === 25.0)
   }
 
   test("text generators resolve in pure SQL via the session extension") {
-    val shingles = spark.sql(
+    val shingles = fresh.sql(
       "SELECT graft_shingles('a b c d', 3) AS s").collect().map(_.getString(0))
     assert(shingles.toSeq === Seq("a b c", "b c d"))
-    val fps = spark.sql(
+    val fps = fresh.sql(
       "SELECT graft_shingle_fps('a b c d', 3) AS fp").collect().map(_.getLong(0))
     assert(fps.length === 2 && fps.forall(f => f >= 0 && f < (1L << 32)))
-    val wfp = spark.sql(
+    val wfp = fresh.sql(
       "SELECT graft_winnow('abcdefghij', 8, 4) AS fp").collect().map(_.getString(0))
     assert(wfp.nonEmpty && wfp.forall(_.matches("[0-9a-f]{32}")))
   }
 
   test("arity/literal validation surfaces at analysis time") {
     intercept[Exception] {
-      spark.sql("SELECT graft_shingles('a b c')").collect()
+      fresh.sql("SELECT graft_shingles('a b c')").collect()
     }
     intercept[Exception] {
-      spark.sql("SELECT graft_winnow('abc', 8, -1)").collect()
+      fresh.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    intercept[Exception] {
+      fresh.sql("SELECT graft_winnow('abc', 8, -1)").collect()
     }
   }
 }

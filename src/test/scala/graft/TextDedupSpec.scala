@@ -84,7 +84,11 @@ class TextDedupSpec extends AnyFunSuite {
     assert(Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(corpus(10))).count() === 45)
   }
 
-  test("simhash pairs: full recall at Hamming ≤ 3 (pigeonhole over 4 bands)") {
+  test("simhash pairs: full recall at Hamming ≤ 3 while buckets are under the cap") {
+    // pigeonhole over 4 bands guarantees recall only while no band
+    // bucket exceeds MaxBucketDocs — true at fixture scale (asserted
+    // by equality below); beyond it the guard trades recall for
+    // boundedness (see Dedup.scala q56 notes)
     val sims = Dedup.simhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     // brute-force ground truth over all signature pairs
