@@ -46,7 +46,7 @@ object SparkEntry {
     "q24_site_metrics"      -> (Weather.siteMetrics(_, _)),
     "q25_site_means"        -> (Weather.siteMeans(_, _)),
     "q26_aligned_series"    -> (Weather.alignedSeries(_, _)),
-    "q27_gold_features"     -> (Weather.goldFeatures(_, _)),
+    "q27_gold_features"     -> (Weather.goldFeaturesMart(_, _)),
     "q28_gold_kpis"         -> (Weather.goldKpis(_, _)),
     "q29_forecast_baseline" -> (Weather.forecastBaseline(_, _)),
     "q30_forecast_ml"       -> (Forecast.forecastMl(_, _)),

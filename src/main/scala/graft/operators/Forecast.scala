@@ -85,7 +85,8 @@ object Forecast {
     val w = Window.partitionBy($"site").orderBy($"ts_utc")
     val hist = gold
       .select($"site", $"ts_utc",
-        $"pv_est_mwh".as("y_pv"), $"wind_est_mwh".as("y_wind"))
+        $"pv_est_mwh".as("y_pv"), $"wind_est_mwh".as("y_wind"),
+        $"computed_at")
       .cache()
     val train = hist
       .withColumn("lag24_pv", lag($"y_pv", 24).over(w))
@@ -139,9 +140,13 @@ object Forecast {
     // Horizon frame: for h ≤ 24 the lag-24 feature is the observed
     // y(T+h-24); for h in 25..48 it falls back to y(T+h-48) (the same
     // direct-forecast trick SARIMAX deployments use past one season).
-    val lastHour = hist.groupBy($"site").agg(max($"ts_utc").as("t_max"))
+    // created_at (init.sql:72): deterministic "forecast built from data
+    // as of X" — the newest audit stamp among the site's history
+    val lastHour = hist.groupBy($"site")
+      .agg(max($"ts_utc").as("t_max"),
+           max($"computed_at").as("created_at"))
     val horizons = lastHour
-      .select($"site", $"t_max",
+      .select($"site", $"t_max", $"created_at",
         explode(sequence(lit(1), lit(Horizons))).as("h"))
       .withColumn("target_ts", expr("timestampadd(HOUR, h, t_max)"))
       .withColumn("lag_step", when($"h" <= 24, 24).otherwise(48))
@@ -167,11 +172,15 @@ object Forecast {
           $"site", $"target_ts".as("ts_utc"),
           lit("sarimax").as("model"), lit(v).as("var"),
           $"h".cast(IntegerType).as("horizon_h"),
-          greatest(lit(0.0), pred).as("yhat"))
+          greatest(lit(0.0), pred).as("yhat"), $"created_at")
         .withColumn("yhat_lower", greatest(lit(0.0), $"yhat" - 1.96 * rmse))
         .withColumn("yhat_upper", $"yhat" + 1.96 * rmse)
+        .select($"site", $"ts_utc", $"model", $"var", $"horizon_h",
+                $"yhat", $"yhat_lower", $"yhat_upper", $"created_at")
     }
-    perVar.reduce(_ unionByName _)
+    val out = perVar.reduce(_ unionByName _).cache()
+    graft.schema.Validator
+      .enforce(out, graft.schema.Schemas.martForecastChecks, "mart_forecast")
       .orderBy($"site", $"var", $"horizon_h")
   }
 }

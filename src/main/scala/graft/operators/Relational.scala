@@ -402,26 +402,28 @@ object Relational {
 
   /** q15 — set operations (INTERSECT / EXCEPT): customers who buy in
     * both the BUILDING and MACHINERY segments' order pools vs only the
-    * first. Both engines implement set ops as distinct-based joins;
-    * the pre-sorted distinct output hash-matches directly. */
+    * first. INTERSECT and EXCEPT are distinct-based set ops, so both
+    * reduce to membership flags over the distinct key space: ONE
+    * customer⋈orders join feeding ONE hash aggregate that tracks
+    * per-segment membership, from which both set results fall out as
+    * filters. The naive form (materialize each side, then
+    * intersect + except) scans the join twice and shuffles four times;
+    * this shape is what a 100 TB set-op should compile to. Parity with
+    * real INTERSECT/EXCEPT is pinned in RelationalSpec. */
   def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
-    // each side feeds BOTH set operations — cache the (small) nationkey
-    // sets so the customer⋈orders join runs once per segment, not twice
-    def buyers(segment: String) =
-      c.filter($"c_mktsegment" === segment)
-        .join(o, $"c_custkey" === $"o_custkey")
-        .filter($"o_totalprice" > 300000.0)
-        .select($"c_nationkey")
-        .cache()
-    val b = buyers("BUILDING")
-    val m = buyers("MACHINERY")
-    val both = b.intersect(m)
-      .withColumn("set_op", lit("intersect"))
-    val onlyBuilding = b.except(m)
-      .withColumn("set_op", lit("except"))
-    both.unionByName(onlyBuilding)
+    val flags = c.filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .join(o, $"c_custkey" === $"o_custkey")
+      .filter($"o_totalprice" > 300000.0)
+      .groupBy($"c_nationkey")
+      .agg(
+        max(($"c_mktsegment" === "BUILDING").cast("int")).as("in_b"),
+        max(($"c_mktsegment" === "MACHINERY").cast("int")).as("in_m"))
+    flags.select($"c_nationkey",
+        when($"in_b" === 1 && $"in_m" === 1, lit("intersect"))
+          .when($"in_b" === 1, lit("except")).as("set_op"))
+      .filter($"set_op".isNotNull)
       .orderBy($"set_op", $"c_nationkey")
   }
 

@@ -105,30 +105,36 @@ object TextOps {
     "fr" -> "row", "fr" -> "sort",
     "zh" -> "hash", "zh" -> "merge")
 
-  /** q42 — language identification: explode tokens, join the marker
-    * profile (broadcast — it is tiny), score per language, argmax with
-    * deterministic tiebreak. */
+  /** q42 — language identification: per-language marker-hit counts as
+    * pure row-local array expressions, argmax via `array_max` over
+    * (hits, -langIndex) structs. Zero shuffles (the old shape —
+    * explode → broadcast-join → groupBy → window — paid two exchanges
+    * to count occurrences the token array already holds; at 100 TB
+    * the explode alone would multiply the scan by tokens-per-doc).
+    * Tiebreak matches the old window (highest hits, then
+    * lexicographically smallest language): languages are indexed in
+    * sorted order and the struct max picks the LARGEST -index =
+    * smallest index on equal hits. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val markers = spark.createDataFrame(LangMarkers)
-      .toDF("cand_lang", "marker")
-    val scores = docs
-      .select($"doc_id", explode(tokens($"text")).as("token"))
-      .join(broadcast(markers), $"token" === $"marker")
-      .groupBy($"doc_id", $"cand_lang")
-      .agg(count(lit(1)).as("hits"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id")
-      .orderBy($"hits".desc, $"cand_lang".asc)
-    val best = scores
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"cand_lang".as("predicted_lang"), $"hits")
-    docs.select($"doc_id", $"lang")
-      .join(best, Seq("doc_id"), "left_outer")
+    val langs = LangMarkers.map(_._1).distinct.sorted
+    val candidates = array(langs.zipWithIndex.map { case (l, i) =>
+      val ms = LangMarkers.filter(_._1 == l)
+        .map(m => s"'${m._2}'").mkString(", ")
+      struct(
+        expr(s"size(filter(toks, x -> x IN ($ms)))")
+          .cast(LongType).as("hits"),
+        lit(-i).as("nri"))
+    }: _*)
+    val langNames = array(langs.map(lit): _*)
+    docs
+      .withColumn("toks", tokens($"text"))
+      .withColumn("best", array_max(candidates))
       .select($"doc_id", $"lang",
-        coalesce($"predicted_lang", lit("unknown")).as("predicted_lang"),
-        coalesce($"hits", lit(0L)).as("marker_hits"))
+        when($"best.hits" > 0,
+          element_at(langNames, -$"best.nri" + 1))
+          .otherwise(lit("unknown")).as("predicted_lang"),
+        $"best.hits".as("marker_hits"))
       .orderBy($"doc_id")
   }
 

@@ -109,17 +109,23 @@ object VectorOps {
 
   /** Shared nearest-centroid assignment (one row per vector with its
     * cell and distance) — used by both the q50 write-path and the q54
-    * read-path so the two cannot drift. */
-  private def assignCells(all: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"dist2".asc, $"centroid_id".asc)
+    * read-path so the two cannot drift.
+    *
+    * Argmin is a `min(struct(dist2, centroid_id, …))` hash aggregate,
+    * not a window rank: the struct comparison is lexicographic, so the
+    * minimum is (smallest dist2, then smallest centroid_id) — the same
+    * total order the previous row_number() used — but the aggregate
+    * combines map-side, shuffling ONE row per vec_id instead of
+    * sorting a (vectors × centroids)-wide exchange. centroid_id is
+    * unique per group, so the trailing v/nrm fields never participate
+    * in the comparison; they just ride along with the winner. */
+  private def assignCells(all: DataFrame, centroids: DataFrame): DataFrame =
     all.crossJoin(broadcast(centroids))
       .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .withColumnRenamed("centroid_id", "cell_id")
-      .drop("rn", "cv")
-  }
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist2", $"centroid_id", $"v", $"nrm")).as("m"))
+      .select($"vec_id", $"m.centroid_id".as("cell_id"), $"m.dist2".as("dist2"),
+        $"m.v".as("v"), $"m.nrm".as("nrm"))
 
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)

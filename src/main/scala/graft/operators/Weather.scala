@@ -392,22 +392,41 @@ object Weather {
   val PvCapacityMw = 5.0
   val WindCapacityMw = 10.0
 
+  /** mart_features at its full DDL shape (init.sql:44-54) incl. the
+    * computed_at audit column: deterministic from the winning Bronze
+    * row's ingested_at (the q36/q37 pattern — DEFAULT NOW() would
+    * break oracle-checkability). Un-enforced pipeline builder — q28/
+    * q29/q30 compose on top of it; the q27 mart boundary adds the
+    * CHECK enforcement in [[goldFeaturesMart]]. */
   def goldFeatures(spark: SparkSession, dir: String): DataFrame =
-    cleanToHourly(bronze(spark, dir)).select(
+    cleanToHourlyAudit(bronze(spark, dir)).select(
       $"site", $"ts_utc",
       ($"ghi_wm2" / 1000).as("ghi_kwh_m2"),
       ($"ghi_wm2" / 1000 * 5.0 * 0.2).as("pv_est_mwh"),
       least(lit(10.0), lit(0.003) * $"wind_mps" * $"wind_mps" * $"wind_mps")
-        .as("wind_est_mwh"))
+        .as("wind_est_mwh"),
+      $"ingested_at".as("computed_at"))
       .orderBy($"site", $"ts_utc")
+
+  /** q27 — the mart_features write boundary: Validator.enforce guards
+    * the DDL CHECKs (measures ≥ 0, hourly alignment) over the cached
+    * frame before it is published. */
+  def goldFeaturesMart(spark: SparkSession, dir: String): DataFrame = {
+    val features = goldFeatures(spark, dir).cache()
+    graft.schema.Validator
+      .enforce(features, graft.schema.Schemas.martFeaturesChecks,
+        "mart_features")
+      .orderBy($"site", $"ts_utc")
+  }
 
   val featuresCte: String =
     """features AS (
       |  SELECT site, ts_utc,
       |    ghi_wm2 / 1000 AS ghi_kwh_m2,
       |    ghi_wm2 / 1000 * 5.0 * 0.2 AS pv_est_mwh,
-      |    LEAST(10.0, 0.003 * wind_mps * wind_mps * wind_mps) AS wind_est_mwh
-      |  FROM silver)""".stripMargin
+      |    LEAST(10.0, 0.003 * wind_mps * wind_mps * wind_mps) AS wind_est_mwh,
+      |    cleaned_at AS computed_at
+      |  FROM silver_audit)""".stripMargin
 
   val goldFeaturesSql: String = withSilver(
     s", $featuresCte\nSELECT * FROM features ORDER BY site, ts_utc")
@@ -510,51 +529,62 @@ object Weather {
     // the full silver+features lineage (the result is site×hours —
     // small — unlike the Bronze frames, where caching measured slower)
     val features = goldFeatures(spark, dir)
-      .select($"site", $"ts_utc", $"pv_est_mwh", $"wind_est_mwh")
+      .select($"site", $"ts_utc", $"pv_est_mwh", $"wind_est_mwh",
+              $"computed_at")
       .cache()
-    val lastHour = features.groupBy($"site").agg(max($"ts_utc").as("t_max"))
+    // created_at (init.sql:72): deterministic "forecast built from data
+    // as of X" — the newest audit stamp among the site's features
+    val lastHour = features.groupBy($"site")
+      .agg(max($"ts_utc").as("t_max"),
+           max($"computed_at").as("created_at"))
     val horizons = lastHour
-      .select($"site", $"t_max",
+      .select($"site", $"t_max", $"created_at",
               explode(sequence(lit(1), lit(24))).as("horizon_h"))
       .withColumn("horizon_h", $"horizon_h".cast(IntegerType))
       .withColumn("src_ts", expr("timestampadd(HOUR, horizon_h - 24, t_max)"))
       .withColumn("ts_utc", expr("timestampadd(HOUR, horizon_h, t_max)"))
-    horizons
-      .join(features.withColumnRenamed("ts_utc", "src_ts"),
+    val out = horizons
+      .join(features.drop("computed_at").withColumnRenamed("ts_utc", "src_ts"),
             Seq("site", "src_ts"), "left_outer")
       .select(
         $"site", $"ts_utc", lit("baseline").as("model"), $"horizon_h",
+        $"created_at",
         coalesce($"pv_est_mwh", lit(0.0)).as("pv"),
         coalesce($"wind_est_mwh", lit(0.0)).as("wind"))
-      .unpivot(Array($"site", $"ts_utc", $"model", $"horizon_h"),
+      .unpivot(Array($"site", $"ts_utc", $"model", $"horizon_h", $"created_at"),
                Array($"pv", $"wind"), "var", "yhat")
       .withColumn("yhat_lower", $"yhat" * 0.9)
       .withColumn("yhat_upper", $"yhat" * 1.1)
       .select($"site", $"ts_utc", $"model", $"var", $"horizon_h",
-              $"yhat", $"yhat_lower", $"yhat_upper")
+              $"yhat", $"yhat_lower", $"yhat_upper", $"created_at")
+      .cache()
+    graft.schema.Validator
+      .enforce(out, graft.schema.Schemas.martForecastChecks, "mart_forecast")
       .orderBy($"site", $"var", $"horizon_h")
   }
 
   val forecastBaselineSql: String = withSilver(
     s""", $featuresCte,
-       |last_hour AS (SELECT site, MAX(ts_utc) AS t_max FROM features GROUP BY site),
+       |last_hour AS (SELECT site, MAX(ts_utc) AS t_max,
+       |                MAX(computed_at) AS created_at
+       |              FROM features GROUP BY site),
        |horizons AS (
-       |  SELECT l.site, l.t_max, CAST(g.h AS INTEGER) AS horizon_h,
+       |  SELECT l.site, l.t_max, l.created_at, CAST(g.h AS INTEGER) AS horizon_h,
        |    l.t_max + (CAST(g.h AS INTEGER) - 24) * INTERVAL '1 hour' AS src_ts,
        |    l.t_max + CAST(g.h AS INTEGER) * INTERVAL '1 hour' AS ts_utc
        |  FROM last_hour l, generate_series(1, 24) AS g(h)),
        |joined AS (
-       |  SELECT h.site, h.ts_utc, 'baseline' AS model, h.horizon_h,
+       |  SELECT h.site, h.ts_utc, 'baseline' AS model, h.horizon_h, h.created_at,
        |    COALESCE(f.pv_est_mwh, 0.0) AS pv,
        |    COALESCE(f.wind_est_mwh, 0.0) AS wind
        |  FROM horizons h
        |  LEFT JOIN features f ON f.site = h.site AND f.ts_utc = h.src_ts),
        |long AS (
-       |  SELECT site, ts_utc, model, 'pv' AS var, horizon_h, pv AS yhat FROM joined
+       |  SELECT site, ts_utc, model, 'pv' AS var, horizon_h, pv AS yhat, created_at FROM joined
        |  UNION ALL
-       |  SELECT site, ts_utc, model, 'wind', horizon_h, wind FROM joined)
+       |  SELECT site, ts_utc, model, 'wind', horizon_h, wind, created_at FROM joined)
        |SELECT site, ts_utc, model, var, horizon_h, yhat,
-       |  yhat * 0.9 AS yhat_lower, yhat * 1.1 AS yhat_upper
+       |  yhat * 0.9 AS yhat_lower, yhat * 1.1 AS yhat_upper, created_at
        |FROM long ORDER BY site, var, horizon_h""".stripMargin)
 
   // ---------------------------------------------------------------

@@ -83,6 +83,13 @@ object Schemas {
     Check("hourly_alignment",
       date_trunc("hour", col("ts_utc")) =!= col("ts_utc")))
 
+  val martFeaturesChecks: Seq[Check] = Seq(
+    Check("ghi_kwh_nonneg", col("ghi_kwh_m2") < 0),
+    Check("pv_est_nonneg", col("pv_est_mwh") < 0),
+    Check("wind_est_nonneg", col("wind_est_mwh") < 0),
+    Check("hourly_alignment",
+      date_trunc("hour", col("ts_utc")) =!= col("ts_utc")))
+
   val martForecastChecks: Seq[Check] = Seq(
     Check("model_enum", !col("model").isin("baseline", "sarimax")),
     Check("var_enum", !col("var").isin("pv", "wind")),

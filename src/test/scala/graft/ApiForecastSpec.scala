@@ -132,6 +132,24 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("q29/q30 satisfy every mart_forecast DDL CHECK; created_at is the " +
+       "site's newest feature audit stamp (init.sql:61-73)") {
+    import graft.schema.{Schemas, Validator}
+    val expected = Weather.goldFeatures(spark, sf)
+      .groupBy(col("site")).agg(max(col("computed_at")).as("created_at"))
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    Seq(Forecast.forecastMl(spark, sf),
+        Weather.forecastBaseline(spark, sf)).foreach { fc =>
+      val v = Validator.violations(fc, Schemas.martForecastChecks)
+      assert(v.values.forall(_ == 0), s"DDL CHECK violations: $v")
+      val stamps = fc.select(col("site"), col("created_at")).distinct()
+        .collect().map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+      assert(stamps === expected,
+        "created_at must be deterministic (max computed_at per site), " +
+          "not wall-clock NOW()")
+    }
+  }
+
   test("training frame: lags align (lag24 equals the value 24 rows back)") {
     val t = Forecast.trainingFrame(Weather.goldFeatures(spark, sf))
       .filter(col("site") === "click").orderBy("ts_utc").collect()
