@@ -276,14 +276,16 @@ object TextExpressions {
         intLit("graft_winnow", "w", exprs(2)))
     })
 
-  /** Register the text generators (idempotent, per-session). */
+  /** Register the text generators (idempotent, per-session). Existence
+    * is checked PER NAME — one name present (e.g. from a partial or
+    * user registration) must not skip the others, which would surface
+    * later as unresolved-function errors far from the cause. */
   def register(spark: SparkSession): Unit = {
-    if (spark.sessionState.functionRegistry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles")))
-      return
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
 }

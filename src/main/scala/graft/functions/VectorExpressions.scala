@@ -157,12 +157,14 @@ object VectorExpressions {
     * works across the Spark 4 Column API without touching internals. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    // true idempotency: re-registering on every query emitted a WARN
-    // and rebuilt the builder closure 3× per vector query
-    if (reg.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
+    // idempotency without a proxy name: existence is checked PER
+    // function (re-registering an existing one emitted a WARN and
+    // rebuilt the builder closure; skipping the whole set because one
+    // name exists would leave the rest unregistered)
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
 }

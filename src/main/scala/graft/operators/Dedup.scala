@@ -93,12 +93,33 @@ object Dedup {
   // from [[shinglesFrom]] — the string path stays available.
   // ---------------------------------------------------------------
 
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val shf = shingleFps(spark, dir).cache()
-    val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select($"doc_id".as("doc_a"), $"fp")
-    val b = shf.select($"doc_id".as("doc_b"), $"fp")
-    val inter = a.join(b, Seq("fp"))
+  /** Doc-frequency cutoff for the exact all-pairs baselines: a shingle
+    * appearing in d documents contributes d(d−1)/2 join pairs, so ONE
+    * hot boilerplate shingle shared by 1M docs alone is 5·10¹¹ pairs
+    * (the SCALE.md knee). Shingles with d > this are dropped from the
+    * pair join — in the ENGINE AND THE ORACLE SQL alike, so the gate
+    * still hash-matches — bounding q45's cost at K·occurrences
+    * (linear in corpus) instead of Σd². Fixture corpora max out at
+    * d = 25, far under the cutoff: rows are unchanged at every sf. */
+  val MaxShingleDocFreq = 256
+
+  /** All-pairs set Jaccard over any (doc_id, item) frame — the shared
+    * kernel behind the fp (q45) and string (audit/drift-spec) paths.
+    * Set sizes are computed AFTER the frequency cutoff (both engines),
+    * i.e. Jaccard over the kept-shingle universe. */
+  private[operators] def jaccardPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
+    val raw = items.cache()
+    // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
+    // same shape as the q47 mega-bucket guard
+    val hot = raw.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select(col(itemCol))
+    val it = raw.join(broadcast(hot), Seq(itemCol), "left_anti").cache()
+    val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = it.select($"doc_id".as("doc_a"), col(itemCol))
+    val b = it.select($"doc_id".as("doc_b"), col(itemCol))
+    val inter = a.join(b, Seq(itemCol))
       .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
     inter
@@ -108,17 +129,46 @@ object Dedup {
                  .withColumnRenamed("n", "nb"), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
-      .filter($"jaccard" >= JaccardThreshold)
+      .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOver(shingleFps(spark, dir), "fp", JaccardThreshold)
+
+  /** q45 over any documents-shaped frame — spec/dev entry exposing the
+    * frequency-cutoff knob (see [[MaxShingleDocFreq]]). */
+  def jaccardPairsFrom(docs: DataFrame,
+                       threshold: Double = JaccardThreshold,
+                       maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    jaccardPairsOver(shingleFpsFrom(docs), "fp", threshold, maxDocFreq)
+
+  /** True STRING-shingle Jaccard — the collision-free ground truth the
+    * fp path approximates. TextDedupSpec pins fp == string on the
+    * fixtures (at threshold 0, so a collision inflating even one
+    * sub-threshold pair fails the spec); at corpus scale the expected
+    * collision rate is the documented S²/2³³ bound above. */
+  def jaccardPairsStrings(spark: SparkSession, dir: String,
+                          threshold: Double = JaccardThreshold): DataFrame =
+    jaccardPairsOver(shingles(spark, dir), "s", threshold)
+
+  /** fp-path twin of [[jaccardPairsStrings]]'s threshold knob, for the
+    * drift spec's threshold-0 comparison. */
+  def jaccardPairsFps(spark: SparkSession, dir: String,
+                      threshold: Double = JaccardThreshold): DataFrame =
+    jaccardPairsOver(shingleFps(spark, dir), "fp", threshold)
 
   val jaccardPairsSql: String =
     s"""WITH ${shinglesCte()},
        |$fpsCte,
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+       |hot AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING COUNT(*) > $MaxShingleDocFreq),
+       |kept AS (SELECT * FROM fps
+       |         WHERE fp NOT IN (SELECT fp FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
        |FROM inter
@@ -198,23 +248,38 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** Production guard against degenerate corpora: a band bucket holding
-    * more than this many docs (e.g. millions of identical documents
-    * all landing in one bucket) would make the candidate self-join
-    * quadratic. Oversized buckets are skipped — their members are by
-    * construction near-identical and are caught by exact dedup (q44)
-    * upstream; standard LSH practice. */
+    * more than this many docs (e.g. millions of near-identical
+    * documents all landing in one bucket) would make the candidate
+    * self-join quadratic. Oversized buckets are SKIPPED — a deliberate
+    * recall-for-boundedness trade: sharing one band only implies
+    * ~J^bandSize-probability similarity, so a boilerplate-heavy corpus
+    * CAN place genuinely distinct near-dup pairs in a skipped bucket
+    * (pairs that still share another, smaller bucket are unaffected;
+    * byte-identical dups are caught by exact dedup q44). Truncation is
+    * observable via [[lshSkippedBuckets]]. */
   val MaxBucketDocs = 64
+
+  /** Audit view of the q47 guard: the band buckets whose candidate
+    * pairs were dropped by `MaxBucketDocs`, with occupancy. Empty on
+    * healthy corpora; run it alongside q47 when recall matters to see
+    * exactly what the guard truncated. */
+  def lshSkippedBuckets(spark: SparkSession, dir: String): DataFrame =
+    lshBands(shingleFps(spark, dir))
+      .groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .filter($"bucket_docs" > MaxBucketDocs)
+      .orderBy($"bucket_docs".desc, $"band_id", $"band_val")
 
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     lshNearDupPairsFrom(shingleFps(spark, dir).cache())
 
-  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
-  def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
-    // Wide conditional-min aggregation instead of a collect_list object
-    // aggregate: partial (map-side) min per seed collapses each doc to
-    // one 16-column row BEFORE the shuffle — measured 30×+ faster than
-    // the collect_list formulation, and the shape that survives 100 TB
-    // (shuffle volume = docs, not docs × seeds × shingles).
+  /** (doc_id, band_id, band_val) — each doc's LSH band keys. Wide
+    * conditional-min aggregation instead of a collect_list object
+    * aggregate: partial (map-side) min per seed collapses each doc to
+    * one 16-column row BEFORE the shuffle — measured 30×+ faster than
+    * the collect_list formulation, and the shape that survives 100 TB
+    * (shuffle volume = docs, not docs × seeds × shingles). */
+  private[operators] def lshBands(shf: DataFrame): DataFrame = {
     val wide = wideSignatures(shf)
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { b =>
@@ -222,13 +287,17 @@ object Dedup {
         .map(i => col(s"mh${b * BandSize + i}").cast(StringType))
       struct(lit(b).as("band_id"), concat_ws(",", cols: _*).as("band_val"))
     }
-    // cached: the self-join below would otherwise compute the whole
-    // signature subtree once per side
-    val bands = wide
+    wide
       .select($"doc_id", explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"bnd.band_id".as("band_id"),
               $"bnd.band_val".as("band_val"))
-      .cache()
+  }
+
+  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
+  def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
+    // cached: the self-join below would otherwise compute the whole
+    // signature subtree once per side
+    val bands = lshBands(shf).cache()
     // mega-bucket guard: the oversized-bucket list is tiny (usually
     // empty), so the anti-join broadcasts and `bands` is not reshuffled
     val oversized = bands.groupBy($"band_id", $"band_val")

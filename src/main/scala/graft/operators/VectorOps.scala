@@ -50,9 +50,14 @@ object VectorOps {
     * ingest step); an explicit repartition here was measured SLOWER
     * for the broadcast-probe queries (the 2k-vector fixture corpus is
     * too small to amortize an extra exchange). */
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(spark)
-    Tables.embeddings(spark, dir)
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    vecsFrom(Tables.embeddings(spark, dir))
+
+  /** (vec_id, v, nrm) over any embeddings-shaped frame — the shared
+    * corpus normalization, public for specs/dev amplification. */
+  def vecsFrom(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    embeddings
       .select($"vec_id", vecD("embedding").as("v"))
       .withColumn("nrm", l2norm("v"))
   }
@@ -226,8 +231,28 @@ object VectorOps {
     * the LSH/IVF bucketing above is the scale path. */
   val CosineDupThreshold = 0.45
 
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+  /** Ceiling for the exact all-pairs baseline: N(N−1)/2 kernel calls
+    * stop fitting a node-hour around N ≈ 10⁶ (SCALE.md knee), so the
+    * query REFUSES loudly well before that rather than silently going
+    * quadratic — 10⁴ here, sized to the fixture ladder (sf0.1 has
+    * 2,000 vectors; a 10× amplification trips the guard). Past the
+    * cap, q50/q54's IVF layout is the defensible plan; this baseline
+    * is for oracle twinning and borderline-pair audits. */
+  val MaxExactVectors = 10000L
+
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupsFrom(vecs(spark, dir))
+
+  /** All-pairs kernel over any (vec_id, v, nrm) frame, guarded by
+    * [[MaxExactVectors]]. The count is one columnar scan — cheap
+    * next to the N²/2 join it gates. */
+  def embeddingNearDupsFrom(all: DataFrame): DataFrame = {
+    val n = all.count()
+    require(n <= MaxExactVectors,
+      s"embeddingNearDups is the exact all-pairs baseline: $n vectors " +
+        s"would be ~${n * (n - 1) / 2} kernel evaluations (cap " +
+        s"$MaxExactVectors). Use ivfAssign/ivfTopK (q50/q54) at this " +
+        "scale, or pre-filter the corpus slice.")
     val a = all.select($"vec_id".as("vec_a"), $"v".as("va"), $"nrm".as("na"))
     val b = all.select($"vec_id".as("vec_b"), $"v".as("vb"), $"nrm".as("nb"))
     a.join(b, $"vec_a" < $"vec_b")

@@ -34,7 +34,16 @@ object Layout {
     * or rand, whose values change across task/stage retries after an
     * upstream shuffle (the SPARK-23207 class of bug: a retried
     * partition re-salts its rows differently and the join silently
-    * duplicates or drops them). */
+    * duplicates or drops them).
+    *
+    * CAVEAT on the default salt: hashing ALL of big's columns means
+    * fully-duplicate rows of the hot key hash to ONE salt bucket —
+    * exactly the degenerate corpus (many identical rows per key) that
+    * salting is meant to spread, leaving one reducer hot again. When
+    * the skewed side can contain duplicate rows, pass `saltCols`
+    * including a column that varies WITHIN the hot key (an event id,
+    * a file/offset lineage column, a pre-assigned bucket id); content
+    * hashing only spreads what actually differs. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, saltCols: Seq[Column] = Nil): DataFrame = {
     val src = if (saltCols.nonEmpty) saltCols

@@ -46,6 +46,65 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fp.map(_.getString(1)).distinct.length.toLong === distinctTexts)
   }
 
+  test("fp-Jaccard == string-Jaccard on the fixture corpus (collision drift guard)") {
+    // Threshold 0: EVERY overlapping pair is compared, so a single
+    // 32-bit fingerprint collision anywhere in the corpus — which
+    // would inflate some pair's intersection — fails this, not just
+    // collisions that push a pair over the q45 threshold.
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          math.round(r.getDouble(2) * 1e9)).toMap
+    val viaStrings = asMap(Dedup.jaccardPairsStrings(spark, sf, 0.0))
+    val viaFps = asMap(Dedup.jaccardPairsFps(spark, sf, 0.0))
+    assert(viaFps === viaStrings,
+      "hashed-shingle Jaccard must equal string-shingle Jaccard on the " +
+        "fixtures; a mismatch means a 32-bit fp collision is biasing q45")
+  }
+
+  test("q51 refuses at 10x amplification instead of going quadratic") {
+    val amplified = Tables.embeddings(spark, sf)
+      .withColumn("rep", explode(sequence(lit(0), lit(39))))
+      .withColumn("vec_id", col("vec_id") * 40 + col("rep"))
+      .drop("rep")   // 500 × 40 = 20,000 > MaxExactVectors
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.embeddingNearDupsFrom(VectorOps.vecsFrom(amplified))
+    }
+    assert(e.getMessage.contains("ivfAssign"),
+      "refusal must point the caller at the IVF scale path")
+    // and the un-amplified fixture still runs (guard is a ceiling,
+    // not a rewrite of the baseline semantics)
+    assert(VectorOps.embeddingNearDups(spark, sf).count() > 0)
+  }
+
+  test("q45 frequency cutoff drops hot shingles but leaves the fixture intact") {
+    val docs = Tables.documents(spark, sf)
+    // default cutoff (256): nothing in the fixture reaches it — rows
+    // identical to an effectively-unbounded cutoff
+    val bounded = Dedup.jaccardPairsFrom(docs).collect()
+    val unbounded = Dedup.jaccardPairsFrom(docs, maxDocFreq = Int.MaxValue)
+      .collect()
+    assert(bounded.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+           unbounded.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // a poisoned corpus — every doc shares one boilerplate sentence —
+    // is exactly the Σd² blowup; with the cutoff the hot shingles
+    // vanish from the join and the planted near-dup pairs survive
+    val poisoned = docs.withColumn("text",
+      concat(lit("terms of service apply to all content here "), col("text")))
+    val pairs = Dedup.jaccardPairsFrom(poisoned, maxDocFreq = 64)
+    val clean = Dedup.jaccardPairsFrom(docs, maxDocFreq = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clean.subsetOf(got),
+      "cutoff must keep the genuine near-dup pairs while bounding the join")
+  }
+
+  test("q47 guard truncation is observable: skipped-bucket audit is empty here") {
+    assert(Dedup.lshSkippedBuckets(spark, sf).collect().isEmpty,
+      "fixture corpus has no mega-buckets; if this fires, q47 recall " +
+        "was silently truncated and lshSkippedBuckets shows exactly where")
+  }
+
   test("LSH near-dup pairs == exact Jaccard pairs on the fixture (full recall here)") {
     val exact = Dedup.jaccardPairs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
