@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_ivf_topk"          -> (VectorOps.ivfTopK(_, _)),
     "q55_winnow_fp"         -> (Dedup.winnowFingerprints(_, _)),
     "q56_simhash_pairs"     -> (Dedup.simhashPairs(_, _)),
+    "q57_simhash_pairs64"   -> (Dedup.simhashPairs64(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,6 +131,7 @@ object SparkEntry {
     "q54_ivf_topk"          -> VectorOps.ivfTopKSql,
     "q55_winnow_fp"         -> Dedup.winnowFingerprintsSql,
     "q56_simhash_pairs"     -> Dedup.simhashPairsSql,
+    "q57_simhash_pairs64"   -> Dedup.simhashPairs64Sql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

@@ -478,6 +478,135 @@ object Dedup {
     sum(when(expr(s"substring(h, $p, 1)") >= "8", 1).otherwise(-1))
 
   // ---------------------------------------------------------------
+  // q57 — the PRODUCTION SimHash parameterization the q56 notes
+  // promise: 64-bit signature, 4×16-bit bands (2^16 buckets/band),
+  // which keeps band buckets sparse into the hundreds of millions of
+  // docs where q56's 2^8 buckets saturate around ~16k. Same plumbing
+  // as q56 — shift/mask banding, broadcast mega-bucket guard,
+  // bit_count(xor) verify, all integer ops in both engines — with the
+  // 64 signature bits carried as TWO 32-bit halves (hi/lo) instead of
+  // one long: a single 64-bit value would need the sign bit, and
+  // DuckDB's BIGINT has no logical right shift, so banding a negative
+  // signature would sign-extend. Two non-negative halves keep every
+  // shift/mask/bit_count BIGINT-exact in Spark AND the oracle (the
+  // same reasoning as MinHash's MixP < 2^32 modulus).
+  //
+  // HammingMax stays 3: pigeonhole over 4 bands gives FULL recall at
+  // r ≤ 3 (three differing bits cannot touch all four bands) — the
+  // guarantee the spec pins against brute force. 3-of-64 is a
+  // tighter near-dup bar than q56's 3-of-32; that is the point of
+  // the production width (fewer random collisions, same guarantee).
+  // ---------------------------------------------------------------
+
+  val Simhash64Bands = 4
+  val Simhash64BandBits = 16
+  private val Band64Mask = (1L << Simhash64BandBits) - 1
+
+  /** Per-doc 64-bit SimHash as two 32-bit halves: bit i of the md5
+    * prefix votes ±1 per shingle; sig bit i is the vote's sign. */
+  def simhash64Sigs(docs: DataFrame): DataFrame = {
+    val halves = shinglesFrom(docs)
+      .withColumn("h", md5($"s".cast(BinaryType)))
+      .withColumn("ha", expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("hb", expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)"))
+    def votes(src: String) = (0 until 32).map { i =>
+      sum(when(shiftright(col(src), 31 - i).bitwiseAND(lit(1L)) === 1L,
+        1).otherwise(-1)).as(s"${src.last}$i")
+    }
+    val agg = halves.groupBy($"doc_id")
+      .agg(votes("ha").head, (votes("ha").tail ++ votes("hb")): _*)
+    def pack(prefix: Char) = (0 until 32)
+      .map(i => when(col(s"$prefix$i") > 0, lit(1L << (31 - i))).otherwise(0L))
+      .reduce(_ + _)
+    agg.select($"doc_id", pack('a').as("sig_hi"), pack('b').as("sig_lo"))
+  }
+
+  def simhashPairs64(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs64From(Tables.documents(spark, dir))
+
+  def simhashPairs64From(docs: DataFrame): DataFrame = {
+    val sims = simhash64Sigs(docs)
+    val bandStructs = (0 until Simhash64Bands).map { b =>
+      val half = if (b < 2) $"sig_lo" else $"sig_hi"
+      struct(lit(b).as("band_id"),
+        (shiftright(half, (b % 2) * Simhash64BandBits) % lit(Band64Mask + 1))
+          .as("band_val"))
+    }
+    val bands = sims
+      .select($"doc_id", $"sig_hi", $"sig_lo",
+        explode(array(bandStructs: _*)).as("bnd"))
+      .select($"doc_id", $"sig_hi", $"sig_lo",
+        $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
+      .cache()
+    val oversized = bands.groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
+      .select($"band_id", $"band_val")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("band_id", "band_val"), "left_anti")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"), Seq("band_id", "band_val"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"x.sig_hi".as("hi_a"),
+              $"x.sig_lo".as("lo_a"),
+              $"y.doc_id".as("doc_b"), $"y.sig_hi".as("hi_b"),
+              $"y.sig_lo".as("lo_b"))
+      .distinct()
+    cand
+      .select($"doc_a", $"doc_b",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast(LongType).as("hamming"))
+      .filter($"hamming" <= HammingMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val simhashPairs64Sql: String = {
+    val bandValues = (0 until Simhash64Bands).map(b => s"($b)").mkString(", ")
+    s"""WITH ${shinglesCte()},
+       |halves AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS ha,
+       |    CAST('0x' || substring(md5(s), 9, 8) AS BIGINT) AS hb
+       |  FROM shd),
+       |votes AS (
+       |  SELECT doc_id, i,
+       |    SUM(CASE WHEN ((CASE WHEN i < 32 THEN ha >> (31 - i)
+       |                         ELSE hb >> (63 - i) END) & 1) = 1
+       |             THEN 1 ELSE -1 END) AS w
+       |  FROM halves, (SELECT unnest(generate_series(0, 63)) AS i)
+       |  GROUP BY doc_id, i),
+       |sims AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN i < 32 AND w > 0
+       |             THEN CAST(1 AS BIGINT) << (31 - i) ELSE 0 END) AS sig_hi,
+       |    SUM(CASE WHEN i >= 32 AND w > 0
+       |             THEN CAST(1 AS BIGINT) << (63 - i) ELSE 0 END) AS sig_lo
+       |  FROM votes GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, sig_hi, sig_lo, band_id,
+       |    CASE WHEN band_id < 2
+       |         THEN (sig_lo >> ((band_id % 2) * $Simhash64BandBits)) % ${Band64Mask + 1}
+       |         ELSE (sig_hi >> ((band_id % 2) * $Simhash64BandBits)) % ${Band64Mask + 1}
+       |    END AS band_val
+       |  FROM sims, (VALUES $bandValues) AS b(band_id)),
+       |pruned AS (
+       |  SELECT doc_id, sig_hi, sig_lo, band_id, band_val FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn
+       |    FROM bands)
+       |  WHERE bn <= $MaxBucketDocs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sig_hi AS hi_a, x.sig_lo AS lo_a,
+       |                  y.doc_id AS doc_b, y.sig_hi AS hi_b, y.sig_lo AS lo_b
+       |  FROM pruned x JOIN pruned y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q55 — winnowing fingerprints (the MOSS rolling-hash scheme): hash
   // every char k-gram, slide a w-position window, keep each window's
   // minimum hash; the distinct minima are the document's fingerprint

@@ -164,6 +164,42 @@ class TextDedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture near-dups should collide")
   }
 
+  test("simhash64 pairs: full recall vs brute force; 16-bit bands stay sparse at 10x") {
+    val docs = Tables.documents(spark, sf)
+    // brute-force ground truth over the 64-bit signatures
+    val sims = Dedup.simhash64Sigs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      (a, hiA, loA) = sims(i); (b, hiB, loB) = sims(j)
+      h = java.lang.Long.bitCount(hiA ^ hiB) + java.lang.Long.bitCount(loA ^ loB)
+      if h <= Dedup.HammingMax
+    } yield (math.min(a, b), math.max(a, b), h.toLong)).toSet
+    val got = Dedup.simhashPairs64From(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      "≤3 differing bits cannot touch all 4 bands — recall must be total")
+    assert(expected.nonEmpty, "fixture near-dups should collide at 64 bits too")
+    // the production claim: where q56's 2^8 buckets saturate (~16k
+    // docs), 2^16 buckets keep every band bucket under MaxBucketDocs
+    // at 10x the fixture corpus — so the guard never truncates
+    val amplified = docs
+      .withColumn("rep", explode(sequence(lit(0), lit(9))))
+      .withColumn("doc_id", col("doc_id") * 10 + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" r"), col("rep")))
+      .drop("rep")
+    val maxBucket = Dedup.simhash64Sigs(amplified)
+      .select(col("doc_id"),
+        (col("sig_lo") % 65536).as("b0"), shiftright(col("sig_lo"), 16).as("b1"),
+        (col("sig_hi") % 65536).as("b2"), shiftright(col("sig_hi"), 16).as("b3"))
+      .selectExpr("stack(4, 0, b0, 1, b1, 2, b2, 3, b3) AS (band_id, band_val)")
+      .groupBy("band_id", "band_val").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket <= Dedup.MaxBucketDocs,
+      s"a 16-bit band bucket holds $maxBucket docs at 10x — the " +
+        "production parameterization must not rely on the truncation guard")
+  }
+
   test("winnow generator: code-point parity with the declarative plan on non-BMP text") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
