@@ -103,14 +103,88 @@ object VectorOps {
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   /** q50 — IVF cell assignment: every vector is assigned to its
-    * nearest "centroid" (the deterministic vec_id % 100 == 0 subset —
-    * a stand-in for a k-means codebook, which would be fit offline).
-    * At scale this is the write-path of an IVF index: partition the
-    * corpus by cell_id; queries then probe a few cells instead of the
-    * full corpus. Centroids broadcast. */
-  private def centroidsOf(all: DataFrame): DataFrame =
+    * nearest centroid of a k-means codebook fitted by
+    * [[fittedCentroids]]. At scale this is the write-path of an IVF
+    * index: partition the corpus by cell_id; queries then probe a few
+    * cells instead of the full corpus. Centroids broadcast. */
+  private def seedCentroids(all: DataFrame): DataFrame =
     all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("centroid_id"), $"v".as("cv"))
+
+  /** Lloyd refinement rounds in the codebook fit. Two rounds moves
+    * every seed to the center of mass of a real cell; more rounds
+    * converge further but the index structure (and its oracle
+    * twinning) is identical. */
+  val IvfFitRounds = 2
+
+  /** Fixture embedding dimensionality — the oracle SQL's per-position
+    * mean iterates generate_series(1, VecDim). */
+  val VecDim = 64
+
+  /** Deterministic k-means codebook: seeds are the data-derived
+    * vec_id % 100 == 0 subset, refined by [[IvfFitRounds]] Lloyd
+    * steps — assign every vector to its nearest centroid (the same
+    * argmin kernel the index itself uses), then re-center each cell
+    * at its member mean. The mean follows the Exact.davg discipline
+    * element-wise so the fitted codebook is BIT-IDENTICAL in Spark
+    * and the DuckDB oracle: components quantized to 6 dp (both
+    * engines ROUND identically), summed as DECIMAL(18,6) — exact,
+    * order-independent — and divided by the member count in double
+    * space. Cells that lose all members drop out identically. An
+    * offline MLlib KMeans would converge tighter but is not
+    * bit-reproducible across engines; this fit keeps q50/q54 inside
+    * the hash gate while being a genuine Lloyd optimization. */
+  def fittedCentroids(all: DataFrame): DataFrame = {
+    var cents = seedCentroids(all)
+    for (_ <- 1 to IvfFitRounds) {
+      val assigned = assignCells(all, cents)
+      val mean = assigned
+        .select($"cell_id", posexplode($"v").as(Seq("pos", "val")))
+        .groupBy($"cell_id", $"pos")
+        .agg((sum(round($"val", 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("c"))
+      cents = mean.groupBy($"cell_id")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("cv"))
+        .select($"cell_id".as("centroid_id"), $"cv")
+        .cache()
+    }
+    cents
+  }
+
+  /** Oracle CTE chain mirroring [[fittedCentroids]]: cents0 = seeds,
+    * then per round an argmin assignment + decimal-exact per-position
+    * mean, ending in `cents` (the fitted codebook). */
+  private def fitCtes: String = {
+    def d2(v: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    val sb = new StringBuilder
+    sb.append(
+      """cents0 AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM normed
+        |  WHERE vec_id % 100 = 0)""".stripMargin)
+    for (r <- 1 to IvfFitRounds) {
+      sb.append(s""",
+        |fit_assign$r AS (
+        |  SELECT vec_id, v, centroid_id AS cell_id FROM (
+        |    SELECT a.vec_id, a.v, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |        ORDER BY ROUND(${d2("a.v")}, 6) ASC, c.centroid_id ASC) AS rn
+        |    FROM normed a CROSS JOIN cents${r - 1} c)
+        |  WHERE rn = 1),
+        |fit_mean$r AS (
+        |  SELECT cell_id, i,
+        |    CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM fit_assign$r, (SELECT unnest(generate_series(1, $VecDim)) AS i)
+        |  GROUP BY cell_id, i),
+        |cents$r AS (
+        |  SELECT cell_id AS centroid_id, list(c ORDER BY i) AS cv
+        |  FROM fit_mean$r GROUP BY cell_id)""".stripMargin)
+    }
+    sb.append(s""",
+      |cents AS (SELECT centroid_id, cv FROM cents$IvfFitRounds)""".stripMargin)
+    sb.toString
+  }
 
   /** Shared nearest-centroid assignment (one row per vector with its
     * cell and distance) — used by both the q50 write-path and the q54
@@ -134,7 +208,7 @@ object VectorOps {
 
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    assignCells(all, centroidsOf(all))
+    assignCells(all, fittedCentroids(all))
       .select($"vec_id", $"cell_id", $"dist2")
       .orderBy($"vec_id")
   }
@@ -142,9 +216,7 @@ object VectorOps {
   val ivfAssignSql: String = {
     val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
     s"""WITH $vecsCte,
-       |cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM normed
-       |  WHERE vec_id % 100 = 0),
+       |$fitCtes,
        |scored AS (
        |  SELECT a.vec_id, c.centroid_id, ROUND($d2, 6) AS dist2
        |  FROM normed a CROSS JOIN cents c)
@@ -166,7 +238,7 @@ object VectorOps {
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
-    val centroids = centroidsOf(all)
+    val centroids = fittedCentroids(all)
     // cell assignment — exactly the q50 write-path (shared helper)
     val assigned = assignCells(all, centroids)
       .select($"vec_id", $"v", $"nrm", $"cell_id")
@@ -196,9 +268,7 @@ object VectorOps {
   val ivfTopKSql: String = {
     val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(%s, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
     s"""WITH $vecsCte,
-       |cents AS (
-       |  SELECT vec_id AS centroid_id, v AS cv FROM normed
-       |  WHERE vec_id % 100 = 0),
+       |$fitCtes,
        |assigned AS (
        |  SELECT vec_id, v, nrm, centroid_id AS cell_id FROM (
        |    SELECT a.vec_id, a.v, a.nrm, c.centroid_id,
