@@ -152,19 +152,33 @@ object NasaIngest {
     alignToBronze(parseSeries(payloads))
 
   /** q35 — round-trip demonstration on fixture data: build scalar-form
-    * NASA payloads from hourly event aggregates (one payload per
-    * site), parse + align them back, and return the Bronze rows.
-    * Validates the full J1→J2→J3 path inside the driver contract
-    * (rows-only check — the payload construction isn't mirrored in
-    * SQL). */
-  def roundTrip(spark: SparkSession, dir: String): DataFrame = {
+    * NASA payloads from hourly event aggregates, parse + align them
+    * back, and return the Bronze rows. Validates the full J1→J2→J3
+    * path inside the driver contract (rows-only check — the payload
+    * construction isn't mirrored in SQL).
+    *
+    * Payloads are chunked per (site, 7-day window), mirroring the
+    * reference's ≤7-day request windows (nasa.py:160-177): a payload
+    * row carries at most 168 hours of series, so no single row/task
+    * ever holds a site's full history (the collect_list width hazard
+    * at 100× — a site's multi-year series in ONE row — cannot
+    * arise; the same chunk arithmetic as WeatherApi.ingestWindows). */
+  def roundTrip(spark: SparkSession, dir: String): DataFrame =
+    ingest(roundTripPayloads(spark, dir))
+
+  /** The payload-construction stage of [[roundTrip]], exposed so the
+    * chunk-width invariant (≤168 hourly keys per payload row) is
+    * directly testable. */
+  def roundTripPayloads(spark: SparkSession, dir: String): DataFrame = {
     val hourly = graft.operators.Weather.bronze(spark, dir)
       .groupBy($"site", date_trunc("hour", $"ts_utc").as("h"))
       .agg(round(avg($"ghi_wm2"), 3).as("ghi"),
            round(avg($"t2m_c"), 3).as("t2m"),
            round(avg($"ws10_mps"), 3).as("ws"))
+      .withColumn("chunk7d",
+        floor(unix_timestamp($"h") / lit(7L * 86400)))
     val payloads = hourly
-      .groupBy($"site")
+      .groupBy($"site", $"chunk7d")
       .agg(
         map_from_entries(collect_list(struct(
           date_format($"h", "yyyyMMddHH").as("k"), $"ghi".as("v"))))
@@ -180,6 +194,6 @@ object NasaIngest {
           $"t2m_series".as("T2M"),
           $"ws_series".as("WS10M")).as("parameter")).as("properties")))
         .as("payload"))
-    ingest(payloads)
+    payloads
   }
 }

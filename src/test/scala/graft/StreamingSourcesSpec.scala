@@ -172,4 +172,21 @@ class NasaIngestSpec extends AnyFunSuite {
     assert(rt.columns.toSet ===
       Set("site", "ts", "ghi_wm2", "t2m_c", "ws10_mps", "raw_json"))
   }
+
+  test("round-trip payloads are chunked <= 7 days (168 hourly keys per row)") {
+    // every payload row must carry at most one 7-day window of series
+    // keys — the width hazard guard: a site's full history may never
+    // land in a single payload row (nasa.py:160-177)
+    import org.apache.spark.sql.functions._
+    val payloads = NasaIngest.roundTripPayloads(spark, sf)
+    val maxKeys = payloads
+      .select(expr("size(from_json(get_json_object(payload, " +
+        "'$.properties.parameter.T2M'), 'map<string,double>'))").as("n"))
+      .agg(max("n")).collect()(0).getInt(0)
+    assert(maxKeys <= 168, s"a payload row carries $maxKeys hourly keys")
+    assert(payloads.count() >
+      payloads.select("site").distinct().count(),
+      "fixture history spans >7 days, so chunking must yield " +
+        "multiple payloads per site")
+  }
 }

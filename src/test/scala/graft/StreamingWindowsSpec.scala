@@ -67,6 +67,47 @@ class StreamingWindowsSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getAs[Long]("ingest_seq") === 4L)
   }
+
+  test("late data across 4 micro-batches converges to the batch kernel") {
+    import spark.implicits._
+    // one (site, hour) key updated in EVERY batch. Versions follow
+    // ingested_at = ts + (event_id % 5) min, so the version order of
+    // seqs (5, 9, 7, 12) is 5 < 7 < 12 < 9: batch 2 installs the
+    // true newest version (9), then BOTH later batches (7, 12) arrive
+    // late-and-older and must be ignored — including the final batch,
+    // so convergence can't be an accident of processing order. The
+    // store must equal what the batch kernel computes over the union.
+    val inDir = Files.createTempDirectory("graft-mb4-in-")
+    val out = Files.createTempDirectory("graft-mb4-out-").toString + "/silver"
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    def mk(ids: Seq[Long], file: String): Unit = {
+      val stage = Files.createTempDirectory("graft-mb4-stage-").toString + "/p"
+      ids.map(i => (i, (base + i * 1000000L) * 1000L, 1L, "click", 50.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, inDir.resolve(file + ".parquet"))
+      ()
+    }
+    val arrival = Seq(5L, 9L, 7L, 12L)
+    arrival.zipWithIndex.foreach { case (s, i) => mk(Seq(s), s"b$i") }
+    val silver = StreamingClean.run(spark, inDir.toString, out,
+      maxFilesPerTrigger = Some(1))
+    val rows = silver.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("ingest_seq") === 9L,
+      "the newest VERSION must win, not the last ARRIVAL (12)")
+    // full-row equality with the batch kernel over the union
+    val all = arrival
+      .map(i => (i, (base + i * 1000000L) * 1000L, 1L, "click", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val batch = Weather.cleanToHourly(Weather.bronzeFromEvents(all))
+    val aligned = silver.select(batch.columns.map(col): _*)
+    assert(aligned.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(aligned).count() === 0)
+  }
 }
 
 class PartitionedUpsertSpec extends AnyFunSuite {
