@@ -75,6 +75,11 @@ object SparkEntry {
     "q55_winnow_fp"         -> (Dedup.winnowFingerprints(_, _)),
     "q56_simhash_pairs"     -> (Dedup.simhashPairs(_, _)),
     "q57_simhash_pairs64"   -> (Dedup.simhashPairs64(_, _)),
+    "q58_split_assign"      -> (Corpus.splitAssign(_, _)),
+    "q59_decontaminate"     -> (Corpus.decontaminate(_, _)),
+    "q60_vocabulary"        -> (Corpus.vocabulary(_, _)),
+    "q61_pii_redact"        -> (Corpus.piiRedact(_, _)),
+    "q62_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,6 +137,11 @@ object SparkEntry {
     "q55_winnow_fp"         -> Dedup.winnowFingerprintsSql,
     "q56_simhash_pairs"     -> Dedup.simhashPairsSql,
     "q57_simhash_pairs64"   -> Dedup.simhashPairs64Sql,
+    "q58_split_assign"      -> Corpus.splitAssignSql,
+    "q59_decontaminate"     -> Corpus.decontaminateSql,
+    "q60_vocabulary"        -> Corpus.vocabularySql,
+    "q61_pii_redact"        -> Corpus.piiRedactSql,
+    "q62_dedup_clusters"    -> Dedup.dedupClustersSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

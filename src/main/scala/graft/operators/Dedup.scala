@@ -110,12 +110,15 @@ object Dedup {
   private[operators] def jaccardPairsOver(
       items: DataFrame, itemCol: String, threshold: Double,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
-    val raw = items.cache()
     // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
-    // same shape as the q47 mega-bucket guard
-    val hot = raw.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+    // same shape as the q47 mega-bucket guard. Only the kept frame is
+    // cached: it feeds three consumers (sizes + both join sides), while
+    // the raw shingle stream is a narrow generator pass cheap to run
+    // twice — a second cache would cost more in materialization than
+    // the recompute it saves.
+    val hot = items.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select(col(itemCol))
-    val it = raw.join(broadcast(hot), Seq(itemCol), "left_anti").cache()
+    val it = items.join(broadcast(hot), Seq(itemCol), "left_anti").cache()
     val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = it.select($"doc_id".as("doc_a"), col(itemCol))
     val b = it.select($"doc_id".as("doc_b"), col(itemCol))
@@ -325,6 +328,96 @@ object Dedup {
       .filter($"jaccard" >= JaccardThreshold)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  // ---------------------------------------------------------------
+  // q62 — dedup clusters: connected components over the near-dup pair
+  // graph (q47's output). The step every dedup pipeline runs after
+  // pair generation: near-duplication is transitive in practice
+  // (A≈B≈C), so retention decisions operate on CLUSTERS — keep one
+  // canonical doc per component, drop the rest. Canonical = min
+  // doc_id, the usual deterministic convention.
+  //
+  // Algorithm: iterative min-label propagation to a fixpoint. Each
+  // round is one join (edges ⋈ labels) + one min-aggregate — all
+  // hash-partitioned on doc_id, no driver data movement; the driver
+  // only compares a per-round checksum (sum of labels, monotonically
+  // non-increasing, so equality ⇔ fixpoint). Rounds = graph diameter;
+  // near-dup components are shallow (dozens of docs, diameter ≲ 5),
+  // and [[MaxCcRounds]] fails loudly on pathological chains rather
+  // than looping forever. At extreme diameters the alternating
+  // large-star/small-star variant (O(log n) rounds) is the drop-in
+  // upgrade; the per-round plan here is already its building block.
+  // ---------------------------------------------------------------
+
+  val MaxCcRounds = 25
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrom(
+      lshNearDupPairs(spark, dir).select($"doc_a", $"doc_b"))
+
+  /** Connected components over any (doc_a, doc_b) pair frame; returns
+    * (doc_id, cluster_id, cluster_size) for every doc in a pair. */
+  def dedupClustersFrom(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .cache()
+    // Each round references `labels` twice (propagation + identity), so
+    // WITHOUT lineage truncation the logical plan doubles per round and
+    // Catalyst re-analysis goes exponential long before execution does.
+    // localCheckpoint (eager) pins each round's result and resets the
+    // plan to a leaf — the standard iterative-algorithm discipline on
+    // Spark (a cluster deployment would use reliable checkpointing to
+    // survive executor loss; same call, checkpoint() + a checkpoint
+    // dir).
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .select($"doc_id", $"doc_id".as("lbl")).localCheckpoint(true)
+    def checksum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"lbl"), lit(0L))).head.getLong(0)
+    var prev = checksum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxCcRounds) {
+      round += 1
+      val next = edges.join(labels, $"src" === $"doc_id")
+        .select($"dst".as("doc_id"), $"lbl")
+        .union(labels)
+        .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
+        .localCheckpoint(true)
+      val cur = checksum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+    }
+    require(converged,
+      s"dedupClusters: no fixpoint after $MaxCcRounds rounds — component " +
+        "diameter exceeds the propagation budget; switch to the " +
+        "large-star/small-star formulation for this corpus")
+    edges.unpersist()
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: recursive min-label reachability over the same q47 pair
+    * SQL (nested as a subquery — its ORDER BY is inert there). UNION
+    * (not ALL) dedups (doc, lbl) states so the recursion terminates;
+    * MIN over all labels reaching a doc is exactly the component
+    * minimum the engine's fixpoint converges to. */
+  lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size
+       |FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
+       |ORDER BY doc_id""".stripMargin
 
   val lshNearDupPairsSql: String =
     s"""WITH ${shinglesCte()},

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Dedup}
+
+/** Corpus-management operators (q58–q62): split stability, true/false
+  * contamination, vocabulary arithmetic, redaction on planted PII, and
+  * connected-component correctness on hand-built graphs. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docsFrame(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("q58 split: deterministic and stable under corpus growth") {
+    val a = Corpus.splitAssign(spark, sf).collect()
+    val b = Corpus.splitAssign(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    // subset invariance: a doc's split depends only on its own id —
+    // recomputing over half the corpus must not move anyone
+    val half = Corpus
+      .splitAssignFrom(Tables.documents(spark, sf).filter($"doc_id" % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = a.map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(full(id) === s) }
+  }
+
+  test("q58 split: proportions near 80/10/10 and buckets in range") {
+    val counts = Corpus.splitAssign(spark, sf)
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts.getOrElse("validation", 0L) + counts.getOrElse("test", 0L) > 0)
+    Corpus.splitAssign(spark, sf).collect().foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0 && b < 100)
+    }
+  }
+
+  test("q59 decontamination: planted copy is flagged at 1.0, disjoint doc is not") {
+    // benchmark = doc 0/1; doc 100 copies doc 0 verbatim (full
+    // contamination), doc 101 shares nothing
+    val bench0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = docsFrame(
+      0L -> bench0,
+      1L -> "one two three four five six seven eight nine ten",
+      100L -> bench0,
+      101L -> "red orange yellow green blue indigo violet white black gray")
+    val out = Corpus.decontaminateFrom(docs).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byId.contains(100L))
+    assert(byId(100L)._3 === 1.0)
+    assert(byId(100L)._1 === byId(100L)._2) // every n-gram shared
+    assert(!byId.contains(101L))
+  }
+
+  test("q59 decontamination: partial overlap counts only shared k-grams") {
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc 100: first 6 tokens match doc 0 → shares exactly the
+    // 2 five-grams starting at positions 1-2 of the shared prefix...
+    // token 7+ diverge, so 5-grams touching them differ
+    val docs = docsFrame(
+      0L -> bench,
+      100L -> "alpha beta gamma delta epsilon zeta moo baa")
+    val out = Corpus.decontaminateFrom(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 2L) // positions 1 and 2 only
+    assert(r.getLong(2) === 4L) // 8 tokens → 4 distinct 5-grams
+  }
+
+  test("q60 vocabulary: exact counts on a tiny frame") {
+    val docs = docsFrame(
+      1L -> "a b a",
+      2L -> "b c b b")
+    val out = Corpus.vocabulary(spark, sf) // shape check on fixture
+    assert(out.columns.toSeq === Seq("token", "freq", "doc_freq"))
+    val tiny = Corpus.vocabularyFrom(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tiny("a") === ((2L, 1L)))
+    assert(tiny("b") === ((4L, 2L)))
+    assert(tiny("c") === ((1L, 1L)))
+    // fixture: frequencies are non-increasing in the emitted order
+    val freqs = out.collect().map(_.getLong(1))
+    assert(freqs.sameElements(freqs.sortBy(-_)))
+  }
+
+  test("q61 PII redaction: planted emails and phones are scrubbed") {
+    val docs = docsFrame(
+      7L -> "reach me at jane.doe@corp.example.org thanks",
+      8L -> "no pii here at all")
+    val out = Corpus.piiRedactFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 7 carries its own email + the grafted contact line's pair
+    assert(out(7L)._1 === 2L)
+    assert(out(7L)._2 === 1L)
+    // doc 8: only the grafted contact line
+    assert(out(8L)._1 === 1L)
+    assert(out(8L)._2 === 1L)
+    // redacted text contains no address-shaped remnant
+    val red = Corpus.piiRedactFrom(docs.filter($"doc_id" === 7L))
+    assert(red.collect().head.getLong(3) > 0)
+  }
+
+  test("q62 clusters: two components with the min-id canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClustersFrom(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 2L)), 11L -> ((10L, 2L))))
+  }
+
+  test("q62 clusters: long chain converges (diameter > 1 round)") {
+    // path graph 0-1-2-...-9: min label must walk the whole chain
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClustersFrom(pairs).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L)
+      assert(r.getLong(2) === 10L)
+    }
+  }
+
+  test("q62 clusters on the fixture: consistent with the q47 pair graph") {
+    val pairs = Dedup.lshNearDupPairs(spark, sf).select($"doc_a", $"doc_b")
+    val clustered = Dedup.dedupClustersFrom(pairs)
+    val inPairs = pairs.select($"doc_a".as("d")).union(pairs.select($"doc_b".as("d")))
+      .distinct().count()
+    assert(clustered.count() === inPairs)
+    // each cluster's canonical id is a member of the cluster
+    val rows = clustered.collect()
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).contains(cid))
+      members.foreach(m => assert(m.getLong(2) === members.length.toLong))
+    }
+  }
+}
