@@ -80,6 +80,9 @@ object SparkEntry {
     "q60_vocabulary"        -> (Corpus.vocabulary(_, _)),
     "q61_pii_redact"        -> (Corpus.piiRedact(_, _)),
     "q62_dedup_clusters"    -> (Dedup.dedupClusters(_, _)),
+    "q63_filter_funnel"     -> (Corpus.filterFunnel(_, _)),
+    "q64_shard_pack"        -> (Corpus.shardPack(_, _)),
+    "q65_tfidf_topterms"    -> (Corpus.tfidfTopTerms(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -142,6 +145,9 @@ object SparkEntry {
     "q60_vocabulary"        -> Corpus.vocabularySql,
     "q61_pii_redact"        -> Corpus.piiRedactSql,
     "q62_dedup_clusters"    -> Dedup.dedupClustersSql,
+    "q63_filter_funnel"     -> Corpus.filterFunnelSql,
+    "q64_shard_pack"        -> Corpus.shardPackSql,
+    "q65_tfidf_topterms"    -> Corpus.tfidfTopTermsSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,26 +40,37 @@ object Corpus {
   val TrainPctEnd = 80
   val ValidationPctEnd = 90
 
+  /** md5(doc_id) mod 100 — the split bucket, shared by q58 and the
+    * shard packer (q64) so the two can never disagree on a doc's
+    * split. */
+  private def bucketCol: Column =
+    expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)") % 100
+
+  private def splitCol(bucket: Column): Column =
+    when(bucket < TrainPctEnd, lit("train"))
+      .when(bucket < ValidationPctEnd, lit("validation"))
+      .otherwise(lit("test"))
+
+  /** Oracle twin of [[bucketCol]]/[[splitCol]]. */
+  private val bucketSql =
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+  private val splitCaseSql =
+    s"""CASE WHEN $bucketSql < $TrainPctEnd THEN 'train'
+       |     WHEN $bucketSql < $ValidationPctEnd THEN 'validation'
+       |     ELSE 'test' END""".stripMargin
+
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     splitAssignFrom(Tables.documents(spark, dir))
 
   def splitAssignFrom(docs: DataFrame): DataFrame =
     docs
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
-          % 100)
-      .select($"doc_id", $"bucket",
-        when($"bucket" < TrainPctEnd, lit("train"))
-          .when($"bucket" < ValidationPctEnd, lit("validation"))
-          .otherwise(lit("test")).as("split"))
+      .withColumn("bucket", bucketCol)
+      .select($"doc_id", $"bucket", splitCol($"bucket").as("split"))
       .orderBy($"doc_id")
 
   val splitAssignSql: String =
-    s"""SELECT doc_id,
-       |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
-       |  CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < $TrainPctEnd THEN 'train'
-       |       WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < $ValidationPctEnd THEN 'validation'
-       |       ELSE 'test' END AS split
+    s"""SELECT doc_id, $bucketSql AS bucket,
+       |$splitCaseSql AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -199,4 +210,167 @@ object Corpus {
        |  CAST(length(regexp_replace(regexp_replace(a, '$EmailRe', '<EMAIL>', 'g'),
        |    '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
        |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q63 — quality filter funnel: the C4/RefinedWeb-style gating
+  // report. Every doc gets exactly one verdict, first-match-wins
+  // (the q22 drop-reason discipline): too_short → low_quality →
+  // non_target_lang → exact_dup → kept, and the funnel reports docs
+  // AND token volume per verdict — the numbers a pipeline review
+  // actually asks for ("how much data does each gate cost?").
+  //
+  // Scale shape: one narrow pass computes every per-doc signal; the
+  // only exchange is the dup-keeper window over the normalized-text
+  // key — the same single shuffle exact dedup (q44) pays, then a
+  // partial-aggregated groupBy over 5 verdict rows.
+  // ---------------------------------------------------------------
+
+  val FunnelMinTokens = 20L
+  val FunnelMinUniqRatio = 0.30
+  val TargetLangs = Seq("en", "es", "fr")
+
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    filterFunnelFrom(Tables.documents(spark, dir))
+
+  def filterFunnelFrom(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm")
+    docs
+      .withColumn("toks", TextOps.tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("uniq_ratio",
+        size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
+      .withColumn("norm",
+        regexp_replace(lower(trim($"text")), "\\s+", " "))
+      .withColumn("keeper", min($"doc_id").over(w))
+      .withColumn("verdict",
+        when($"n_tokens" < FunnelMinTokens, lit("too_short"))
+          .when($"uniq_ratio" < FunnelMinUniqRatio, lit("low_quality"))
+          .when(!$"lang".isin(TargetLangs: _*), lit("non_target_lang"))
+          .when($"keeper" =!= $"doc_id", lit("exact_dup"))
+          .otherwise(lit("kept")))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"verdict")
+  }
+
+  val filterFunnelSql: String = {
+    val langs = TargetLangs.map(l => s"'$l'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, lang,
+       |    len(${TextOps.tokensSql}) AS n_tokens,
+       |    CAST(len(list_distinct(${TextOps.tokensSql})) AS DOUBLE)
+       |      / len(${TextOps.tokensSql}) AS uniq_ratio,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS keeper
+       |  FROM documents),
+       |v AS (
+       |  SELECT CASE WHEN n_tokens < $FunnelMinTokens THEN 'too_short'
+       |              WHEN uniq_ratio < $FunnelMinUniqRatio THEN 'low_quality'
+       |              WHEN lang NOT IN ($langs) THEN 'non_target_lang'
+       |              WHEN keeper <> doc_id THEN 'exact_dup'
+       |              ELSE 'kept' END AS verdict,
+       |         n_tokens
+       |  FROM m)
+       |SELECT verdict, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q64 — token-budget shard packing: assign each doc to a training
+  // shard by running token count WITHIN its q58 split — the layout
+  // step between a cleaned corpus and a dataloader. Greedy sequential
+  // packing in doc_id order: shard = floor(tokens-before-me /
+  // budget), so shards hold ~budget tokens each and the assignment
+  // is deterministic and append-stable within a split.
+  //
+  // Scale shape: the running sum is windowed PER SPLIT, not global —
+  // and in production the partition key widens to (split, hash
+  // bucket) so no single ordered window spans the corpus; the
+  // fixture keeps 3 windows. Budget is fixture-sized; a real
+  // deployment uses ~10⁸ tokens/shard — a parameter.
+  // ---------------------------------------------------------------
+
+  val ShardTokenBudget = 2000L
+
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPackFrom(Tables.documents(spark, dir))
+
+  def shardPackFrom(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"split").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(TextOps.tokens($"text")).cast(LongType))
+      .withColumn("split", splitCol(bucketCol))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"split", $"n_tokens", $"cum_before",
+        floor($"cum_before" / ShardTokenBudget).cast(LongType).as("shard_id"))
+      .orderBy($"doc_id")
+  }
+
+  val shardPackSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $splitCaseSql AS split,
+       |    len(${TextOps.tokensSql}) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, split, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS cum_before
+       |  FROM m)
+       |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
+       |  CAST(FLOOR(cum_before / $ShardTokenBudget) AS BIGINT) AS shard_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q65 — TF-IDF top terms per document: the classic salience
+  // ranking (retrieval features, keyword extraction, topic drift
+  // monitoring over a training corpus). tf·ln(N/df) rounded to 6dp;
+  // ties break lexicographically so the top-k is deterministic.
+  //
+  // Scale shape: tf and df are both partial-aggregated groupBys over
+  // the exploded token stream; the scalar N broadcasts; the final
+  // tf⋈df join shuffles on token (df's vocabulary can be billions of
+  // rows on web corpora — broadcasting it is NOT assumed).
+  // ---------------------------------------------------------------
+
+  val TfIdfTopTerms = 3
+
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsFrom(Tables.documents(spark, dir))
+
+  def tfidfTopTermsFrom(docs: DataFrame): DataFrame = {
+    val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= TfIdfTopTerms)
+      .select($"doc_id", $"token", $"tf", $"df", $"tfidf", $"rank")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, t.token, t.tf, d.df,
+       |    ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+       |  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n)
+       |SELECT doc_id, token, tf, df, tfidf, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, token ASC) AS rank
+       |  FROM scored)
+       |WHERE rank <= $TfIdfTopTerms ORDER BY doc_id, rank""".stripMargin
 }

@@ -372,7 +372,7 @@ object Dedup {
     var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("lbl")).localCheckpoint(true)
     def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"lbl"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
     var prev = checksum(labels)
     var converged = false
     var round = 0

@@ -356,7 +356,8 @@ object Weather {
     val byHourSite = bronze(spark, dir)
       .filter($"site".isin("click", "error", "purchase"))
       .groupBy(date_trunc("hour", $"ts_utc").as("ts_hour"), $"site")
-      .agg(round(avg($"ghi_wm2"), 6).as("ghi"))
+      // exact decimal mean — same 6dp ROUND boundary hazard as q31
+      .agg(graft.functions.Exact.davg($"ghi_wm2").as("ghi"))
       .cache()
     def series(site: String, out: String) =
       byHourSite.filter($"site" === site).select($"ts_hour", $"ghi".as(out))
@@ -369,13 +370,13 @@ object Weather {
   val alignedSeriesSql: String =
     s"""WITH $bronzeCte,
        |s1 AS (SELECT date_trunc('hour', ts_utc) AS ts_hour,
-       |         ROUND(AVG(ghi_wm2), 6) AS click_ghi
+       |         ${graft.functions.Exact.sqlDavg("ghi_wm2")} AS click_ghi
        |       FROM bronze WHERE site = 'click' GROUP BY 1),
        |s2 AS (SELECT date_trunc('hour', ts_utc) AS ts_hour,
-       |         ROUND(AVG(ghi_wm2), 6) AS error_ghi
+       |         ${graft.functions.Exact.sqlDavg("ghi_wm2")} AS error_ghi
        |       FROM bronze WHERE site = 'error' GROUP BY 1),
        |s3 AS (SELECT date_trunc('hour', ts_utc) AS ts_hour,
-       |         ROUND(AVG(ghi_wm2), 6) AS purchase_ghi
+       |         ${graft.functions.Exact.sqlDavg("ghi_wm2")} AS purchase_ghi
        |       FROM bronze WHERE site = 'purchase' GROUP BY 1)
        |SELECT ts_hour, click_ghi, error_ghi, purchase_ghi
        |FROM s1 FULL JOIN s2 USING (ts_hour) FULL JOIN s3 USING (ts_hour)
@@ -603,7 +604,14 @@ object Weather {
       .filter($"ts_utc" >= lit("2024-01-01").cast(TimestampType)
               && $"ts_utc" < lit("2024-01-31").cast(TimestampType))
       .groupBy($"site", date_trunc("hour", $"ts_utc").as("ts_hour"))
-      .agg(round(avg($"ghi_wm2"), 6).as("ghi_mean"))
+      // Exact decimal mean, NOT round(avg(...), 6): per-hour groups are
+      // small, so the mean can land a hair under a 6dp half-boundary
+      // where DuckDB's scaled-multiply ROUND rounds up (the ×1e6
+      // product hits .5 exactly in binary) while Spark's BigDecimal
+      // round correctly rounds down — observed at sf0.1. ghi is ±2dp
+      // `value`, so the DECIMAL(12,2) sum is lossless and the division
+      // operands are bit-identical in both engines; no rounding needed.
+      .agg(graft.functions.Exact.davg($"ghi_wm2").as("ghi_mean"))
       .cache()
     val existing = hourly
       .filter($"ts_hour" < lit("2024-01-16").cast(TimestampType))
@@ -620,13 +628,13 @@ object Weather {
     s"""WITH $bronzeCte,
        |existing AS (
        |  SELECT site, date_trunc('hour', ts_utc) AS ts_hour,
-       |    ROUND(AVG(ghi_wm2), 6) AS ghi_mean, 'old' AS batch
+       |    ${graft.functions.Exact.sqlDavg("ghi_wm2")} AS ghi_mean, 'old' AS batch
        |  FROM bronze
        |  WHERE ts_utc >= TIMESTAMP '2024-01-01' AND ts_utc < TIMESTAMP '2024-01-16'
        |  GROUP BY 1, 2),
        |incoming AS (
        |  SELECT site, date_trunc('hour', ts_utc) AS ts_hour,
-       |    ROUND(AVG(ghi_wm2), 6) AS ghi_mean, 'new' AS batch
+       |    ${graft.functions.Exact.sqlDavg("ghi_wm2")} AS ghi_mean, 'new' AS batch
        |  FROM bronze
        |  WHERE ts_utc >= TIMESTAMP '2024-01-10' AND ts_utc < TIMESTAMP '2024-01-31'
        |  GROUP BY 1, 2)

@@ -129,6 +129,62 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 funnel: verdicts are exhaustive and first-match-wins") {
+    val docs = Seq(
+      (1L, "tiny doc", "en"),                      // < 20 tokens → too_short
+      (2L, ("word " * 30).trim, "en"),             // 30x same token → low_quality
+      (3L, ("z y x w v u t s r q p o n m l k j i h g f e"), "de"),    // 22 distinct → non_target_lang
+      (4L, ("a b c d e f g h i j k l m n o p q r s t u v"), "en"),    // kept (first copy)
+      (5L, ("a b c d e f g h i j k l m n o p q r s t u v"), "en"))    // exact dup of 4
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.filterFunnelFrom(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("too_short") === ((1L, 2L)))
+    assert(out("low_quality")._1 === 1L)
+    assert(out("non_target_lang")._1 === 1L)
+    // doc 3 is de but shares text with 4/5: lang fires BEFORE dup
+    assert(out("exact_dup")._1 === 1L)
+    assert(out("kept")._1 === 1L)
+    assert(out.values.map(_._1).sum === 5L)
+  }
+
+  test("q64 packing: shards respect the token budget within each split") {
+    val rows = Corpus.shardPack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, docs) =>
+      docs.foreach { r =>
+        val cum = r.getLong(3); val shard = r.getLong(4)
+        assert(shard === cum / Corpus.ShardTokenBudget)
+      }
+      // shard ids are contiguous from 0 within the split
+      val shards = docs.map(_.getLong(4)).distinct.sorted
+      assert(shards.head === 0L)
+      assert(shards === (0L until shards.length.toLong))
+    }
+    // split assignment agrees with q58
+    val splits = Corpus.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    rows.foreach(r => assert(r.getString(1) === splits(r.getLong(0))))
+  }
+
+  test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common alpha beta"),
+      (3L, "common gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTermsFrom(docs).collect()
+    val doc1 = out.filter(_.getLong(0) === 1L)
+    // 'common' appears in every doc → idf = ln(1) = 0 → never top
+    assert(doc1.head.getString(1) === "rare1")
+    assert(doc1.head.getDouble(4) > 0)
+    out.filter(_.getString(1) === "common").foreach { r =>
+      assert(r.getDouble(4) === 0.0)
+    }
+    // exactly TopTerms rows per doc (3 tokens each here)
+    assert(out.count(_.getLong(0) === 1L) <= Corpus.TfIdfTopTerms)
+  }
+
   test("q62 clusters on the fixture: consistent with the q47 pair graph") {
     val pairs = Dedup.lshNearDupPairs(spark, sf).select($"doc_a", $"doc_b")
     val clustered = Dedup.dedupClustersFrom(pairs)
