@@ -220,9 +220,20 @@ object Corpus {
   // actually asks for ("how much data does each gate cost?").
   //
   // Scale shape: one narrow pass computes every per-doc signal; the
-  // only exchange is the dup-keeper window over the normalized-text
-  // key — the same single shuffle exact dedup (q44) pays, then a
-  // partial-aggregated groupBy over 5 verdict rows.
+  // only exchange is the dup-keeper window, keyed on md5(norm) — the
+  // q44 discipline: hash first so the shuffle key is a 32-char digest
+  // instead of the full document text — then a partial-aggregated
+  // groupBy over 5 verdict rows.
+  //
+  // Keeper semantics: keeper = min(doc_id) over ALL docs sharing the
+  // normalized text, regardless of whether earlier gates would have
+  // dropped that keeper. A sequential-gate pipeline (dedup AFTER
+  // filtering) would instead pick the keeper among survivors — which
+  // can retain one more copy when the min-id copy was e.g. non-target
+  // lang. This funnel is a REPORT over independent signals, so the
+  // simpler all-docs keeper is the intended semantics; the oracle SQL
+  // mirrors it exactly, and a retention pipeline that needs
+  // survivor-keeper composes the gates sequentially instead.
   // ---------------------------------------------------------------
 
   val FunnelMinTokens = 20L
@@ -233,14 +244,14 @@ object Corpus {
     filterFunnelFrom(Tables.documents(spark, dir))
 
   def filterFunnelFrom(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm_md5")
     docs
       .withColumn("toks", TextOps.tokens($"text"))
       .withColumn("n_tokens", size($"toks").cast(LongType))
       .withColumn("uniq_ratio",
         size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
-      .withColumn("norm",
-        regexp_replace(lower(trim($"text")), "\\s+", " "))
+      .withColumn("norm_md5",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ").cast(BinaryType)))
       .withColumn("keeper", min($"doc_id").over(w))
       .withColumn("verdict",
         when($"n_tokens" < FunnelMinTokens, lit("too_short"))
@@ -261,7 +272,7 @@ object Corpus {
        |    CAST(len(list_distinct(${TextOps.tokensSql})) AS DOUBLE)
        |      / len(${TextOps.tokensSql}) AS uniq_ratio,
        |    MIN(doc_id) OVER (PARTITION BY
-       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS keeper
+       |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keeper
        |  FROM documents),
        |v AS (
        |  SELECT CASE WHEN n_tokens < $FunnelMinTokens THEN 'too_short'
@@ -280,30 +291,69 @@ object Corpus {
   // q64 — token-budget shard packing: assign each doc to a training
   // shard by running token count WITHIN its q58 split — the layout
   // step between a cleaned corpus and a dataloader. Greedy sequential
-  // packing in doc_id order: shard = floor(tokens-before-me /
-  // budget), so shards hold ~budget tokens each and the assignment
-  // is deterministic and append-stable within a split.
+  // packing: shard = floor(tokens-before-me / budget), so shards hold
+  // ~budget tokens each and the assignment is deterministic.
   //
-  // Scale shape: the running sum is windowed PER SPLIT, not global —
-  // and in production the partition key widens to (split, hash
-  // bucket) so no single ordered window spans the corpus; the
-  // fixture keeps 3 windows. Budget is fixture-sized; a real
-  // deployment uses ~10⁸ tokens/shard — a parameter.
+  // Scale shape — TWO-LEVEL deterministic packing. A single ordered
+  // window per split funnels a third of the corpus through one task,
+  // so the running sum is decomposed:
+  //
+  //   1. each doc hashes to one of [[NumPackBuckets]] pack buckets
+  //      (an md5 slice independent of the split slice), and the
+  //      ordered window runs within (split, bucket) — the widest
+  //      sort any task sees is corpus / (splits × buckets);
+  //   2. a per-(split, bucket) totals aggregate (splits × buckets
+  //      rows — trivially broadcastable) yields each bucket's
+  //      exclusive prefix offset within its split;
+  //   3. cum_before = bucket offset + within-bucket running sum —
+  //      exactly the global running sum in (split, bucket, doc_id)
+  //      order, computed without any global window.
+  //
+  // Packing order is therefore (bucket, doc_id) within a split — as
+  // deterministic as pure doc_id order, just a different fixed
+  // permutation. NumPackBuckets is fixture-sized (16); a production
+  // deployment raises it so each window partition holds ~one task's
+  // worth of rows (e.g. 10⁴ buckets at 10⁹ docs) — a parameter, not
+  // a structural change. Budget likewise (~10⁸ tokens/shard in prod).
   // ---------------------------------------------------------------
 
   val ShardTokenBudget = 2000L
+  val NumPackBuckets = 16
+
+  /** md5 slice (chars 9–16, disjoint from [[bucketCol]]'s 1–8) mod
+    * [[NumPackBuckets]] — the pack bucket, uncorrelated with the
+    * split bucket so buckets stay balanced within every split. */
+  private def packBucketCol: Column =
+    expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 9, 8), 16, 10) AS BIGINT)") % NumPackBuckets
+
+  private val packBucketSql =
+    s"CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8) AS BIGINT) % $NumPackBuckets"
 
   def shardPack(spark: SparkSession, dir: String): DataFrame =
     shardPackFrom(Tables.documents(spark, dir))
 
   def shardPackFrom(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"split").orderBy($"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
+    import org.apache.spark.sql.expressions.Window
+    val m = docs
       .withColumn("n_tokens", size(TextOps.tokens($"text")).cast(LongType))
       .withColumn("split", splitCol(bucketCol))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("pbucket", packBucketCol)
+    // level 2: exclusive prefix offset per (split, bucket) — the
+    // aggregate is splits × NumPackBuckets rows, so the ordered window
+    // over it is driver-trivial and the join back broadcasts
+    val wOff = Window.partitionBy($"split").orderBy($"pbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy($"split", $"pbucket")
+      .agg(sum($"n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum($"bucket_tokens").over(wOff), lit(0L)))
+      .select($"split", $"pbucket", $"bucket_offset")
+    // level 1: running sum within (split, bucket) — bounded partitions
+    val wIn = Window.partitionBy($"split", $"pbucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.join(broadcast(offsets), Seq("split", "pbucket"))
+      .withColumn("cum_before",
+        $"bucket_offset" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
       .select($"doc_id", $"split", $"n_tokens", $"cum_before",
         floor($"cum_before" / ShardTokenBudget).cast(LongType).as("shard_id"))
       .orderBy($"doc_id")
@@ -312,14 +362,22 @@ object Corpus {
   val shardPackSql: String =
     s"""WITH m AS (
        |  SELECT doc_id, $splitCaseSql AS split,
+       |    $packBucketSql AS pbucket,
        |    len(${TextOps.tokensSql}) AS n_tokens
        |  FROM documents),
+       |off AS (
+       |  SELECT split, pbucket,
+       |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY split
+       |      ORDER BY pbucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS bucket_offset
+       |  FROM m GROUP BY split, pbucket),
        |c AS (
-       |  SELECT doc_id, split, n_tokens,
-       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split
-       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |  SELECT m.doc_id, m.split, m.n_tokens,
+       |    CAST(o.bucket_offset + COALESCE(SUM(m.n_tokens) OVER (
+       |      PARTITION BY m.split, m.pbucket ORDER BY m.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0) AS BIGINT) AS cum_before
-       |  FROM m)
+       |  FROM m JOIN off o ON m.split = o.split AND m.pbucket = o.pbucket)
        |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
        |  CAST(FLOOR(cum_before / $ShardTokenBudget) AS BIGINT) AS shard_id
        |FROM c ORDER BY doc_id""".stripMargin

@@ -337,19 +337,33 @@ object Dedup {
   // canonical doc per component, drop the rest. Canonical = min
   // doc_id, the usual deterministic convention.
   //
-  // Algorithm: iterative min-label propagation to a fixpoint. Each
-  // round is one join (edges ⋈ labels) + one min-aggregate — all
-  // hash-partitioned on doc_id, no driver data movement; the driver
-  // only compares a per-round checksum (sum of labels, monotonically
-  // non-increasing, so equality ⇔ fixpoint). Rounds = graph diameter;
-  // near-dup components are shallow (dozens of docs, diameter ≲ 5),
-  // and [[MaxCcRounds]] fails loudly on pathological chains rather
-  // than looping forever. At extreme diameters the alternating
-  // large-star/small-star variant (O(log n) rounds) is the drop-in
-  // upgrade; the per-round plan here is already its building block.
+  // Algorithm, two-tier:
+  //
+  //   Fast path — iterative min-label propagation to a fixpoint. Each
+  //   round is one join (edges ⋈ labels) + one min-aggregate — all
+  //   hash-partitioned on doc_id, no driver data movement; the driver
+  //   only compares a per-round checksum (sum of labels, monotonically
+  //   non-increasing, so equality ⇔ fixpoint). Rounds = graph
+  //   diameter; near-dup components are shallow (dozens of docs,
+  //   diameter ≲ 5), so this almost always wins.
+  //
+  //   Escalation — if propagation hasn't converged after
+  //   [[MaxCcRounds]] (a pathological deep chain), switch to the
+  //   alternating large-star/small-star algorithm (Kiveris et al.,
+  //   "Connected Components in MapReduce and Beyond", SoCC'14), which
+  //   contracts every component to a star around its minimum node in
+  //   O(log n) rounds regardless of diameter. Both tiers produce the
+  //   identical labeling (component min), so which tier ran is
+  //   unobservable in the output.
   // ---------------------------------------------------------------
 
   val MaxCcRounds = 25
+
+  /** Round budget for the large-star/small-star tier. The algorithm
+    * converges in O(log n) rounds, so 40 covers any graph whose node
+    * ids fit in a Long; exceeding it means a logic error, not a deep
+    * graph — fail loudly. */
+  val MaxStarRounds = 40
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersFrom(
@@ -388,15 +402,82 @@ object Dedup {
       converged = cur == prev
       prev = cur
     }
-    require(converged,
-      s"dedupClusters: no fixpoint after $MaxCcRounds rounds — component " +
-        "diameter exceeds the propagation budget; switch to the " +
-        "large-star/small-star formulation for this corpus")
+    if (!converged) labels = starLabels(edges)
     edges.unpersist()
     val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
+  }
+
+  /** Large-star: per node u over its UNDIRECTED neighborhood, link
+    * every strictly-larger neighbor to m = min(N(u) ∪ {u}). Emitted
+    * edges stay big→small oriented (src > dst). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select($"src", $"dst")
+      .union(e.select($"dst".as("src"), $"src".as("dst")))
+    val mins = nbrs.groupBy($"src").agg(min($"dst").as("mn"))
+      .select($"src", least($"src", $"mn").as("mn"))
+    nbrs.join(mins, Seq("src"))
+      .filter($"dst" > $"src")
+      .select($"dst".as("src"), $"mn".as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** Small-star: orient every edge big→small; per node u, link its
+    * smaller neighbors AND u itself to m = min of those neighbors.
+    * Together with [[largeStar]] this is the alternating algorithm of
+    * Kiveris et al. — connectivity-preserving each step, fixpoint =
+    * every component contracted to a star around its min node. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest($"src", $"dst").as("src"), least($"src", $"dst").as("dst"))
+    val mins = oriented.groupBy($"src").agg(min($"dst").as("mn"))
+    val linked = oriented.join(mins, Seq("src"))
+      .filter($"dst" =!= $"mn")
+      .select($"dst".as("src"), $"mn".as("dst"))
+    linked.union(mins.select($"src", $"mn".as("dst")))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** O(log n)-round connected components: alternate large-star /
+    * small-star until the edge set is fixed, then read labels off the
+    * resulting stars. Driver sees one (count, hash-sum) pair per round;
+    * all data movement is hash-partitioned joins/aggregates, and
+    * localCheckpoint truncates the per-round lineage exactly as the
+    * propagation tier does. Exposed package-private for the spec. */
+  private[operators] def starLabels(edges: DataFrame): DataFrame = {
+    val nodes = edges.select($"src".as("doc_id")).distinct()
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64($"src", $"dst")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges
+      .filter($"src" =!= $"dst")
+      .select(greatest($"src", $"dst").as("src"),
+              least($"src", $"dst").as("dst"))
+      .distinct().localCheckpoint(true)
+    var prev = checksum(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxStarRounds) {
+      round += 1
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(next)
+      e = next
+      converged = cur == prev
+      prev = cur
+    }
+    require(converged,
+      s"starLabels: star contraction did not fix after $MaxStarRounds " +
+        "rounds — impossible for Long node ids; investigate the edge frame")
+    // fixpoint edges are stars (member, center); centers label themselves
+    nodes.join(e.select($"src".as("doc_id"), $"dst".as("lbl")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("lbl"))
   }
 
   /** Oracle: recursive min-label reachability over the same q47 pair
