@@ -118,10 +118,12 @@ object Bench {
           Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
             val isSibling = f.getName.startsWith(prefix) &&
               f.getPath != dest.getPath
-            // a .tmp_ dir younger than 6h may be a live concurrent build
-            val safeToDrop =
-              !f.getName.contains(".tmp_") || f.lastModified() < staleAge
-            if (isSibling && safeToDrop) rmTree(f)
+            // age-gate EVERY sibling, published or staging: a published
+            // dir with a different fingerprint younger than 6h may be
+            // the live warehouse of a concurrent run against
+            // regenerated fixtures — deleting it mid-scan would fail
+            // that run. Older than 6h it's a dead copy either way.
+            if (isSibling && f.lastModified() < staleAge) rmTree(f)
           })
         }
         dest.toString
@@ -160,27 +162,49 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passes = (1 to 3).map { i =>
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    def runPass(): Unit = {
       loads += loadavg()
       val p = onePass()
+      passes += p
       System.err.println(
-        f"[bench] pass $i total ${p.values.filter(_ >= 0).sum}%.1f s (loadavg ${loads.last}%.2f at start)")
-      p
+        f"[bench] pass ${passes.size} total ${p.values.filter(_ >= 0).sum}%.1f s (loadavg ${loads.last}%.2f at start)")
     }
+    def spreadOf(ps: Seq[Map[String, Double]]): Double = {
+      val totals = ps.map(_.values.filter(_ >= 0).sum)
+      if (totals.nonEmpty && totals.min > 0) totals.max / totals.min else -1.0
+    }
+    // Spread-adaptive passes: 3 minimum; while the post-warmup passes
+    // still disagree by >30% (co-load contamination — a quiet box runs
+    // them within ~15%), keep adding passes up to 6 so the per-query
+    // minimum is taken over at least two clean passes. The warmup pass
+    // (JIT/codegen) is excluded from the convergence check but still
+    // participates in the minimum.
+    (1 to 3).foreach(_ => runPass())
+    while (passes.size < 6 && spreadOf(passes.toSeq.drop(1)) > 1.3)
+      runPass()
     val results = passes.head.keys.toSeq.sorted.map { k =>
-      val vs = passes.map(_(k))
+      val vs = passes.toSeq.map(_(k))
       k -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val passTotals = passes.map(_.values.filter(_ >= 0).sum)
+    // The gate compares against DuckDB running SparkEntry.oracleSql —
+    // queries with no oracle twin (rows-only checks) have no DuckDB
+    // counterpart, so including them makes the headline division
+    // apples-to-oranges. Emit the oracle-subset total alongside so the
+    // gate ratio is one clean division over the shared query set.
+    val oracleTotal = results
+      .collect { case (k, v) if v >= 0 && SparkEntry.oracleSql.contains(k) => v }
+      .sum
+    val passTotals = passes.toSeq.map(_.values.filter(_ >= 0).sum)
     val spread =
       if (passTotals.min > 0) passTotals.max / passTotals.min else -1.0
     val passJson = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"queries":$qs,"sf":"$sfDir","pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f}"""
     // The driver parses this from stdout, where sbt's log prefixes can
     // bury it (BENCH_r01 recorded "parsed": null). Belt and braces:
     // print the bare line AND write it to bench.json (cwd = repo root

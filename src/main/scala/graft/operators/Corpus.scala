@@ -322,8 +322,9 @@ object Corpus {
 
   /** md5 slice (chars 9–16, disjoint from [[bucketCol]]'s 1–8) mod
     * [[NumPackBuckets]] — the pack bucket, uncorrelated with the
-    * split bucket so buckets stay balanced within every split. */
-  private def packBucketCol: Column =
+    * split bucket so buckets stay balanced within every split.
+    * Package-visible so the width-bound spec can recompute it. */
+  private[graft] def packBucketCol: Column =
     expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 9, 8), 16, 10) AS BIGINT)") % NumPackBuckets
 
   private val packBucketSql =

@@ -112,13 +112,16 @@ object Dedup {
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
     // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
     // same shape as the q47 mega-bucket guard. Only the kept frame is
-    // cached: it feeds three consumers (sizes + both join sides), while
-    // the raw shingle stream is a narrow generator pass cheap to run
-    // twice — a second cache would cost more in materialization than
-    // the recompute it saves.
+    // materialized: it feeds three consumers (sizes + both join
+    // sides). localCheckpoint rather than cache() — a cache() here
+    // would pin a CacheManager entry the caller can never unpersist
+    // (the handle is function-local); checkpointed blocks are instead
+    // released by the ContextCleaner once the returned plan is
+    // unreachable, so repeated calls don't accumulate storage.
     val hot = items.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select(col(itemCol))
-    val it = items.join(broadcast(hot), Seq(itemCol), "left_anti").cache()
+    val it = items.join(broadcast(hot), Seq(itemCol), "left_anti")
+      .localCheckpoint(true)
     val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = it.select($"doc_id".as("doc_a"), col(itemCol))
     val b = it.select($"doc_id".as("doc_b"), col(itemCol))
@@ -448,11 +451,18 @@ object Dedup {
     * all data movement is hash-partitioned joins/aggregates, and
     * localCheckpoint truncates the per-round lineage exactly as the
     * propagation tier does. Exposed package-private for the spec. */
-  private[operators] def starLabels(edges: DataFrame): DataFrame = {
-    val nodes = edges.select($"src".as("doc_id")).distinct()
+  private[graft] def starLabels(edges: DataFrame): DataFrame = {
+    // node set from BOTH endpoints: the dedupClustersFrom caller hands
+    // symmetrized edges where src alone covers every node, but a
+    // direct caller may not — don't silently drop dst-only nodes
+    val nodes = edges.select($"src".as("doc_id"))
+      .union(edges.select($"dst".as("doc_id"))).distinct()
+    // edge-set fingerprint: count + XOR of per-edge hashes — order-
+    // independent like a sum, but closed under Long (a sum of uniform
+    // 64-bit hashes overflows under ANSI arithmetic)
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64($"src", $"dst")), lit(0L))).head()
+        coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var e = edges

@@ -220,8 +220,25 @@ object VectorOps {
   private val codebooks =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Seq[Double])]]
 
+  /** Memo key = path + source-file inventory (mtime + size of every
+    * file under embeddings.parquet). A bare-path key would serve a
+    * stale codebook if the fixture regenerates under the same path
+    * within one JVM; the inventory fingerprint forces a refit exactly
+    * when the bytes could have changed — the same invalidation rule as
+    * Bench's warehouse `_READY` marker. */
+  private def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(dir, "embeddings.parquet")
+    val inv = walk(root)
+      .map(f => s"${f.getPath}:${f.lastModified()}:${f.length()}")
+    (dir +: inv).mkString("\n")
+  }
+
   private def codebookFor(spark: SparkSession, dir: String): DataFrame = {
-    val rows = codebooks.getOrElseUpdate(dir, {
+    val rows = codebooks.getOrElseUpdate(corpusFingerprint(dir), {
       val all = vecs(spark, dir).cache()
       try fittedCentroids(all).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))

@@ -54,7 +54,7 @@ object StreamingClean {
     val inputDir =
       if (java.nio.file.Files.isDirectory(src)) eventsPath
       else {
-        val d = Files.createTempDirectory("graft-stream-in-")
+        val d = java.nio.file.Paths.get(trackedTempDir("graft-stream-in-"))
         java.nio.file.Files.createSymbolicLink(
           d.resolve(src.getFileName), src)
         d.toString
@@ -65,6 +65,31 @@ object StreamingClean {
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
     withRate.parquet(inputDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Recursive delete for the bounded-drain temp dirs below. A live
+    * (unbounded) deployment keeps its checkpoint — it IS the restart
+    * contract; only the AvailableNow drain-and-stop paths here own a
+    * throwaway checkpoint and must remove it on termination. */
+  private[graft] def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Temp dirs that must outlive the call that makes them (a stream's
+    * staging input while the query runs; a result's backing store
+    * while the caller still reads it) but not the JVM: tracked here
+    * and swept by a shutdown hook, so repeated suite/verify runs don't
+    * accumulate orphans under /tmp. */
+  private val exitSweep = scala.collection.mutable.ArrayBuffer.empty[String]
+  sys.addShutdownHook(exitSweep.synchronized(exitSweep.foreach(rmTree)))
+  private[graft] def trackedTempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    exitSweep.synchronized(exitSweep += d)
+    d
   }
 
   def run(spark: SparkSession, eventsPath: String, outPath: String,
@@ -86,7 +111,8 @@ object StreamingClean {
         ()
       }
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally rmTree(checkpoint)
     spark.read.parquet(outPath)
   }
 
@@ -95,7 +121,7 @@ object StreamingClean {
     * the BATCH silver SQL — passing means the streaming path computes
     * exactly what the batch kernel computes. */
   def silverViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft-silver-").toString + "/silver"
+    val out = trackedTempDir("graft-silver-") + "/silver"
     run(spark, s"$sfDir/events.parquet", out)
       .drop("ingested_at", "ingest_seq")
       .orderBy($"site", $"ts_utc")

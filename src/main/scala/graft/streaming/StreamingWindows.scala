@@ -40,14 +40,15 @@ object StreamingWindows {
            round(avg($"ghi_wm2"), 6).as("ghi_mean"))
       .select($"window.start".as("ts_hour"), $"site", $"n", $"ghi_mean")
     val name = "graft_hourly_" + math.abs(eventsPath.hashCode).toString
+    val checkpoint = Files.createTempDirectory("graft-wm-").toString
     val q = agg.writeStream
       .outputMode(mode)
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-wm-").toString)
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
     spark.table(name)
   }
 
@@ -89,14 +90,15 @@ object StreamingWindows {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updater)
     val name = "graft_dedup_" + math.abs(eventsPath.hashCode).toString
+    val checkpoint = Files.createTempDirectory("graft-st-").toString
     val q = deduped.writeStream
       .outputMode(OutputMode.Update)
       .format("memory").queryName(name)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft-st-").toString)
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
     // The memory sink holds the UPDATE CHANGELOG (one row per winner
     // change per batch); reduce it to the final winner per key so
     // multi-batch inputs don't surface superseded rows.

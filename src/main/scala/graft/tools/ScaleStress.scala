@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, VectorOps, Weather}
+import graft.operators.{Corpus, Dedup, VectorOps, Weather}
 
 /** Dev scratch: 10× data amplification (≈ sf1 from sf0.1) to observe
   * how the core pipelines scale — the "would this survive 100×"
@@ -49,7 +49,26 @@ object ScaleStress {
     println(s"docs rows: ${docs.count()}")
     val shf = Dedup.shingleFpsFrom(docs).cache()
     time("shingle fps")(shf.count())
-    time("LSH near-dup pairs")(Dedup.lshNearDupPairsFrom(shf).count())
+    val lshPairs = Dedup.lshNearDupPairsFrom(shf)
+    time("LSH near-dup pairs")(lshPairs.count())
+
+    // corpus family (q58–q65) at the amplified scale — the round-5
+    // hardening targets: q62's round count vs diameter and q64's
+    // per-(split,bucket) window width are the two knees to watch
+    time("q58 split assign")(Corpus.splitAssignFrom(docs).count())
+    time("q59 decontaminate")(Corpus.decontaminateFrom(docs).count())
+    time("q60 vocabulary")(Corpus.vocabularyFrom(docs).count())
+    time("q61 pii redact")(Corpus.piiRedactFrom(docs).count())
+    time("q62 dedup clusters")(
+      Dedup.dedupClustersFrom(lshPairs.select($"doc_a", $"doc_b")).count())
+    time("q63 filter funnel")(Corpus.filterFunnelFrom(docs).count())
+    time("q64 shard pack")(Corpus.shardPackFrom(docs).count())
+    val w64 = Corpus.shardPackFrom(docs)
+      .withColumn("pbucket", Corpus.packBucketCol)
+      .groupBy($"split", $"pbucket").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    println(s"q64 widest ordered-window partition: $w64 rows")
+    time("q65 tf-idf top terms")(Corpus.tfidfTopTermsFrom(docs).count())
 
     val emb = graft.Tables.embeddings(spark, dir)
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))

@@ -129,6 +129,47 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q62 clusters: chain deeper than the propagation budget escalates and converges") {
+    // path graph 0-1-2-...-40: diameter 40 > MaxCcRounds (25), so the
+    // min-label fast path cannot converge — dedupClustersFrom must
+    // escalate to the large-star/small-star tier and still produce the
+    // component-min labeling. This is the graph that made the previous
+    // implementation fail loudly.
+    val n = Dedup.MaxCcRounds + 15
+    val pairs = (0L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClustersFrom(pairs).collect()
+    assert(out.length === n + 1)
+    out.foreach { r =>
+      assert(r.getLong(1) === 0L)
+      assert(r.getLong(2) === (n + 1).toLong)
+    }
+  }
+
+  test("q62 star tier: labeling matches a union-find ground truth on a random graph") {
+    // 120 nodes, seeded random edges: compare starLabels directly (the
+    // escalation tier, bypassing the fast path) against a driver-side
+    // union-find — both must assign every node its component minimum.
+    val rnd = new scala.util.Random(42)
+    val nodes = 120
+    val edges = Seq.fill(150)((rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(nodes)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> {
+        // component min = min over all nodes sharing the root
+        val r = find(x.toInt)
+        (0 until nodes).filter(find(_) == r).min.toLong
+      }).toMap
+    val got = Dedup.starLabels(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("q63 funnel: verdicts are exhaustive and first-match-wins") {
     val docs = Seq(
       (1L, "tiny doc", "en"),                      // < 20 tokens → too_short
@@ -165,6 +206,53 @@ class CorpusSpec extends AnyFunSuite {
     val splits = Corpus.splitAssign(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     rows.foreach(r => assert(r.getString(1) === splits(r.getLong(0))))
+  }
+
+  test("q64 packing: cum_before is an exact greedy prefix sum within each split") {
+    // the two-level decomposition must produce a true sequential
+    // packing: within a split, sorting docs by cum_before and walking
+    // them must reproduce cum_before as the running token total —
+    // no gaps, no overlaps, starting at zero
+    val rows = Corpus.shardPack(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_.getLong(3))
+      var running = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(3) === running)
+        running += r.getLong(2)
+      }
+    }
+  }
+
+  test("q64 packing: no ordered-window partition approaches split width at 10x") {
+    // the scale property the two-level scheme buys: the widest sort any
+    // task performs is bounded by (split, pack-bucket), not by split.
+    // Amplify the corpus 10x and measure actual partition widths.
+    val docs = Tables.documents(spark, sf)
+      .withColumn("rep", explode(sequence(lit(0), lit(9))))
+      .withColumn("doc_id", $"doc_id" * 10 + $"rep")
+      .drop("rep")
+    val widths = Corpus.shardPackFrom(docs)
+      .withColumn("pbucket", Corpus.packBucketCol)
+      .groupBy($"split", $"pbucket").count().collect()
+    val total = widths.map(_.getLong(2)).sum
+    val maxBucket = widths.map(_.getLong(2)).max
+    val maxSplit = widths.groupBy(_.getString(0))
+      .map(_._2.map(_.getLong(2)).sum).max
+    // buckets stay balanced: the widest window holds a small multiple
+    // of the ideal total/(splits x buckets), far below its split width
+    assert(maxBucket < maxSplit / 4,
+      s"widest window $maxBucket vs split width $maxSplit")
+    assert(maxBucket < 3L * total / Corpus.NumPackBuckets.toLong,
+      s"bucket skew: $maxBucket of $total")
+    // packing remains a valid prefix sum after amplification
+    val rows = Corpus.shardPackFrom(docs).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, ds) =>
+      var running = 0L
+      ds.sortBy(_.getLong(3)).foreach { r =>
+        assert(r.getLong(3) === running); running += r.getLong(2)
+      }
+    }
   }
 
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {

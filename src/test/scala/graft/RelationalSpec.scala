@@ -21,6 +21,15 @@ object TestSpark {
   val sf: String = "/root/testdata/sf0.001"
 }
 
+/** Spec-fixture temp dirs, tracked and swept at JVM exit via the
+  * engine's shutdown-hook registry — a full suite run leaves /tmp
+  * clean. */
+object TestTmp {
+  def dir(prefix: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      graft.streaming.StreamingClean.trackedTempDir(prefix))
+}
+
 class RelationalSpec extends AnyFunSuite {
   import TestSpark._
   import graft.operators.Relational

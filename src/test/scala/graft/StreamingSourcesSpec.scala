@@ -35,7 +35,7 @@ class UpsertWriterSpec extends AnyFunSuite {
   }
 
   test("upsert: rerunning the same window is a no-op (idempotency)") {
-    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    val path = TestTmp.dir("graft-ups-").toString + "/t"
     val batch = kv(("a", 1, 1.0), ("b", 1, 2.0))
     UpsertWriter.upsert(spark, path, batch, Seq("k"), Seq("version"))
     val snap1 = spark.read.parquet(path).orderBy("k").collect().toSeq
@@ -47,7 +47,7 @@ class UpsertWriterSpec extends AnyFunSuite {
 
   test("upsert: CHECK-violating incoming batch is rejected and the store is untouched") {
     import org.apache.spark.sql.functions.col
-    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    val path = TestTmp.dir("graft-ups-").toString + "/t"
     val checks = Seq(graft.schema.Schemas.Check("v_nonneg", col("v") < 0))
     UpsertWriter.upsert(spark, path, kv(("a", 1, 1.0)), Seq("k"), Seq("version"),
       checks = checks, table = "t")
@@ -62,7 +62,7 @@ class UpsertWriterSpec extends AnyFunSuite {
   }
 
   test("upsert: late newer data overwrites, late older data is ignored") {
-    val path = Files.createTempDirectory("graft-ups-").toString + "/t"
+    val path = TestTmp.dir("graft-ups-").toString + "/t"
     UpsertWriter.upsert(spark, path, kv(("a", 5, 1.0)), Seq("k"), Seq("version"))
     UpsertWriter.upsert(spark, path, kv(("a", 9, 2.0)), Seq("k"), Seq("version"))
     UpsertWriter.upsert(spark, path, kv(("a", 3, 3.0)), Seq("k"), Seq("version"))
@@ -77,7 +77,7 @@ class StreamingCleanSpec extends AnyFunSuite {
   import TestSpark._
 
   test("streaming clean == batch clean on the fixture (micro-batched, merged)") {
-    val out = Files.createTempDirectory("graft-stream-").toString + "/silver"
+    val out = TestTmp.dir("graft-stream-").toString + "/silver"
     val streamed = StreamingClean.run(spark, s"$sf/events.parquet", out)
       .drop("ingested_at", "ingest_seq")
     val batch = Weather.cleanToHourly(Weather.bronze(spark, sf))

@@ -43,10 +43,10 @@ class StreamingWindowsSpec extends AnyFunSuite {
   test("multi-batch streaming: late-but-newer data overwrites, older is ignored") {
     import spark.implicits._
     // two files => two AvailableNow micro-batches (maxFilesPerTrigger=1)
-    val inDir = Files.createTempDirectory("graft-mb-in-")
-    val out = Files.createTempDirectory("graft-mb-out-").toString + "/silver"
+    val inDir = TestTmp.dir("graft-mb-in-")
+    val out = TestTmp.dir("graft-mb-out-").toString + "/silver"
     def mkEvents(ids: Seq[Long], tsBase: Long, file: String): Unit = {
-      val stage = Files.createTempDirectory("graft-mb-stage-").toString + "/p"
+      val stage = TestTmp.dir("graft-mb-stage-").toString + "/p"
       ids.map(i => (i, (tsBase + i * 1000000L) * 1000L, 1L, "click", 50.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(stage)
@@ -77,11 +77,11 @@ class StreamingWindowsSpec extends AnyFunSuite {
     // late-and-older and must be ignored — including the final batch,
     // so convergence can't be an accident of processing order. The
     // store must equal what the batch kernel computes over the union.
-    val inDir = Files.createTempDirectory("graft-mb4-in-")
-    val out = Files.createTempDirectory("graft-mb4-out-").toString + "/silver"
+    val inDir = TestTmp.dir("graft-mb4-in-")
+    val out = TestTmp.dir("graft-mb4-out-").toString + "/silver"
     val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
     def mk(ids: Seq[Long], file: String): Unit = {
-      val stage = Files.createTempDirectory("graft-mb4-stage-").toString + "/p"
+      val stage = TestTmp.dir("graft-mb4-stage-").toString + "/p"
       ids.map(i => (i, (base + i * 1000000L) * 1000L, 1L, "click", 50.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(stage)
@@ -115,7 +115,7 @@ class PartitionedUpsertSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("partitioned upsert only rewrites touched partitions and keeps others") {
-    val path = Files.createTempDirectory("graft-pups-").toString + "/t"
+    val path = TestTmp.dir("graft-pups-").toString + "/t"
     val day1 = Seq(("d1", "a", 1, 1.0), ("d1", "b", 1, 2.0),
                    ("d2", "a", 1, 3.0))
       .toDF("day", "k", "version", "v")
