@@ -386,8 +386,15 @@ object Dedup {
     // Spark (a cluster deployment would use reliable checkpointing to
     // survive executor loss; same call, checkpoint() + a checkpoint
     // dir).
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("lbl")).localCheckpoint(true)
+    // seed labels with round 1's output directly: label(v) = min(v,
+    // min-neighbor) is one aggregate over the symmetrized edges — the
+    // same rows the identity-seed loop produces after its first
+    // join+aggregate round, so one full round of join/checkpoint/
+    // checksum is saved (per-round latency is the whole cost here)
+    var labels = edges.groupBy($"src".as("doc_id"))
+      .agg(min($"dst").as("mn"))
+      .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
+      .localCheckpoint(true)
     def checksum(df: DataFrame): Long =
       df.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
     var prev = checksum(labels)
