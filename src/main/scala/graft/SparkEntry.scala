@@ -83,6 +83,8 @@ object SparkEntry {
     "q63_filter_funnel"     -> (Corpus.filterFunnel(_, _)),
     "q64_shard_pack"        -> (Corpus.shardPack(_, _)),
     "q65_tfidf_topterms"    -> (Corpus.tfidfTopTerms(_, _)),
+    "q66_frame_sample"      -> (Multimodal.frameSample(_, _)),
+    "q67_media_resize"      -> (Multimodal.mediaResize(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -148,6 +150,8 @@ object SparkEntry {
     "q63_filter_funnel"     -> Corpus.filterFunnelSql,
     "q64_shard_pack"        -> Corpus.shardPackSql,
     "q65_tfidf_topterms"    -> Corpus.tfidfTopTermsSql,
+    "q66_frame_sample"      -> Multimodal.frameSampleSql,
+    "q67_media_resize"      -> Multimodal.mediaResizeSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

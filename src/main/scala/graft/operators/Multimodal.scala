@@ -91,4 +91,116 @@ object Multimodal {
       |  64 + octet_length(encode(text)) % 64 AS width,
       |  64 + (octet_length(encode(text)) // 64) % 64 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q66 — frame sampling: the video-style access pattern. A media
+  // payload is a sequence of fixed-size frames; training pipelines
+  // keep every k-th (keyframe extraction, clip subsampling). The
+  // engine path is the real per-partition batch shape — decode once,
+  // slice frames, emit one row per sampled frame — exactly where a
+  // codec would sit; frames here are FrameChars-codepoint slices of
+  // the payload so the oracle can mirror the arithmetic exactly.
+  //
+  // Scale shape: a pure generator pass (one input row → ~frames/stride
+  // output rows), no shuffle; output is fingerprints + sizes, not
+  // frame bytes, so the exchange stays narrow even for fat payloads.
+  // ---------------------------------------------------------------
+
+  /** Frame geometry sized to the fixture corpus (docs run 44–577
+    * chars): 64-char frames at stride 2 give 1–10 frames per doc with
+    * real skipping — a production video path swaps in codec frame
+    * boundaries and a keyframe stride; the plumbing is identical. */
+  val FrameChars = 64
+  val FrameStride = 2
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String,
+                   frame_chars: Long)
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init: one digest instance per task, reset per
+        // frame — the codec-context slot of a real decoder
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          // frame boundaries are CODEPOINTS, not bytes or UTF-16
+          // units, so the oracle's substr() character arithmetic is
+          // bit-identical on any text
+          val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+          val cps = text.codePoints().toArray
+          val nFrames = (cps.length + FrameChars - 1) / FrameChars
+          (0 until nFrames by FrameStride).iterator.map { i =>
+            val from = i * FrameChars
+            val until = math.min(from + FrameChars, cps.length)
+            val frame = new String(cps, from, until - from)
+            digest.reset()
+            val hex = digest.digest(frame.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            Frame(id, i.toLong, hex, (until - from).toLong)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val frameSampleSql: String =
+    s"""SELECT doc_id, i AS frame_idx,
+       |  md5(substring(text, CAST(i * $FrameChars + 1 AS INT), $FrameChars)) AS frame_md5,
+       |  length(substring(text, CAST(i * $FrameChars + 1 AS INT), $FrameChars)) AS frame_chars
+       |FROM documents,
+       |  UNNEST(generate_series(0,
+       |    CAST(ceil(length(text) / $FrameChars.0) AS BIGINT) - 1,
+       |    $FrameStride)) AS u(i)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q67 — resize planning: fit each media item into a bounding box
+  // while preserving aspect ratio — the metadata half of a real
+  // resize (the pixel work lives behind the stub decoder). Integer
+  // floor arithmetic so both engines agree exactly; the engine path
+  // rides the same typed mapPartitions pass as the decode (one
+  // decoder+resizer init per partition).
+  // ---------------------------------------------------------------
+
+  val ResizeMaxDim = 96
+
+  case class Resized(doc_id: Long, width: Long, height: Long,
+                     out_w: Long, out_h: Long)
+
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, _) = stubDecode(payload)
+          val m = math.max(w, h)
+          val (ow, oh) =
+            if (m <= ResizeMaxDim) (w, h)
+            else (w * ResizeMaxDim / m, h * ResizeMaxDim / m)
+          Resized(id, w.toLong, h.toLong, ow.toLong, oh.toLong)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val mediaResizeSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    64 + octet_length(encode(text)) % 64 AS width,
+       |    64 + (octet_length(encode(text)) // 64) % 64 AS height
+       |  FROM documents)
+       |SELECT doc_id, width, height,
+       |  CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN width
+       |       ELSE width * $ResizeMaxDim // greatest(width, height) END AS out_w,
+       |  CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN height
+       |       ELSE height * $ResizeMaxDim // greatest(width, height) END AS out_h
+       |FROM dims ORDER BY doc_id""".stripMargin
 }

@@ -43,4 +43,24 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q04_recent_n")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("q64 shard pack: the doc-level running-sum window is keyed by the pack bucket") {
+    // the round-3 scale-killer was Window partitionBy(split) — three
+    // partitions funneling the corpus through three tasks. Pin the
+    // two-level fix at the plan level: every window over the document
+    // stream must partition by (split, pbucket); a split-only window
+    // may exist only over the splits×buckets offsets aggregate, whose
+    // input is bounded. Detect the regression structurally: a window
+    // spec mentioning split but NOT pbucket must not sit above a scan
+    // of the documents table.
+    val p = plan("q64_shard_pack")
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"no window in the q64 plan:\n${p.take(3000)}")
+    // the regressed form was windowspecdefinition(split, doc_id ASC …)
+    // — no pbucket anywhere. Both legitimate windows mention pbucket
+    // (the doc-level one partitions by it; the offsets one orders by
+    // it over a bounded aggregate).
+    specs.foreach(s => assert(s.contains("pbucket"),
+      s"window spec without the pack bucket (global-window regression): $s"))
+  }
 }

@@ -291,6 +291,56 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: frame sampling covers the payload at the stride, hashes slices exactly") {
+    val frames = Multimodal.frameSample(spark, sf).collect()
+    assert(frames.nonEmpty)
+    val docCount = frames.map(_.getLong(0)).distinct.length
+    // the stride must actually sample (some doc yields 2+ frames) AND
+    // actually skip (no doc yields every frame index)
+    assert(frames.length > docCount)
+    assert(frames.forall(f => f.getLong(1) % Multimodal.FrameStride == 0))
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = frames.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fs) =>
+      val cps = texts(id).codePoints().toArray
+      val nFrames = (cps.length + Multimodal.FrameChars - 1) / Multimodal.FrameChars
+      val expectIdx = (0 until nFrames by Multimodal.FrameStride).map(_.toLong)
+      assert(fs.map(_.getLong(1)).sorted.toSeq === expectIdx)
+      fs.foreach { f =>
+        val i = f.getLong(1).toInt
+        val until = math.min((i + 1) * Multimodal.FrameChars, cps.length)
+        val slice = new String(cps, i * Multimodal.FrameChars,
+          until - i * Multimodal.FrameChars)
+        assert(f.getLong(3) === slice.codePointCount(0, slice.length).toLong)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(f.getString(2) === hex)
+      }
+    }
+  }
+
+  test("multimodal: resize preserves aspect ratio and respects the bounding box") {
+    val rows = Multimodal.mediaResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var shrunk = 0
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val m = math.max(w, h)
+      if (m <= Multimodal.ResizeMaxDim) assert(ow === w && oh === h)
+      else {
+        shrunk += 1
+        assert(math.max(ow, oh) === Multimodal.ResizeMaxDim.toLong)
+        // integer floor of the exact aspect-preserving scale
+        assert(ow === w * Multimodal.ResizeMaxDim / m)
+        assert(oh === h * Multimodal.ResizeMaxDim / m)
+      }
+    }
+    // stub dims span 64..127, so both branches must actually occur
+    assert(shrunk > 0 && shrunk < rows.length)
+  }
+
   test("multimodal: typed mapPartitions decode agrees with the DataFrame metadata path") {
     val typed = Multimodal.decodeMedia(spark, sf).collect()
       .map(m => m.doc_id -> m).toMap
