@@ -45,8 +45,11 @@ object Multimodal {
     * opaque binary column (UTF-8), exactly how an image/audio bytes
     * column would arrive from parquet. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    mediaTableFrom(Tables.documents(spark, dir))
+
+  /** Same over any documents-shaped frame (specs/dev amplification). */
+  def mediaTableFrom(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", encode($"text", "UTF-8").as("payload"))
 
   /** Batched decode pass: one decoder instance per partition, typed
     * output. This is the real plumbing under a `mapInPandas`-style
@@ -116,9 +119,13 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String,
                    frame_chars: Long)
 
-  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    frameSampleFrom(mediaTable(spark, dir))
+
+  def frameSampleFrom(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits.newProductEncoder
-    mediaTable(spark, dir)
+    media
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -172,9 +179,13 @@ object Multimodal {
   case class Resized(doc_id: Long, width: Long, height: Long,
                      out_w: Long, out_h: Long)
 
-  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    mediaResizeFrom(mediaTable(spark, dir))
+
+  def mediaResizeFrom(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits.newProductEncoder
-    mediaTable(spark, dir)
+    media
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>

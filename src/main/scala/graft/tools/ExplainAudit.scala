@@ -12,7 +12,8 @@ object ExplainAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q04_recent_n", "q05_region_revenue", "q07_exists_big_orders",
                "q21_silver_clean", "q36_mart_kpis", "q47_lsh_near_dups",
-               "q49_cosine_topk", "q55_winnow_fp", "q56_simhash_pairs")
+               "q49_cosine_topk", "q55_winnow_fp", "q56_simhash_pairs",
+               "q62_dedup_clusters", "q64_shard_pack", "q66_frame_sample")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

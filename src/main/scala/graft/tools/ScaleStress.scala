@@ -69,6 +69,11 @@ object ScaleStress {
       .agg(max($"count")).collect()(0).getLong(0)
     println(s"q64 widest ordered-window partition: $w64 rows")
     time("q65 tf-idf top terms")(Corpus.tfidfTopTermsFrom(docs).count())
+    val media = graft.operators.Multimodal.mediaTableFrom(docs)
+    time("q66 frame sample")(
+      graft.operators.Multimodal.frameSampleFrom(media).count())
+    time("q67 media resize")(
+      graft.operators.Multimodal.mediaResizeFrom(media).count())
 
     val emb = graft.Tables.embeddings(spark, dir)
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
