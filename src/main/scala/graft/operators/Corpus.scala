@@ -43,10 +43,10 @@ object Corpus {
   /** md5(doc_id) mod 100 — the split bucket, shared by q58 and the
     * shard packer (q64) so the two can never disagree on a doc's
     * split. */
-  private def bucketCol: Column =
+  private[graft] def bucketCol: Column =
     expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)") % 100
 
-  private def splitCol(bucket: Column): Column =
+  private[graft] def splitCol(bucket: Column): Column =
     when(bucket < TrainPctEnd, lit("train"))
       .when(bucket < ValidationPctEnd, lit("validation"))
       .otherwise(lit("test"))

@@ -122,7 +122,8 @@ object Multimodal {
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     frameSampleFrom(mediaTable(spark, dir))
 
-  def frameSampleFrom(media: DataFrame): DataFrame = {
+  def frameSampleFrom(media: DataFrame, frameChars: Int = FrameChars,
+                      stride: Int = FrameStride): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits.newProductEncoder
     media
@@ -138,10 +139,10 @@ object Multimodal {
           // bit-identical on any text
           val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
           val cps = text.codePoints().toArray
-          val nFrames = (cps.length + FrameChars - 1) / FrameChars
-          (0 until nFrames by FrameStride).iterator.map { i =>
-            val from = i * FrameChars
-            val until = math.min(from + FrameChars, cps.length)
+          val nFrames = (cps.length + frameChars - 1) / frameChars
+          (0 until nFrames by stride).iterator.map { i =>
+            val from = i * frameChars
+            val until = math.min(from + frameChars, cps.length)
             val frame = new String(cps, from, until - from)
             digest.reset()
             val hex = digest.digest(frame.getBytes(

@@ -255,6 +255,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 packing: two-level decomposition equals the single-window reference exactly") {
+    // equivalence proof on arbitrary data: the bucketed running sum +
+    // exclusive prefix offsets must reproduce, row for row, the naive
+    // global running sum over the SAME (split, pbucket, doc_id) order
+    // — the decomposition changes the plan, never the arithmetic
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 700L).map { id =>
+      (id * 13 % 9973, ("w " * (1 + rnd.nextInt(400))).trim)
+    }.toDF("doc_id", "text")
+    val got = Corpus.shardPackFrom(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val wRef = Window
+      .partitionBy($"split").orderBy($"pbucket", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("n_tokens",
+        size(graft.operators.TextOps.tokens($"text")).cast("long"))
+      .withColumn("split", Corpus.splitCol(Corpus.bucketCol))
+      .withColumn("pbucket", Corpus.packBucketCol)
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(wRef), lit(0L)))
+      .select($"doc_id", $"cum_before",
+        floor($"cum_before" / Corpus.ShardTokenBudget).cast("long").as("shard_id"))
+      .collect()
+    assert(ref.length === got.size)
+    ref.foreach { r =>
+      assert(got(r.getLong(0)) === ((r.getLong(1), r.getLong(2))),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),

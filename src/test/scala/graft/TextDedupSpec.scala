@@ -321,6 +321,33 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: frame partition is exact on non-BMP text (stride 1 covers, hashes match)") {
+    import spark.implicits._
+    // surrogate-pair characters: UTF-16 length ≠ codepoint count, so a
+    // code-unit slicer would split frames mid-character and diverge
+    // from the oracle's substr() arithmetic
+    val text = ("ab😀c" * 10) + "🍕" // 41 cps, 52 utf-16 units
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val media = Multimodal.mediaTableFrom(docs)
+    val all = Multimodal.frameSampleFrom(media, frameChars = 7, stride = 1)
+      .collect()
+    val cps = text.codePoints().toArray
+    assert(all.length === (cps.length + 6) / 7)
+    assert(all.map(_.getLong(3)).sum === cps.length.toLong)
+    all.foreach { f =>
+      val i = f.getLong(1).toInt
+      val until = math.min((i + 1) * 7, cps.length)
+      val slice = new String(cps, i * 7, until - i * 7)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      assert(f.getString(2) ===
+        md.digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // strided sampling is exactly the stride-1 row subset
+    val strided = Multimodal.frameSampleFrom(media, frameChars = 7, stride = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(strided === all.map(_.getLong(1)).filter(_ % 3 == 0).toSeq)
+  }
+
   test("multimodal: resize preserves aspect ratio and respects the bounding box") {
     val rows = Multimodal.mediaResize(spark, sf).collect()
     assert(rows.nonEmpty)
