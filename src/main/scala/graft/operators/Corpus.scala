@@ -403,9 +403,17 @@ object Corpus {
   def tfidfTopTermsFrom(docs: DataFrame): DataFrame = {
     val toks = docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
     val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    // df derived FROM tf, not from a second pass over the exploded
+    // stream: tf already holds one row per (doc, token), so a count
+    // over a token window IS the document frequency — one pipeline,
+    // no countDistinct expansion, no token-keyed join. The window
+    // shuffles tf on token exactly like the join did; token
+    // cardinality is unbounded, so nothing here assumes a broadcast.
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy($"token")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(wTok))
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
     val w = org.apache.spark.sql.expressions.Window
