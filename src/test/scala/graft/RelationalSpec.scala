@@ -77,7 +77,7 @@ class RelationalSpec extends AnyFunSuite {
       .orderBy(org.apache.spark.sql.functions.col("ts").asc)
       .limit((clickCount - 50).toInt)
       .agg(org.apache.spark.sql.functions.max("ts")).collect()(0).getTimestamp(0)
-    assert(!ts.head.equals(null) && excludedMax.getTime <= ts.min)
+    assert(ts.nonEmpty && excludedMax.getTime <= ts.min)
   }
 
   test("q05 region revenue: 5 regions, counts sum to orders") {

@@ -104,7 +104,7 @@ class StreamingWindowsSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     val batch = Weather.cleanToHourly(Weather.bronzeFromEvents(all))
-    val aligned = silver.select(batch.columns.map(col): _*)
+    val aligned = silver.select(batch.columns.toIndexedSeq.map(col): _*)
     assert(aligned.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(aligned).count() === 0)
   }
