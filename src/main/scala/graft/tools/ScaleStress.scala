@@ -75,6 +75,22 @@ object ScaleStress {
     time("q67 media resize")(
       graft.operators.Multimodal.mediaResizeFrom(media).count())
 
+    // opt-in: pathological-diameter connected components. A 100k-node
+    // path graph (diameter 100k) is the propagation tier's worst case;
+    // dedupClustersFrom must escalate to the large-star/small-star
+    // tier and converge in O(log n) rounds. Run with a 3rd arg "chain".
+    if (args.contains("chain")) {
+      val n = 100000L
+      val chain = spark.range(n - 1)
+        .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+      time(s"q62 chain graph n=$n (escalates to star tier)") {
+        val out = Dedup.dedupClustersFrom(chain)
+          .agg(max($"cluster_id"), max($"cluster_size")).collect()(0)
+        require(out.getLong(0) == 0L && out.getLong(1) == n,
+          s"chain CC wrong: ${out}")
+      }
+    }
+
     val emb = graft.Tables.embeddings(spark, dir)
       .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
       .withColumn("vec_id", $"vec_id" * reps + $"rep")
