@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   * query execution.
   */
 object Bench {
-  private val skip = Set("q34_streaming_clean", "q35_nasa_roundtrip")
+  private val skip =
+    Set("q34_streaming_clean", "q35_nasa_roundtrip", "q68_streaming_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -85,6 +85,7 @@ object SparkEntry {
     "q65_tfidf_topterms"    -> (Corpus.tfidfTopTerms(_, _)),
     "q66_frame_sample"      -> (Multimodal.frameSample(_, _)),
     "q67_media_resize"      -> (Multimodal.mediaResize(_, _)),
+    "q68_streaming_dedup"   -> (graft.streaming.StreamingCorpus.dedupViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +153,10 @@ object SparkEntry {
     "q65_tfidf_topterms"    -> Corpus.tfidfTopTermsSql,
     "q66_frame_sample"      -> Multimodal.frameSampleSql,
     "q67_media_resize"      -> Multimodal.mediaResizeSql,
+    // q68's oracle IS the batch q44 SQL: the streaming stateful dedup
+    // must converge to exactly what the one-shot groupBy computes
+    // (min/count are order-independent), mirroring q34's discipline.
+    "q68_streaming_dedup"   -> TextOps.exactDedupSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

@@ -110,6 +110,42 @@ class StreamingWindowsSpec extends AnyFunSuite {
   }
 }
 
+class StreamingCorpusSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streaming dedup == batch dedup on the fixture corpus") {
+    val streamed = graft.streaming.StreamingCorpus
+      .dedupViaStreaming(spark, sf).collect()
+    val batch = graft.operators.TextOps.exactDedup(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming dedup state survives micro-batches: keeper tightens, copies accumulate") {
+    // batch 1 delivers doc 10, batch 2 re-delivers the same CONTENT
+    // under the smaller id 3 plus fresh content under 20: the state
+    // must tighten the keeper to 3 and count both copies, regardless
+    // of which batch each copy arrived in
+    val inDir = TestTmp.dir("graft-cd-in-")
+    def mk(rows: Seq[(Long, String)], file: String): Unit = {
+      val stage = TestTmp.dir("graft-cd-stage-").toString + "/p"
+      rows.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(file + ".parquet"))
+      ()
+    }
+    mk(Seq(10L -> "shared corpus text"), "b1")
+    mk(Seq(3L -> "shared corpus text", 20L -> "unique text"), "b2")
+    val out = graft.streaming.StreamingCorpus
+      .dedupStream(spark, inDir.toString, maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out === Map(3L -> 2L, 20L -> 1L))
+  }
+}
+
 class PartitionedUpsertSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
