@@ -360,7 +360,14 @@ object Dedup {
   //   unobservable in the output.
   // ---------------------------------------------------------------
 
-  val MaxCcRounds = 25
+  /** Fast-path round budget before escalating to the star tier. Real
+    * near-dup components are shallow (diameter ≲ 5 — clone clusters
+    * are near-cliques), and the one-hop seed already covers diameter
+    * ≤ 2, so 8 propagation rounds reach diameter ~9 — far past
+    * anything LSH emits. A lower budget means a pathological deep
+    * graph wastes fewer fixed-latency rounds before the O(log n) tier
+    * takes over; which tier ran is unobservable in the output. */
+  val MaxCcRounds = 8
 
   /** Round budget for the large-star/small-star tier. The algorithm
     * converges in O(log n) rounds, so 40 covers any graph whose node
