@@ -171,9 +171,16 @@ object Bench {
       System.err.println(
         f"[bench] pass ${passes.size} total ${p.values.filter(_ >= 0).sum}%.1f s (loadavg ${loads.last}%.2f at start)")
     }
+    // spread compares pass totals over the queries that succeeded in
+    // EVERY pass — a query failing in just one pass must not read as
+    // co-load (its runtime vanishes from that pass's total), and a
+    // pass with nothing succeeding must not read as convergence
     def spreadOf(ps: Seq[Map[String, Double]]): Double = {
-      val totals = ps.map(_.values.filter(_ >= 0).sum)
-      if (totals.nonEmpty && totals.min > 0) totals.max / totals.min else -1.0
+      if (ps.isEmpty) return -1.0
+      val everywhere = ps.head.keys.filter(k => ps.forall(_(k) >= 0)).toSeq
+      val totals = ps.map(p => everywhere.map(p).sum)
+      if (totals.nonEmpty && totals.min > 0) totals.max / totals.min
+      else Double.MaxValue // a broken pass: keep sampling, never "converged"
     }
     // Spread-adaptive passes: 3 minimum; while the post-warmup passes
     // still disagree by >30% (co-load contamination — a quiet box runs
@@ -199,13 +206,22 @@ object Bench {
     val oracleTotal = results
       .collect { case (k, v) if v >= 0 && SparkEntry.oracleSql.contains(k) => v }
       .sum
+    // a failed oracle-twinned query would silently shrink the numerator
+    // while the DuckDB denominator keeps its SQL — flag it loudly so
+    // the gate division is never quietly apples-to-oranges
+    val oracleFailed = results
+      .collect { case (k, v) if v < 0 && SparkEntry.oracleSql.contains(k) => k }
+    if (oracleFailed.nonEmpty)
+      System.err.println(
+        s"[bench] ORACLE QUERIES FAILED (subset total is incomplete): " +
+          oracleFailed.mkString(", "))
     val passTotals = passes.toSeq.map(_.values.filter(_ >= 0).sum)
     val spread =
       if (passTotals.min > 0) passTotals.max / passTotals.min else -1.0
     val passJson = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"queries":$qs,"sf":"$sfDir","pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"queries":$qs,"sf":"$sfDir","pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f}"""
     // The driver parses this from stdout, where sbt's log prefixes can
     // bury it (BENCH_r01 recorded "parsed": null). Belt and braces:
     // print the bare line AND write it to bench.json (cwd = repo root

@@ -113,15 +113,17 @@ object Dedup {
     // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
     // same shape as the q47 mega-bucket guard. Only the kept frame is
     // materialized: it feeds three consumers (sizes + both join
-    // sides). localCheckpoint rather than cache() — a cache() here
-    // would pin a CacheManager entry the caller can never unpersist
-    // (the handle is function-local); checkpointed blocks are instead
-    // released by the ContextCleaner once the returned plan is
-    // unreachable, so repeated calls don't accumulate storage.
+    // sides). LAZY localCheckpoint rather than cache() — a cache()
+    // here would pin a CacheManager entry the caller can never
+    // unpersist (the handle is function-local); checkpointed blocks
+    // are instead released by the ContextCleaner once the returned
+    // plan is unreachable. Lazy, so merely BUILDING the plan (explain
+    // tooling, plan specs) runs no job — materialization happens at
+    // the first action, like the cache it replaces.
     val hot = items.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select(col(itemCol))
     val it = items.join(broadcast(hot), Seq(itemCol), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = it.select($"doc_id".as("doc_a"), col(itemCol))
     val b = it.select($"doc_id".as("doc_b"), col(itemCol))

@@ -217,33 +217,42 @@ object VectorOps {
     * steady-state cost profile of a real IVF deployment. The collected
     * codebook is tiny (corpus/100 centroids × VecDim doubles) and
     * rehydrates as a LocalRelation, which broadcasts for free. */
-  private val codebooks =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Seq[Double])]]
+  private val codebooks = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Long, Seq[Double])])]
 
-  /** Memo key = path + source-file inventory (mtime + size of every
-    * file under embeddings.parquet). A bare-path key would serve a
-    * stale codebook if the fixture regenerates under the same path
-    * within one JVM; the inventory fingerprint forces a refit exactly
-    * when the bytes could have changed — the same invalidation rule as
-    * Bench's warehouse `_READY` marker. */
+  /** Source-file inventory (path + mtime + size of every file under
+    * embeddings.parquet). A bare-path memo would serve a stale
+    * codebook if the fixture regenerates under the same path within
+    * one JVM; the inventory fingerprint forces a refit exactly when
+    * the bytes could have changed — the same invalidation rule as
+    * Bench's warehouse `_READY` marker. The map stays keyed by dir
+    * (one live entry per corpus, stale fits replaced not accumulated);
+    * the fingerprint is the validity check on the stored value. */
   private def corpusFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val root = new java.io.File(dir, "embeddings.parquet")
-    val inv = walk(root)
+    walk(new java.io.File(dir, "embeddings.parquet"))
       .map(f => s"${f.getPath}:${f.lastModified()}:${f.length()}")
-    (dir +: inv).mkString("\n")
+      .mkString("\n")
   }
 
   private def codebookFor(spark: SparkSession, dir: String): DataFrame = {
-    val rows = codebooks.getOrElseUpdate(corpusFingerprint(dir), {
+    val fp = corpusFingerprint(dir)
+    def fit(): Array[(Long, Seq[Double])] = {
       val all = vecs(spark, dir).cache()
       try fittedCentroids(all).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       finally all.unpersist()
-    })
+    }
+    val rows = codebooks.get(dir) match {
+      case Some((`fp`, cached)) => cached
+      case _ =>
+        val fresh = fit()
+        codebooks.put(dir, (fp, fresh))
+        fresh
+    }
     spark.createDataFrame(rows.toIndexedSeq).toDF("centroid_id", "cv")
   }
 

@@ -84,7 +84,10 @@ object StreamingCorpus {
         (prev.map(_.keeper_doc_id) ++ batch.map(_.doc_id)).min,
         prev.map(_.n_copies).getOrElse(0L) + batch.size)
       state.update(next)
-      if (!prev.contains(next)) Iterator(next) else Iterator.empty
+      // the updater only runs for keys with rows in the batch, so
+      // n_copies strictly grew — every invocation IS a state change
+      // and emits one changelog row
+      Iterator(next)
     }
     val changelog = fps.groupByKey(_.fp)
       .flatMapGroupsWithState(

@@ -49,7 +49,7 @@ object ScaleStress {
     println(s"docs rows: ${docs.count()}")
     val shf = Dedup.shingleFpsFrom(docs).cache()
     time("shingle fps")(shf.count())
-    val lshPairs = Dedup.lshNearDupPairsFrom(shf)
+    val lshPairs = Dedup.lshNearDupPairsFrom(shf).cache()
     time("LSH near-dup pairs")(lshPairs.count())
 
     // corpus family (q58–q65) at the amplified scale — the round-5
@@ -62,12 +62,14 @@ object ScaleStress {
     time("q62 dedup clusters")(
       Dedup.dedupClustersFrom(lshPairs.select($"doc_a", $"doc_b")).count())
     time("q63 filter funnel")(Corpus.filterFunnelFrom(docs).count())
-    time("q64 shard pack")(Corpus.shardPackFrom(docs).count())
-    val w64 = Corpus.shardPackFrom(docs)
+    val packed = Corpus.shardPackFrom(docs).cache()
+    time("q64 shard pack")(packed.count())
+    val w64 = packed
       .withColumn("pbucket", Corpus.packBucketCol)
       .groupBy($"split", $"pbucket").count()
       .agg(max($"count")).collect()(0).getLong(0)
     println(s"q64 widest ordered-window partition: $w64 rows")
+    packed.unpersist()
     time("q65 tf-idf top terms")(Corpus.tfidfTopTermsFrom(docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(

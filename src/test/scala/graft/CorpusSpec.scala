@@ -215,7 +215,9 @@ class CorpusSpec extends AnyFunSuite {
     // no gaps, no overlaps, starting at zero
     val rows = Corpus.shardPack(spark, sf).collect()
     rows.groupBy(_.getString(1)).foreach { case (_, docs) =>
-      val ordered = docs.sortBy(_.getLong(3))
+      // tie-break by n_tokens: a zero-token doc shares cum_before with
+      // its successor and must walk first for the prefix sum to close
+      val ordered = docs.sortBy(r => (r.getLong(3), r.getLong(2)))
       var running = 0L
       ordered.foreach { r =>
         assert(r.getLong(3) === running)
@@ -249,7 +251,7 @@ class CorpusSpec extends AnyFunSuite {
     val rows = Corpus.shardPackFrom(docs).collect()
     rows.groupBy(_.getString(1)).foreach { case (_, ds) =>
       var running = 0L
-      ds.sortBy(_.getLong(3)).foreach { r =>
+      ds.sortBy(r => (r.getLong(3), r.getLong(2))).foreach { r =>
         assert(r.getLong(3) === running); running += r.getLong(2)
       }
     }

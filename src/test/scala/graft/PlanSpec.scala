@@ -56,11 +56,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q64_shard_pack")
     val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
     assert(specs.nonEmpty, s"no window in the q64 plan:\n${p.take(3000)}")
-    // the regressed form was windowspecdefinition(split, doc_id ASC …)
-    // — no pbucket anywhere. Both legitimate windows mention pbucket
-    // (the doc-level one partitions by it; the offsets one orders by
-    // it over a bounded aggregate).
-    specs.foreach(s => assert(s.contains("pbucket"),
-      s"window spec without the pack bucket (global-window regression): $s"))
+    // windowspecdefinition prints partition columns first, then the
+    // ordering (each order column tagged ASC/DESC) — so the partition
+    // key is the prefix before the first ASC/DESC. The regression to
+    // pin: a window ORDERED over the doc stream (doc_id in the order
+    // clause) whose PARTITION key is split alone — that's the round-3
+    // global window, even though its string happens to contain
+    // "pbucket" as an order column. The offsets window (partition
+    // split, order pbucket, no doc_id) stays legitimate: its input is
+    // the bounded splits×buckets aggregate.
+    val docLevel = specs.filter { s =>
+      // prefix up to the first ASC/DESC = partition cols + the FIRST
+      // order col (which directly precedes its tag); drop that last
+      // comma-segment to get the partition key alone
+      val cut = Seq(s.indexOf(" ASC"), s.indexOf(" DESC"))
+        .filter(_ >= 0).minOption.getOrElse(s.length)
+      val partitionCols = s.take(cut).split(",").dropRight(1).mkString(",")
+      if (s.contains("doc_id"))
+        assert(partitionCols.contains("pbucket"),
+          s"doc-stream window partitioned without the pack bucket " +
+            s"(global-window regression): $s")
+      partitionCols.contains("pbucket")
+    }
+    assert(docLevel.nonEmpty,
+      "no window partitioned by pbucket — the two-level packing was removed?")
   }
 }
