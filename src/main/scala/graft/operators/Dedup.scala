@@ -279,7 +279,11 @@ object Dedup {
       .orderBy($"bucket_docs".desc, $"band_id", $"band_val")
 
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    lshNearDupPairsFrom(shingleFps(spark, dir).cache())
+    // lazy localCheckpoint, not cache(): the handle is function-local,
+    // so a cache() entry could never be unpersisted by the caller (the
+    // jaccardPairsOver discipline above) — checkpoint blocks are freed
+    // by the ContextCleaner once the returned plan is unreachable
+    lshNearDupPairsFrom(shingleFps(spark, dir).localCheckpoint(false))
 
   /** (doc_id, band_id, band_val) — each doc's LSH band keys. Wide
     * conditional-min aggregation instead of a collect_list object
@@ -303,9 +307,9 @@ object Dedup {
 
   /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
   def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
-    // cached: the self-join below would otherwise compute the whole
-    // signature subtree once per side
-    val bands = lshBands(shf).cache()
+    // materialized once (lazy localCheckpoint): the self-join below
+    // would otherwise compute the whole signature subtree once per side
+    val bands = lshBands(shf).localCheckpoint(false)
     // mega-bucket guard: the oversized-bucket list is tiny (usually
     // empty), so the anti-join broadcasts and `bands` is not reshuffled
     val oversized = bands.groupBy($"band_id", $"band_val")
@@ -386,7 +390,8 @@ object Dedup {
   def dedupClustersFrom(pairs: DataFrame): DataFrame = {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .cache()
+      .localCheckpoint(false) // every round re-reads the edge set; lazy
+                              // so building the plan stays job-free
     // Each round references `labels` twice (propagation + identity), so
     // WITHOUT lineage truncation the logical plan doubles per round and
     // Catalyst re-analysis goes exponential long before execution does.
@@ -620,7 +625,8 @@ object Dedup {
       .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"sig",
         $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
-      .cache()
+      .localCheckpoint(false) // function-local multi-consumer frame:
+                              // see jaccardPairsOver for the discipline
     val oversized = bands.groupBy($"band_id", $"band_val")
       .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
       .select($"band_id", $"band_val")
@@ -737,7 +743,7 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"sig_hi", $"sig_lo",
         $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
-      .cache()
+      .localCheckpoint(false) // see jaccardPairsOver for the discipline
     val oversized = bands.groupBy($"band_id", $"band_val")
       .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
       .select($"band_id", $"band_val")

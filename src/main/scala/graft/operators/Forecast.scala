@@ -87,7 +87,9 @@ object Forecast {
       .select($"site", $"ts_utc",
         $"pv_est_mwh".as("y_pv"), $"wind_est_mwh".as("y_wind"),
         $"computed_at")
-      .cache()
+      // lazy localCheckpoint, not cache(): the handle is function-local
+      // (un-unpersistable); blocks free with the plan (q45 discipline)
+      .localCheckpoint(false)
     val train = hist
       .withColumn("lag24_pv", lag($"y_pv", 24).over(w))
       .withColumn("lag48_pv", lag($"y_pv", 48).over(w))
@@ -178,7 +180,7 @@ object Forecast {
         .select($"site", $"ts_utc", $"model", $"var", $"horizon_h",
                 $"yhat", $"yhat_lower", $"yhat_upper", $"created_at")
     }
-    val out = perVar.reduce(_ unionByName _).cache()
+    val out = perVar.reduce(_ unionByName _).localCheckpoint(false)
     graft.schema.Validator
       .enforce(out, graft.schema.Schemas.martForecastChecks, "mart_forecast")
       .orderBy($"site", $"var", $"horizon_h")

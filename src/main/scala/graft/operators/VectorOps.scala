@@ -147,7 +147,11 @@ object VectorOps {
         .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
           x => x("c")).as("cv"))
         .select($"cell_id".as("centroid_id"), $"cv")
-        .cache()
+        // lazy localCheckpoint, not cache(): a per-round cache() pins
+        // IvfFitRounds CacheManager entries nobody can unpersist; the
+        // checkpoint also truncates the per-round lineage (the q62
+        // iterative-algorithm discipline)
+        .localCheckpoint(false)
     }
     cents
   }

@@ -358,7 +358,9 @@ object Weather {
       .groupBy(date_trunc("hour", $"ts_utc").as("ts_hour"), $"site")
       // exact decimal mean — same 6dp ROUND boundary hazard as q31
       .agg(graft.functions.Exact.davg($"ghi_wm2").as("ghi"))
-      .cache()
+      // lazy localCheckpoint, not cache(): the handle is function-local
+      // (un-unpersistable by any caller); blocks free with the plan
+      .localCheckpoint(false)
     def series(site: String, out: String) =
       byHourSite.filter($"site" === site).select($"ts_hour", $"ghi".as(out))
     series("click", "click_ghi")
@@ -400,20 +402,27 @@ object Weather {
     * q29/q30 compose on top of it; the q27 mart boundary adds the
     * CHECK enforcement in [[goldFeaturesMart]]. */
   def goldFeatures(spark: SparkSession, dir: String): DataFrame =
-    cleanToHourlyAudit(bronze(spark, dir)).select(
+    goldFeaturesFromAudit(cleanToHourlyAudit(bronze(spark, dir)))
+      .orderBy($"site", $"ts_utc")
+
+  /** The same mart over any audit-shaped silver frame (needs site,
+    * ts_utc, ghi_wm2, wind_mps, ingested_at) — shared by the in-memory
+    * path above and the warehouse path (graft.Pipeline), which reads
+    * the PUBLISHED silver store instead of recomputing the kernel. */
+  def goldFeaturesFromAudit(silverAudit: DataFrame): DataFrame =
+    silverAudit.select(
       $"site", $"ts_utc",
       ($"ghi_wm2" / 1000).as("ghi_kwh_m2"),
       ($"ghi_wm2" / 1000 * 5.0 * 0.2).as("pv_est_mwh"),
       least(lit(10.0), lit(0.003) * $"wind_mps" * $"wind_mps" * $"wind_mps")
         .as("wind_est_mwh"),
       $"ingested_at".as("computed_at"))
-      .orderBy($"site", $"ts_utc")
 
   /** q27 — the mart_features write boundary: Validator.enforce guards
-    * the DDL CHECKs (measures ≥ 0, hourly alignment) over the cached
-    * frame before it is published. */
+    * the DDL CHECKs (measures ≥ 0, hourly alignment) over the
+    * once-materialized frame before it is published. */
   def goldFeaturesMart(spark: SparkSession, dir: String): DataFrame = {
-    val features = goldFeatures(spark, dir).cache()
+    val features = goldFeatures(spark, dir).localCheckpoint(false)
     graft.schema.Validator
       .enforce(features, graft.schema.Schemas.martFeaturesChecks,
         "mart_features")
@@ -474,7 +483,7 @@ object Weather {
     val audit = cleanToHourlyAudit(bronze(spark, dir))
       .select($"site", $"ts_utc", $"ghi_wm2", $"temp_c", $"wind_mps",
               $"ingested_at".as("cleaned_at"))
-      .cache()
+      .localCheckpoint(false) // enforce + orderBy share one compute
     graft.schema.Validator
       .enforce(audit, graft.schema.Schemas.factWeatherChecks, "fact_weather")
       .orderBy($"site", $"ts_utc")
@@ -486,7 +495,17 @@ object Weather {
   /** q36 — mart_kpis at its true hourly grain: capacity factors are
     * est_mwh / (capacity_mw × 1 h), clamped to the DDL's [0, 1.2]. */
   def martKpisHourly(spark: SparkSession, dir: String): DataFrame = {
-    val kpis = cleanToHourlyAudit(bronze(spark, dir)).select(
+    val kpis = martKpisFromAudit(cleanToHourlyAudit(bronze(spark, dir)))
+      .localCheckpoint(false) // enforce + orderBy share one compute
+    graft.schema.Validator
+      .enforce(kpis, graft.schema.Schemas.martKpisChecks, "mart_kpis")
+      .orderBy($"site", $"ts_utc")
+  }
+
+  /** mart_kpis over any audit-shaped silver frame (the
+    * [[goldFeaturesFromAudit]] pattern; used by graft.Pipeline). */
+  def martKpisFromAudit(silverAudit: DataFrame): DataFrame =
+    silverAudit.select(
       $"site", $"ts_utc",
       lit(PvCapacityMw).as("pv_capacity_mw"),
       lit(WindCapacityMw).as("wind_capacity_mw"),
@@ -496,11 +515,6 @@ object Weather {
         least(lit(10.0), lit(0.003) * $"wind_mps" * $"wind_mps" * $"wind_mps")
           / WindCapacityMw), 6).as("wind_cf"),
       $"ingested_at".as("computed_at"))
-      .cache()
-    graft.schema.Validator
-      .enforce(kpis, graft.schema.Schemas.martKpisChecks, "mart_kpis")
-      .orderBy($"site", $"ts_utc")
-  }
 
   val martKpisHourlySql: String = withSilver(
     """, kpis AS (
@@ -517,22 +531,29 @@ object Weather {
 
   // ---------------------------------------------------------------
   // mart_forecast (infra/init.sql:61-73): seasonal-naive baseline —
-  // yhat(T+h) = y(T+h-24) for horizons 1..24 from each site's last
-  // observed hour; gaps coalesce to 0 (yhat is NOT NULL ≥ 0 in the
-  // DDL). Both DDL vars are forecast — var='pv' from pv_est_mwh and
-  // var='wind' from wind_est_mwh (init.sql:65, the KPI mart models
-  // both capacities, init.sql:83-86). Interval bounds ±10% (the DDL
-  // fixes schema, not the model).
+  // yhat(T+h) = y(T+h-24⌈h/24⌉), i.e. the same hour of the last
+  // observed day, for the DDL's full horizon range 1..48 (init.sql:66;
+  // horizons 25..48 reach back 48 h, the standard seasonal-naive
+  // convention past one season and the one q30's 'sarimax' slot uses).
+  // Gaps coalesce to 0 (yhat is NOT NULL ≥ 0 in the DDL). Both DDL
+  // vars are forecast — var='pv' from pv_est_mwh and var='wind' from
+  // wind_est_mwh (init.sql:65, the KPI mart models both capacities,
+  // init.sql:83-86). Interval bounds ±10% (the DDL fixes schema, not
+  // the model).
   // ---------------------------------------------------------------
 
+  val BaselineHorizons = 48
+
   def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
-    // cached: both the last-hour aggregate and the horizon join read
-    // the full silver+features lineage (the result is site×hours —
-    // small — unlike the Bronze frames, where caching measured slower)
+    // materialized once (lazy localCheckpoint — the handle is
+    // function-local, so cache() could never be unpersisted): both the
+    // last-hour aggregate and the horizon join read the full
+    // silver+features lineage (the result is site×hours — small —
+    // unlike the Bronze frames, where materializing measured slower)
     val features = goldFeatures(spark, dir)
       .select($"site", $"ts_utc", $"pv_est_mwh", $"wind_est_mwh",
               $"computed_at")
-      .cache()
+      .localCheckpoint(false)
     // created_at (init.sql:72): deterministic "forecast built from data
     // as of X" — the newest audit stamp among the site's features
     val lastHour = features.groupBy($"site")
@@ -540,9 +561,11 @@ object Weather {
            max($"computed_at").as("created_at"))
     val horizons = lastHour
       .select($"site", $"t_max", $"created_at",
-              explode(sequence(lit(1), lit(24))).as("horizon_h"))
+              explode(sequence(lit(1), lit(BaselineHorizons))).as("horizon_h"))
       .withColumn("horizon_h", $"horizon_h".cast(IntegerType))
-      .withColumn("src_ts", expr("timestampadd(HOUR, horizon_h - 24, t_max)"))
+      .withColumn("lag_step", when($"horizon_h" <= 24, 24).otherwise(48))
+      .withColumn("src_ts",
+        expr("timestampadd(HOUR, horizon_h - lag_step, t_max)"))
       .withColumn("ts_utc", expr("timestampadd(HOUR, horizon_h, t_max)"))
     val out = horizons
       .join(features.drop("computed_at").withColumnRenamed("ts_utc", "src_ts"),
@@ -558,7 +581,7 @@ object Weather {
       .withColumn("yhat_upper", $"yhat" * 1.1)
       .select($"site", $"ts_utc", $"model", $"var", $"horizon_h",
               $"yhat", $"yhat_lower", $"yhat_upper", $"created_at")
-      .cache()
+      .localCheckpoint(false)
     graft.schema.Validator
       .enforce(out, graft.schema.Schemas.martForecastChecks, "mart_forecast")
       .orderBy($"site", $"var", $"horizon_h")
@@ -571,9 +594,11 @@ object Weather {
        |              FROM features GROUP BY site),
        |horizons AS (
        |  SELECT l.site, l.t_max, l.created_at, CAST(g.h AS INTEGER) AS horizon_h,
-       |    l.t_max + (CAST(g.h AS INTEGER) - 24) * INTERVAL '1 hour' AS src_ts,
+       |    l.t_max + (CAST(g.h AS INTEGER)
+       |               - CASE WHEN g.h <= 24 THEN 24 ELSE 48 END)
+       |      * INTERVAL '1 hour' AS src_ts,
        |    l.t_max + CAST(g.h AS INTEGER) * INTERVAL '1 hour' AS ts_utc
-       |  FROM last_hour l, generate_series(1, 24) AS g(h)),
+       |  FROM last_hour l, generate_series(1, 48) AS g(h)),
        |joined AS (
        |  SELECT h.site, h.ts_utc, 'baseline' AS model, h.horizon_h, h.created_at,
        |    COALESCE(f.pv_est_mwh, 0.0) AS pv,
@@ -612,7 +637,7 @@ object Weather {
       // `value`, so the DECIMAL(12,2) sum is lossless and the division
       // operands are bit-identical in both engines; no rounding needed.
       .agg(graft.functions.Exact.davg($"ghi_wm2").as("ghi_mean"))
-      .cache()
+      .localCheckpoint(false) // both batch slices read this aggregate
     val existing = hourly
       .filter($"ts_hour" < lit("2024-01-16").cast(TimestampType))
       .withColumn("batch", lit("old"))

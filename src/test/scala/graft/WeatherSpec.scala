@@ -145,14 +145,22 @@ class WeatherSpec extends AnyFunSuite {
       r.getAs[Int]("available") == 0 && r.getAs[Int]("naive") == 1))
   }
 
-  test("forecast baseline: 24 horizons per site per var, yhat >= 0") {
+  test("forecast baseline: 48 horizons per site per var, yhat >= 0") {
     val fc = Weather.forecastBaseline(spark, sf).collect()
     val bySiteVar = fc.groupBy(r => (r.getString(0), r.getAs[String]("var")))
     assert(bySiteVar.keys.map(_._2).toSet === Set("pv", "wind"))
     bySiteVar.values.foreach { g =>
-      assert(g.length === 24)
-      assert(g.map(_.getAs[Int]("horizon_h")).sorted.toSeq === (1 to 24))
+      assert(g.length === Weather.BaselineHorizons)
+      assert(g.map(_.getAs[Int]("horizon_h")).sorted.toSeq
+        === (1 to Weather.BaselineHorizons))
       assert(g.forall(_.getAs[Double]("yhat") >= 0))
+    }
+    // seasonal-naive past one season: h and h+24 read the same source
+    // hour, so (site, var, yhat) agree between the two horizon days
+    val byKey = fc.groupBy(r => (r.getString(0), r.getAs[String]("var")))
+    byKey.values.foreach { g =>
+      val byH = g.map(r => r.getAs[Int]("horizon_h") -> r.getAs[Double]("yhat")).toMap
+      (1 to 24).foreach(h => assert(byH(h) === byH(h + 24)))
     }
     // wind capped by the 10 MWh power-curve clamp carried from features
     fc.filter(_.getAs[String]("var") == "wind")
