@@ -56,6 +56,7 @@ object SparkEntry {
     "q34_streaming_clean"   -> (graft.streaming.StreamingClean.silverViaStreaming(_, _)),
     "q36_mart_kpis"         -> (Weather.martKpisHourly(_, _)),
     "q37_silver_audit"      -> (Weather.silverAudit(_, _)),
+    "q38_pipeline_silver"   -> (Pipeline.pipelineSilver(_, _)),
     "q35_nasa_roundtrip"    -> (graft.sources.NasaIngest.roundTrip(_, _)),
     "q40_token_stats"       -> (TextOps.tokenStats(_, _)),
     "q41_quality_score"     -> (TextOps.qualityScore(_, _)),
@@ -124,6 +125,10 @@ object SparkEntry {
     "q34_streaming_clean"   -> Weather.silverCleanSql,
     "q36_mart_kpis"         -> Weather.martKpisHourlySql,
     "q37_silver_audit"      -> Weather.silverAuditSql,
+    // q38: oracle == the batch silver SQL — the warehouse round-trip
+    // (events → Bronze store → clean → Silver store) must publish
+    // exactly what the in-memory kernel computes (q34's discipline).
+    "q38_pipeline_silver"   -> Weather.silverCleanSql,
     // q35 intentionally has no oracle (payload build isn't SQL-mirrored).
     "q40_token_stats"       -> TextOps.tokenStatsSql,
     "q41_quality_score"     -> TextOps.qualityScoreSql,

@@ -87,6 +87,10 @@ object UpsertWriter {
         throw new java.io.IOException(s"upsert: cannot publish $tmp to $target")
       }
       fs.delete(bak, true)
+      // the session's FileStatusCache still lists the replaced files —
+      // without this, the next read of the store in the same session
+      // throws FileNotFoundException on the deleted parts
+      spark.catalog.refreshByPath(path)
     } finally if (checks.nonEmpty) guarded.unpersist()
   }
 
@@ -128,6 +132,9 @@ object UpsertWriter {
           .parquet(path)
         fs.delete(tmp, true)
       }
+      // invalidate the session's cached file listing for the store
+      // (dynamic overwrite replaced files in the touched partitions)
+      spark.catalog.refreshByPath(path)
     } finally guarded.unpersist()
   }
 }
