@@ -78,19 +78,21 @@ object Forecast {
     Array.tabulate(n)(i => m(i)(n))
   }
 
-  /** q30 — 'sarimax'-slot forecast: fit on history, emit horizons 1..48
-    * per site for both DDL vars from each site's last observed hour. */
-  def forecastMl(spark: SparkSession, dir: String): DataFrame = {
-    val gold = Weather.goldFeatures(spark, dir)
-    val w = Window.partitionBy($"site").orderBy($"ts_utc")
-    val hist = gold
+  /** Per-site history frame with both DDL vars — shared input of
+    * [[buildTrain]] and the horizon emitter. */
+  private[graft] def history(spark: SparkSession, dir: String): DataFrame =
+    Weather.goldFeatures(spark, dir)
       .select($"site", $"ts_utc",
         $"pv_est_mwh".as("y_pv"), $"wind_est_mwh".as("y_wind"),
         $"computed_at")
       // lazy localCheckpoint, not cache(): the handle is function-local
       // (un-unpersistable); blocks free with the plan (q45 discipline)
       .localCheckpoint(false)
-    val train = hist
+
+  /** Training frame for both vars: seasonal lags + Fourier terms. */
+  private[graft] def buildTrain(hist: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"site").orderBy($"ts_utc")
+    hist
       .withColumn("lag24_pv", lag($"y_pv", 24).over(w))
       .withColumn("lag48_pv", lag($"y_pv", 48).over(w))
       .withColumn("lag24_wind", lag($"y_wind", 24).over(w))
@@ -103,17 +105,26 @@ object Forecast {
       // row subsets and silently corrupt the fit
       .filter($"lag24_pv".isNotNull && $"lag48_pv".isNotNull
               && $"lag24_wind".isNotNull && $"lag48_wind".isNotNull)
+  }
 
-    // Sufficient statistics for both vars in ONE pass: per var the
-    // design row is x = (1, lag24, lag48, sin_h, cos_h).
-    def xs(v: String): Seq[Column] =
-      Seq(lit(1.0), col(s"lag24_$v"), col(s"lag48_$v"), $"sin_h", $"cos_h")
-    val dims = 5
+  /** Per-var design row x = (1, lag24, lag48, sin_h, cos_h). */
+  private def xs(v: String): Seq[Column] =
+    Seq(lit(1.0), col(s"lag24_$v"), col(s"lag48_$v"), $"sin_h", $"cos_h")
+  private val Dims = 5
+
+  /** Normal-equation fit for both vars from ONE sufficient-statistics
+    * pass (the fixed-size reduce that survives any scale); returns
+    * (β, training RMSE) per var. What MLlib's
+    * LinearRegression(solver="normal") computes, minus its per-model
+    * job fan-out — ForecastSpec pins the equivalence at ridge 0. */
+  private[graft] def fitNormal(train: DataFrame,
+                               ridge: Double = Ridge)
+      : Map[String, (Array[Double], Double)] = {
     val aggs = Seq("pv", "wind").flatMap { v =>
       val x = xs(v); val y = col(s"y_$v")
-      val xtx = for (i <- 0 until dims; j <- i until dims)
+      val xtx = for (i <- 0 until Dims; j <- i until Dims)
         yield sum(x(i) * x(j)).as(s"${v}_xx_${i}_$j")
-      val xty = (0 until dims).map(i => sum(x(i) * y).as(s"${v}_xy_$i"))
+      val xty = (0 until Dims).map(i => sum(x(i) * y).as(s"${v}_xy_$i"))
       xtx ++ xty :+ sum(y * y).as(s"${v}_yy")
     } :+ count(lit(1)).as("n")
     val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -123,22 +134,71 @@ object Forecast {
     val n = row.getAs[Long]("n").toDouble
 
     def fit(v: String): (Array[Double], Double) = {
-      val a = Array.tabulate(dims, dims) { (i, j) =>
+      val a = Array.tabulate(Dims, Dims) { (i, j) =>
         val (lo, hi) = if (i <= j) (i, j) else (j, i)
         row.getAs[Double](s"${v}_xx_${lo}_$hi")
       }
-      val b = Array.tabulate(dims)(i => row.getAs[Double](s"${v}_xy_$i"))
+      val b = Array.tabulate(Dims)(i => row.getAs[Double](s"${v}_xy_$i"))
       val yy = row.getAs[Double](s"${v}_yy")
-      val beta = solve(a, b, Ridge)
+      val beta = solve(a, b, ridge)
       // ‖y − Xβ‖² from the same statistics — no second data pass
-      val bAb = (for (i <- 0 until dims; j <- 0 until dims)
+      val bAb = (for (i <- 0 until Dims; j <- 0 until Dims)
         yield beta(i) * a(i)(j) * beta(j)).sum
-      val btb = (0 until dims).map(i => beta(i) * b(i)).sum
+      val btb = (0 until Dims).map(i => beta(i) * b(i)).sum
       val rmse = math.sqrt(math.max(0.0, (yy - 2 * btb + bAb) / n))
       (beta, rmse)
     }
-    val models = Seq("pv", "wind").map(v => v -> fit(v)).toMap
+    Seq("pv", "wind").map(v => v -> fit(v)).toMap
+  }
 
+  /** The MLlib-backed fit (north star: "MLlib forecasting"): the same
+    * model through `o.a.s.ml.regression.LinearRegression(solver =
+    * "normal")` — WeightedLeastSquares assembles the identical normal
+    * equations distributed-side and solves by Cholesky. regParam 0 +
+    * standardization off makes it EXACTLY the ridge-0 [[fitNormal]]
+    * system (MLlib regularizes standardized, intercept-excluded
+    * coefficients, which matches no fixed λ on raw ones — so
+    * equivalence is pinned at the unregularized point; the production
+    * path keeps the deterministic fitNormal with its tiny ridge).
+    * Two MLlib jobs instead of one aggregate — the cost [[forecastMl]]
+    * avoids; [[forecastMlLib]] accepts it to stay on the library
+    * solver. */
+  private[graft] def fitMllib(train: DataFrame, regParam: Double = 0.0)
+      : Map[String, (Array[Double], Double)] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.regression.LinearRegression
+    Seq("pv", "wind").map { v =>
+      val assembled = train.select(
+        col(s"y_$v").as("label"),
+        array_to_vector(array(xs(v).tail: _*)).as("features"))
+      val model = new LinearRegression()
+        .setSolver("normal").setRegParam(regParam)
+        .setStandardization(false).setFitIntercept(true)
+        .fit(assembled)
+      val beta = model.intercept +: model.coefficients.toArray
+      v -> (beta, model.summary.rootMeanSquaredError)
+    }.toMap
+  }
+
+  /** q30 — 'sarimax'-slot forecast: fit on history, emit horizons 1..48
+    * per site for both DDL vars from each site's last observed hour. */
+  def forecastMl(spark: SparkSession, dir: String): DataFrame = {
+    val hist = history(spark, dir)
+    emit(hist, fitNormal(buildTrain(hist)))
+  }
+
+  /** The same mart via the MLlib fit — drop-in behind the identical
+    * mart_forecast contract (schema + DDL CHECKs enforced in [[emit]]);
+    * yhat differs from q30 only by ridge 1e-6 vs 0. */
+  def forecastMlLib(spark: SparkSession, dir: String): DataFrame = {
+    val hist = history(spark, dir)
+    emit(hist, fitMllib(buildTrain(hist)))
+  }
+
+  /** Shared horizon emitter: score `models` over horizons 1..48 per
+    * site and enforce the mart_forecast DDL contract. */
+  private def emit(hist: DataFrame,
+                   models: Map[String, (Array[Double], Double)]): DataFrame = {
     // Horizon frame: for h ≤ 24 the lag-24 feature is the observed
     // y(T+h-24); for h in 25..48 it falls back to y(T+h-48) (the same
     // direct-forecast trick SARIMAX deployments use past one season).

@@ -155,4 +155,44 @@ class ForecastSpec extends AnyFunSuite {
       .filter(col("site") === "click").orderBy("ts_utc").collect()
     assert(t.nonEmpty)
   }
+
+  test("MLlib LinearRegression(solver=normal) matches Forecast.solve " +
+       "within 1e-8 (coefficients and RMSE, both vars)") {
+    val train = Forecast.buildTrain(Forecast.history(spark, sf))
+    // equivalence is pinned at the unregularized point: MLlib's ridge
+    // acts on standardized, intercept-excluded coefficients, which no
+    // fixed raw-space λ reproduces — at regParam 0 both solve the
+    // identical OLS normal equations
+    val ours = Forecast.fitNormal(train, ridge = 0.0)
+    val mllib = Forecast.fitMllib(train, regParam = 0.0)
+    Seq("pv", "wind").foreach { v =>
+      val (bOurs, rmseOurs) = ours(v)
+      val (bMl, rmseMl) = mllib(v)
+      assert(bOurs.length === bMl.length)
+      bOurs.zip(bMl).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) <= 1e-8, s"$v beta($i): $a vs $b")
+      }
+      assert(math.abs(rmseOurs - rmseMl) <= 1e-8, s"$v rmse")
+    }
+  }
+
+  test("forecastMlLib: the MLlib-backed variant honors the same " +
+       "mart_forecast contract and stays within ridge-distance of q30") {
+    import graft.schema.{Schemas, Validator}
+    val ml = Forecast.forecastMlLib(spark, sf)
+    val v = Validator.violations(ml, Schemas.martForecastChecks)
+    assert(v.values.forall(_ == 0), s"DDL CHECK violations: $v")
+    val rows = ml.collect()
+    val q30 = Forecast.forecastMl(spark, sf).collect()
+    assert(rows.length === q30.length)
+    // identical keys in identical order; yhat differs only by the
+    // 1e-6 ridge the production fit keeps for determinism
+    rows.zip(q30).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      assert(a.getAs[String]("var") === b.getAs[String]("var"))
+      assert(a.getAs[Int]("horizon_h") === b.getAs[Int]("horizon_h"))
+      assert(math.abs(a.getAs[Double]("yhat") - b.getAs[Double]("yhat"))
+        <= 1e-3, s"yhat drift beyond ridge distance: $a vs $b")
+    }
+  }
 }
