@@ -22,7 +22,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     val all = graft.functions.VectorExpressions.builders ++
-      graft.functions.TextExpressions.builders
+      graft.functions.TextExpressions.builders ++
+      graft.functions.MediaExpressions.builders
     all.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),

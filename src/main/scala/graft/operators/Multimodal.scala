@@ -99,14 +99,15 @@ object Multimodal {
   // q66 — frame sampling: the video-style access pattern. A media
   // payload is a sequence of fixed-size frames; training pipelines
   // keep every k-th (keyframe extraction, clip subsampling). The
-  // engine path is the real per-partition batch shape — decode once,
-  // slice frames, emit one row per sampled frame — exactly where a
-  // codec would sit; frames here are FrameChars-codepoint slices of
+  // kernel is a Catalyst Generator (functions/MediaExpressions) —
+  // decode once, slice frames, emit one row per sampled frame, all
+  // inside Tungsten rows; frames are FrameChars-codepoint slices of
   // the payload so the oracle can mirror the arithmetic exactly.
   //
   // Scale shape: a pure generator pass (one input row → ~frames/stride
-  // output rows), no shuffle; output is fingerprints + sizes, not
-  // frame bytes, so the exchange stays narrow even for fat payloads.
+  // output rows), no shuffle, no encoder round-trip; output is
+  // fingerprints + sizes, not frame bytes, so the exchange stays
+  // narrow even for fat payloads.
   // ---------------------------------------------------------------
 
   /** Frame geometry sized to the fixture corpus (docs run 44–577
@@ -116,43 +117,16 @@ object Multimodal {
   val FrameChars = 64
   val FrameStride = 2
 
-  case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String,
-                   frame_chars: Long)
-
   def frameSample(spark: SparkSession, dir: String): DataFrame =
     frameSampleFrom(mediaTable(spark, dir))
 
   def frameSampleFrom(media: DataFrame, frameChars: Int = FrameChars,
                       stride: Int = FrameStride): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits.newProductEncoder
+    graft.functions.MediaExpressions.register(media.sparkSession)
     media
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition init: one digest instance per task, reset per
-        // frame — the codec-context slot of a real decoder
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        rows.flatMap { case (id, payload) =>
-          // frame boundaries are CODEPOINTS, not bytes or UTF-16
-          // units, so the oracle's substr() character arithmetic is
-          // bit-identical on any text
-          val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-          val cps = text.codePoints().toArray
-          val nFrames = (cps.length + frameChars - 1) / frameChars
-          (0 until nFrames by stride).iterator.map { i =>
-            val from = i * frameChars
-            val until = math.min(from + frameChars, cps.length)
-            val frame = new String(cps, from, until - from)
-            digest.reset()
-            val hex = digest.digest(frame.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              .map("%02x".format(_)).mkString
-            Frame(id, i.toLong, hex, (until - from).toLong)
-          }
-        }
-      }
-      .toDF()
+      .select($"doc_id",
+        expr(s"graft_frames(payload, $frameChars, $stride)")
+          .as(Seq("frame_idx", "frame_md5", "frame_chars")))
       .orderBy($"doc_id", $"frame_idx")
   }
 

@@ -81,4 +81,14 @@ class PlanSpec extends AnyFunSuite {
     assert(docLevel.nonEmpty,
       "no window partitioned by pbucket — the two-level packing was removed?")
   }
+
+  test("q66 frame sampling is a Generate pass — no typed-object boundary") {
+    // the mapPartitions formulation paid DeserializeToObject/
+    // SerializeFromObject per row; the FrameSample Generator keeps the
+    // whole pass inside Tungsten rows (VERDICT r5 item 5)
+    val p = plan("q66_frame_sample")
+    assert(p.contains("Generate"), s"expected a Generate node:\n${p.take(3000)}")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      s"q66 must not cross the typed-object boundary:\n${p.take(3000)}")
+  }
 }
