@@ -79,11 +79,51 @@ class StreamingCleanSpec extends AnyFunSuite {
   test("streaming clean == batch clean on the fixture (micro-batched, merged)") {
     val out = TestTmp.dir("graft-stream-").toString + "/silver"
     val streamed = StreamingClean.run(spark, s"$sf/events.parquet", out)
-      .drop("ingested_at", "ingest_seq")
+      .drop("ingested_at", "ingest_seq", "ds")
     val batch = Weather.cleanToHourly(Weather.bronze(spark, sf))
     assert(streamed.count() === batch.count())
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("a micro-batch merges only its touched date partitions " +
+       "(untouched partition files are byte-identical)") {
+    import spark.implicits._
+    // day-1 and day-2 events into the store, then a second stream
+    // carrying only a newer day-2 event: the ds=day1 partition's files
+    // must survive the merge untouched (same names, sizes, mtimes) —
+    // the IO contract that makes the sink viable at 100 TB
+    val out = TestTmp.dir("graft-mbpart-out-").toString + "/silver"
+    val day1 = 1704067200000000L // 2024-01-01 00:00 UTC, micros
+    val day2 = day1 + 86400L * 1000000L
+    def write(events: Seq[(Long, Long)], dir: java.nio.file.Path): Unit = {
+      events.map { case (id, ts) => (id, ts * 1000L, 1L, "click", 50.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      ()
+    }
+    def partFiles(ds: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$out/ds=$ds")
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val in1 = TestTmp.dir("graft-mbpart-in1-")
+    write(Seq((1L, day1), (2L, day2)), in1)
+    StreamingClean.run(spark, in1.toString, out)
+    val day1Before = partFiles("2024-01-01")
+    assert(day1Before.nonEmpty)
+
+    val in2 = TestTmp.dir("graft-mbpart-in2-")
+    write(Seq((12L, day2)), in2) // newer seq, same (site, hour) as id 2
+    StreamingClean.run(spark, in2.toString, out)
+    assert(partFiles("2024-01-01") === day1Before,
+      "merge must not rewrite the untouched date partition")
+    val silver = spark.read.parquet(out)
+    assert(silver.filter($"ds" === "2024-01-02")
+      .select("ingest_seq").collect().map(_.getLong(0)).toSeq === Seq(12L),
+      "the touched partition must carry the merged newer version")
+    assert(silver.filter($"ds" === "2024-01-01").count() === 1)
   }
 }
 
