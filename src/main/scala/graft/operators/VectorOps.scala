@@ -231,7 +231,14 @@ object VectorOps {
     * the bytes could have changed — the same invalidation rule as
     * Bench's warehouse `_READY` marker. The map stays keyed by dir
     * (one live entry per corpus, stale fits replaced not accumulated);
-    * the fingerprint is the validity check on the stored value. */
+    * the fingerprint is the validity check on the stored value.
+    *
+    * CAVEAT: mtime granularity is filesystem-dependent (1 s on some) —
+    * a corpus regenerated in-place within one tick with byte-identical
+    * file SIZES would serve a stale codebook for the rest of the JVM.
+    * Fine for the dev/test fixtures this memo exists for; a production
+    * store needing airtight invalidation would hash parquet footers
+    * (content-addressed) instead of stat() metadata. */
   private def corpusFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -290,13 +297,21 @@ object VectorOps {
     * kernel chain, so the result is oracle-checkable. */
   val NumProbes = 2
 
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKProbes(spark, dir, NumProbes)
+
+  /** q54 with an explicit probe count — the recall-vs-cost knob every
+    * IVF deployment tunes; VectorSweepSpec measures the curve for
+    * probes 1..4 against the exact q49 baseline (table in SCALE.md). */
+  def ivfTopKProbes(spark: SparkSession, dir: String,
+                    numProbes: Int): DataFrame = {
+    require(numProbes >= 1, "ivfTopK needs at least one probe")
     val all = vecs(spark, dir)
     val centroids = codebookFor(spark, dir)
     // cell assignment — exactly the q50 write-path (shared helper)
     val assigned = assignCells(all, centroids)
       .select($"vec_id", $"v", $"nrm", $"cell_id")
-    // probe list: each query's NumProbes nearest centroids
+    // probe list: each query's numProbes nearest centroids
     val queries = all.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val wProbe = Window.partitionBy($"query_id")
@@ -305,7 +320,7 @@ object VectorOps {
       .select($"query_id", $"qv", $"qn", $"centroid_id",
               expr("graft_sqdist(qv, cv)").as("qdist2"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter($"pr" <= NumProbes)
+      .filter($"pr" <= numProbes)
       .select($"query_id", $"qv", $"qn", $"centroid_id".as("cell_id"))
     // scan only the probed cells
     val scored = probes.join(assigned, Seq("cell_id"))

@@ -274,6 +274,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("IVF probe sweep 1..4: recall is monotone in probes (curve in SCALE.md)") {
+    // the recall-vs-cost knob: each extra probe scans one more cell's
+    // vectors per query (cost ≈ probes/cells of the corpus), buying
+    // recall. Measured at sf0.001 (20-cell codebook): 0.38 / 0.68 /
+    // 0.74 / 0.88 for probes 1-4 — recorded in SCALE.md; the spec pins
+    // monotonicity and the endpoints rather than exact points so a
+    // codebook tweak doesn't false-alarm.
+    val exact = VectorOps.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = (1 to 4).map { p =>
+      val ivf = VectorOps.ivfTopKProbes(spark, sf, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      p -> (exact.intersect(ivf).size.toDouble / exact.size)
+    }
+    info(s"recall@probes: ${curve.map { case (p, r) => f"$p:$r%.2f" }.mkString(" ")}")
+    curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(hi >= lo - 1e-9, s"recall not monotone: $curve")
+    }
+    assert(curve.head._2 >= 0.3, s"1-probe recall collapsed: $curve")
+    assert(curve(1)._2 >= 0.5, s"default 2-probe recall floor: $curve")
+    assert(curve.last._2 > curve.head._2,
+      s"extra probes must buy recall on the fixture: $curve")
+  }
+
   test("winnowing: near-dup documents share fingerprints; fingerprint sets are compact") {
     val fps = Dedup.winnowFingerprints(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
