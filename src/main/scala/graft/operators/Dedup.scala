@@ -498,8 +498,15 @@ object Dedup {
       round += 1
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val cur = checksum(next)
+      // a fingerprint match is necessary but not sufficient (a ~2^-64
+      // per-round hash collision between DIFFERENT edge sets would
+      // otherwise terminate early with a wrong labeling): confirm the
+      // fixpoint with ONE exact set comparison before stopping — the
+      // counts already agree inside the fingerprint and both frames
+      // are distinct, so an empty one-sided difference is equality.
+      // Runs only on the terminal round (or a collision), not per round.
+      converged = cur == prev && next.exceptAll(e).isEmpty
       e = next
-      converged = cur == prev
       prev = cur
     }
     require(converged,

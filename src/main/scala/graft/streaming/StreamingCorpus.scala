@@ -31,6 +31,9 @@ import graft.syntax._
   */
 object StreamingCorpus {
 
+  /** Monotonic suffix for per-call memory-sink table names. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** documents.parquet raw schema for the streaming reader. */
   val documentsRawSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -92,8 +95,13 @@ object StreamingCorpus {
     val changelog = fps.groupByKey(_.fp)
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(updater)
+    // unique per CALL, not per path: hex avoids abs(Int.MinValue) < 0
+    // producing a junk identifier, and the monotonic suffix keeps two
+    // concurrent dedupStream calls (same or colliding paths) from
+    // clobbering each other's memory-sink table
     val name = "graft_corpus_dedup_" +
-      math.abs(docsPath.hashCode).toString
+      Integer.toHexString(docsPath.hashCode) + "_" +
+      sinkSeq.incrementAndGet()
     val checkpoint = StreamingClean.trackedTempDir("graft-cd-ckpt-")
     val q = changelog.writeStream
       .outputMode(OutputMode.Update)

@@ -130,11 +130,13 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q62 clusters: chain deeper than the propagation budget escalates and converges") {
-    // path graph 0-1-2-...-40: diameter 40 > MaxCcRounds (25), so the
-    // min-label fast path cannot converge — dedupClustersFrom must
-    // escalate to the large-star/small-star tier and still produce the
-    // component-min labeling. This is the graph that made the previous
-    // implementation fail loudly.
+    // path graph 0-1-2-...-n with n = MaxCcRounds + 15: its diameter
+    // exceeds what the seeded propagation can reach within the round
+    // budget, so the min-label fast path cannot converge —
+    // dedupClustersFrom must escalate to the large-star/small-star
+    // tier and still produce the component-min labeling. This is the
+    // graph shape that made the pre-escalation implementation fail
+    // loudly.
     val n = Dedup.MaxCcRounds + 15
     val pairs = (0L until n.toLong).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val out = Dedup.dedupClustersFrom(pairs).collect()
