@@ -9,13 +9,17 @@ import org.apache.spark.sql.SparkSession
   * Every query is forced with `.count()` (full plan execution, no
   * result materialization to the driver beyond the count). A tiny
   * warmup action first separates session/codegen startup cost from the
-  * per-query numbers. q34 (streaming + disk merge) and q35 (payload
-  * round-trip construction) are excluded: they benchmark sinks, not
-  * query execution.
+  * per-query numbers. q34 (streaming + disk merge), q35 (payload
+  * round-trip construction), q38 (end-to-end warehouse publish), and
+  * q68 (streaming state store) are excluded: they benchmark sinks and
+  * store publishes, not query execution — correctness for all four is
+  * still oracle-gated in Verify/CORRECTNESS; the pipeline build cost
+  * is measured separately in SCALE.md.
   */
 object Bench {
   private val skip =
-    Set("q34_streaming_clean", "q35_nasa_roundtrip", "q68_streaming_dedup")
+    Set("q34_streaming_clean", "q35_nasa_roundtrip", "q38_pipeline_silver",
+        "q68_streaming_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

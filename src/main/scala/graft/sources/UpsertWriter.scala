@@ -107,9 +107,12 @@ object UpsertWriter {
                         table: String = "upsert-target"): Unit = {
     val fs = FileSystem.get(new URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    // the incoming lineage feeds the CHECK aggregate, the touched-
-    // partition listing, AND the merge — persist it once
-    val guarded = incoming.cache()
+    // the incoming lineage can feed the CHECK aggregate, the touched-
+    // partition listing, AND the merge — persist it once. A fresh
+    // write with no checks has exactly one consumer (the write), so
+    // caching there would be a pure extra materialization.
+    val multiConsumer = checks.nonEmpty || fs.exists(target)
+    val guarded = if (multiConsumer) incoming.cache() else incoming
     try {
       if (checks.nonEmpty)
         graft.schema.Validator.enforce(guarded, checks, table)
@@ -135,6 +138,6 @@ object UpsertWriter {
       // invalidate the session's cached file listing for the store
       // (dynamic overwrite replaced files in the touched partitions)
       spark.catalog.refreshByPath(path)
-    } finally guarded.unpersist()
+    } finally if (multiConsumer) guarded.unpersist()
   }
 }
