@@ -87,6 +87,7 @@ object SparkEntry {
     "q66_frame_sample"      -> (Multimodal.frameSample(_, _)),
     "q67_media_resize"      -> (Multimodal.mediaResize(_, _)),
     "q68_streaming_dedup"   -> (graft.streaming.StreamingCorpus.dedupViaStreaming(_, _)),
+    "q69_ivf_near_dups"     -> (VectorOps.ivfNearDupPairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -162,6 +163,7 @@ object SparkEntry {
     // must converge to exactly what the one-shot groupBy computes
     // (min/count are order-independent), mirroring q34's discipline.
     "q68_streaming_dedup"   -> TextOps.exactDedupSql,
+    "q69_ivf_near_dups"     -> VectorOps.ivfNearDupPairsSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

@@ -409,4 +409,85 @@ object VectorOps {
        |WHERE ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
        |      >= $CosineDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q69 — IVF-bucketed near-dup pairs: the PRODUCTION path past
+  // MaxExactVectors. Cluster-then-dedup-within-cells (the standard
+  // embedding-dedup shape): candidates are pairs sharing any of each
+  // vector's NearDupProbes nearest cells, verified with the exact
+  // cosine kernel. Sign-hyperplane LSH was considered and rejected
+  // for this corpus: its effective regime is cos ≳ 0.8, while the
+  // fixture's true pairs sit at 0.45–0.5 where hyperplane bands prune
+  // nothing; cell-blocking prunes by GEOMETRY (shared Voronoi cells),
+  // which is exactly where moderate-similarity neighbors live.
+  //
+  // Scale shape: the codebook seeds every-100th vector, so cells grow
+  // as N/100 and per-cell occupancy stays ~100·probes regardless of N
+  // — candidate count ≈ cells × (probes·100)² is LINEAR in N, vs the
+  // exact baseline's N². One corpus shuffle (hash by cell_id); the
+  // codebook broadcasts. Recall vs q51 is measured in the spec
+  // (2-probe multiprobe recovers pairs straddling a cell boundary);
+  // a degenerate corpus (mass at one point) surfaces as a fat cell in
+  // q50's assignment histogram, the audit view for this operator.
+  // ---------------------------------------------------------------
+
+  val NearDupProbes = 2
+
+  /** N-probe corpus assignment: each vector joined to its `probes`
+    * nearest cells ([[assignCells]] is the 1-probe special case). */
+  private def assignCellsProbes(all: DataFrame, centroids: DataFrame,
+                                probes: Int): DataFrame = {
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"dist2".asc, $"centroid_id".asc)
+    all.crossJoin(broadcast(centroids))
+      .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= probes)
+      .select($"vec_id", $"v", $"nrm", $"centroid_id".as("cell_id"))
+  }
+
+  def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val assigned =
+      assignCellsProbes(all, codebookFor(spark, dir), NearDupProbes)
+        .localCheckpoint(false) // both self-join sides read it
+    val cand = assigned.as("x").join(assigned.as("y"), Seq("cell_id"))
+      .filter($"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"x.v".as("va"), $"x.nrm".as("na"),
+              $"y.vec_id".as("vec_b"), $"y.v".as("vb"), $"y.nrm".as("nb"))
+      // a pair can share up to `probes` cells — dedup before the
+      // kernel, not after (payload rows are identical per key, so
+      // dropDuplicates is deterministic here)
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .select($"vec_a", $"vec_b",
+        round(dot("va", "vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= CosineDupThreshold)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  lazy val ivfNearDupPairsSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH $vecsCte,
+       |$fitCtes,
+       |assigned_n AS (
+       |  SELECT vec_id, centroid_id AS cell_id FROM (
+       |    SELECT a.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ROUND($d2, 6) ASC, c.centroid_id ASC) AS rn
+       |    FROM normed a CROSS JOIN cents c)
+       |  WHERE rn <= $NearDupProbes),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM assigned_n x JOIN assigned_n y
+       |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos_sim
+       |FROM cand c
+       |JOIN normed a ON a.vec_id = c.vec_a
+       |JOIN normed b ON b.vec_id = c.vec_b
+       |WHERE ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+       |      >= $CosineDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

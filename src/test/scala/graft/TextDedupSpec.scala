@@ -298,6 +298,23 @@ class TextDedupSpec extends AnyFunSuite {
       s"extra probes must buy recall on the fixture: $curve")
   }
 
+  test("IVF-bucketed near-dup pairs: exact precision, high recall vs q51") {
+    val exact = VectorOps.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = VectorOps.ivfNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates are verified with the exact kernel → precision is 1
+    assert(bucketed.subsetOf(exact),
+      s"bucketed path invented pairs: ${bucketed -- exact}")
+    // recall: 2-probe cell blocking must catch most geometric
+    // neighbors (pairs above the cosine threshold live in nearby
+    // Voronoi cells by construction)
+    val recall = (exact intersect bucketed).size.toDouble / exact.size
+    info(f"ivf near-dup recall: $recall%.2f (${bucketed.size}/${exact.size})")
+    assert(exact.nonEmpty && recall >= 0.6,
+      s"cell-blocked recall collapsed: $recall")
+  }
+
   test("winnowing: near-dup documents share fingerprints; fingerprint sets are compact") {
     val fps = Dedup.winnowFingerprints(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
