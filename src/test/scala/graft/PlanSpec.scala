@@ -82,6 +82,43 @@ class PlanSpec extends AnyFunSuite {
       "no window partitioned by pbucket — the two-level packing was removed?")
   }
 
+  test("q69: candidates join hash-partitioned on cell_id, never cartesian") {
+    // the centroid broadcast lives inside the localCheckpoint'd
+    // assignment subtree (invisible here by design — the checkpoint
+    // truncates lineage); the final plan must show the cell-blocked
+    // self-join as a hash join keyed on cell_id with no cartesian
+    val p = plan("q69_ivf_near_dups")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-side cartesian in the cell-blocked path:\n${p.take(3000)}")
+    assert("hashpartitioning\\(cell_id".r.findFirstIn(p).isDefined,
+      s"candidate join must be keyed on cell_id:\n${p.take(3000)}")
+  }
+
+  test("bounded re-clean prunes the Bronze store scan to the touched dates") {
+    // refineSilver(sinceDs) must push the ds predicate into partition
+    // pruning — the property that makes the incremental clean a
+    // day-sized job at any store size (Pipeline scaladoc)
+    val root = TestTmp.dir("graft-prune-").toString + "/wh"
+    val wh = Pipeline.Warehouse(root)
+    Pipeline.ingestEvents(spark, sf, wh)
+    val cut = java.time.LocalDate.of(2024, 1, 15)
+    val bounded = spark.read.parquet(wh.bronze)
+      .filter(org.apache.spark.sql.functions.col("ds")
+        >= java.sql.Date.valueOf(cut))
+    val scans = bounded.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val selected = scans.head.selectedPartitions.partitionCount
+    val total = spark.read.parquet(wh.bronze).queryExecution.executedPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head.selectedPartitions.partitionCount
+    assert(selected < total,
+      s"scan read $selected of $total partitions — ds pruning inert")
+    assert(selected === total - 14, // Jan 1-14 pruned away
+      s"expected all but the 14 leading date partitions, got $selected/$total")
+  }
+
   test("q66 frame sampling is a Generate pass — no typed-object boundary") {
     // the mapPartitions formulation paid DeserializeToObject/
     // SerializeFromObject per row; the FrameSample Generator keeps the
