@@ -12,9 +12,10 @@ import org.apache.spark.sql.SparkSession
   * per-query numbers. q34 (streaming + disk merge), q35 (payload
   * round-trip construction), q38 (end-to-end warehouse publish), and
   * q68 (streaming state store) are excluded: they benchmark sinks and
-  * store publishes, not query execution — correctness for all four is
-  * still oracle-gated in Verify/CORRECTNESS; the pipeline build cost
-  * is measured separately in SCALE.md.
+  * store publishes, not query execution — correctness still runs in
+  * Verify/CORRECTNESS for all four (hash-gated for q34/q38/q68;
+  * rows-only for q35, whose payload build is deliberately not
+  * SQL-mirrored); the pipeline build cost is measured in SCALE.md.
   */
 object Bench {
   private val skip =

@@ -41,26 +41,35 @@ final class ResultCache(ttlMs: Long, maxEntries: Int = 64,
     * result of `load` (materialized, stored, returned). The returned
     * frame is a local relation over the snapshot — immutable, cheap to
     * re-serve, independent of the source tables' later churn (exactly
-    * the dashboard contract: panels may lag the store by ≤ ttl). */
-  def apply(spark: SparkSession, key: String)(load: => DataFrame): DataFrame =
-    synchronized {
-      val now = clock()
-      val hit = Option(entries.get(key)).filter(e => now - e.at < ttlMs)
-      val entry = hit match {
-        case Some(e) => hitCount += 1; e
-        case None =>
-          missCount += 1
-          val df = load
-          val e = Entry(now, df.schema, java.util.Arrays.asList(df.collect(): _*))
-          entries.put(key, e)
-          val it = entries.entrySet().iterator()
-          while (entries.size() > maxEntries && it.hasNext) {
-            it.next(); it.remove() // eldest-accessed first
-          }
-          e
-      }
-      spark.createDataFrame(entry.rows, entry.schema)
+    * the dashboard contract: panels may lag the store by ≤ ttl).
+    *
+    * The monitor guards only map access — `load` and its `collect()`
+    * (a full Spark job, possibly seconds) run OUTSIDE the lock, so one
+    * key's recompute never blocks other panels' sub-millisecond hits.
+    * Two threads missing the same key concurrently may both compute
+    * (last put wins, both results identical for a deterministic query)
+    * — the standard memo race, bounded by the panel count. */
+  def apply(spark: SparkSession, key: String)(load: => DataFrame): DataFrame = {
+    val now = clock()
+    val hit = synchronized {
+      val h = Option(entries.get(key)).filter(e => now - e.at < ttlMs)
+      if (h.isDefined) hitCount += 1 else missCount += 1
+      h
     }
+    val entry = hit.getOrElse {
+      val df = load // outside the lock: a full job
+      val e = Entry(now, df.schema, java.util.Arrays.asList(df.collect(): _*))
+      synchronized {
+        entries.put(key, e)
+        val it = entries.entrySet().iterator()
+        while (entries.size() > maxEntries && it.hasNext) {
+          it.next(); it.remove() // eldest-accessed first
+        }
+      }
+      e
+    }
+    spark.createDataFrame(entry.rows, entry.schema)
+  }
 
   /** Drop every entry (the dashboard's manual "refresh" button). */
   def invalidate(): Unit = synchronized { entries.clear() }

@@ -54,6 +54,15 @@ case class FrameSample(child: Expression, frameChars: Int, stride: Int)
     new String(out)
   }
 
+  // one digest per thread, reset per frame — the per-task codec-context
+  // slot the mapPartitions formulation had; per-row getInstance would
+  // pay a JCA provider lookup on every input row of the hot path.
+  // ThreadLocal (not a plain lazy val) because one Expression instance
+  // can be evaluated by several task threads concurrently.
+  @transient private lazy val localMd =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)
     if (raw == null) return Nil
@@ -62,7 +71,7 @@ case class FrameSample(child: Expression, frameChars: Int, stride: Int)
     val cps = text.codePoints().toArray
     val nFrames = (cps.length + frameChars - 1) / frameChars
     if (nFrames <= 0) return Nil
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
     (0 until nFrames by stride).iterator.map { i =>
       val from = i * frameChars
       val until = math.min(from + frameChars, cps.length)

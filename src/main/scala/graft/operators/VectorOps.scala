@@ -249,7 +249,8 @@ object VectorOps {
       .mkString("\n")
   }
 
-  private def codebookFor(spark: SparkSession, dir: String): DataFrame = {
+  private def codebookRowsFor(spark: SparkSession,
+                              dir: String): Array[(Long, Seq[Double])] = {
     val fp = corpusFingerprint(dir)
     def fit(): Array[(Long, Seq[Double])] = {
       val all = vecs(spark, dir).cache()
@@ -257,15 +258,18 @@ object VectorOps {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
       finally all.unpersist()
     }
-    val rows = codebooks.get(dir) match {
+    codebooks.get(dir) match {
       case Some((`fp`, cached)) => cached
       case _ =>
         val fresh = fit()
         codebooks.put(dir, (fp, fresh))
         fresh
     }
-    spark.createDataFrame(rows.toIndexedSeq).toDF("centroid_id", "cv")
   }
+
+  private def codebookFor(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(codebookRowsFor(spark, dir).toIndexedSeq)
+      .toDF("centroid_id", "cv")
 
   def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
@@ -424,8 +428,9 @@ object VectorOps {
   // Scale shape: the codebook seeds every-100th vector, so cells grow
   // as N/100 and per-cell occupancy stays ~100·probes regardless of N
   // — candidate count ≈ cells × (probes·100)² is LINEAR in N, vs the
-  // exact baseline's N². One corpus shuffle (hash by cell_id); the
-  // codebook broadcasts. Recall vs q51 is measured in the spec
+  // exact baseline's N². The assignment is row-local (codebook inlined
+  // as a literal — see assignCellsProbes), so the ONLY corpus shuffle
+  // is the cell_id candidate join. Recall vs q51 is measured in the spec
   // (2-probe multiprobe recovers pairs straddling a cell boundary);
   // a degenerate corpus (mass at one point) surfaces as a fat cell in
   // q50's assignment histogram, the audit view for this operator.
@@ -433,23 +438,42 @@ object VectorOps {
 
   val NearDupProbes = 2
 
-  /** N-probe corpus assignment: each vector joined to its `probes`
-    * nearest cells ([[assignCells]] is the 1-probe special case). */
-  private def assignCellsProbes(all: DataFrame, centroids: DataFrame,
+  /** Row-local N-probe corpus assignment: the collected codebook
+    * inlines as a LITERAL cells array, so each vector scores and
+    * ranks all cells inside its own row (array_sort over
+    * struct(round(dist²,6), cid) — same ordering as the oracle's
+    * ROW_NUMBER) and explodes its head `probes` slice. ZERO shuffle —
+    * strictly better than both the crossJoin+window formulation (which
+    * sorted an N×cells-wide exchange, the exact shape [[assignCells]]'s
+    * min-struct aggregate exists to avoid) and the aggregate itself
+    * (one shuffled row per vec_id). Bounded by codebook size: literal
+    * plans stay sane to ~10³ cells; past that a broadcast join + a
+    * bounded top-k aggregate is the shape. */
+  private def assignCellsProbes(all: DataFrame,
+                                codebook: Array[(Long, Seq[Double])],
                                 probes: Int): DataFrame = {
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"dist2".asc, $"centroid_id".asc)
-    all.crossJoin(broadcast(centroids))
-      .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= probes)
-      .select($"vec_id", $"v", $"nrm", $"centroid_id".as("cell_id"))
+    // one codegen'd struct per cell — NOT a transform() lambda over a
+    // cells array, which would run the kernel on the interpreted HOF
+    // path this file's header warns about. Fixture cost matches the
+    // crossJoin+window formulation within run noise (~2 s at sf0.1);
+    // the point of the row-local shape is what it REMOVES at scale:
+    // the N×cells-row sort exchange the window needed.
+    val scored = array_sort(array(codebook.map { case (id, cv) =>
+      struct(
+        round(call_function("graft_sqdist", $"v", array(cv.map(lit): _*)), 6)
+          .as("d"),
+        lit(id).as("cid"))
+    }.toIndexedSeq: _*))
+    all
+      .select($"vec_id", $"v", $"nrm",
+        explode(slice(scored, 1, probes)).as("probe"))
+      .select($"vec_id", $"v", $"nrm", $"probe.cid".as("cell_id"))
   }
 
   def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val all = vecs(spark, dir)
     val assigned =
-      assignCellsProbes(all, codebookFor(spark, dir), NearDupProbes)
+      assignCellsProbes(all, codebookRowsFor(spark, dir), NearDupProbes)
         .localCheckpoint(false) // both self-join sides read it
     val cand = assigned.as("x").join(assigned.as("y"), Seq("cell_id"))
       .filter($"x.vec_id" < $"y.vec_id")

@@ -111,11 +111,21 @@ object StreamingCorpus {
       .start()
     try q.awaitTermination()
     finally StreamingClean.rmTree(checkpoint)
-    spark.table(name)
+    // Materialize the folded result EAGERLY (small: one row per
+    // distinct doc) and drop the memory-sink table before returning —
+    // otherwise every call would leak its full changelog into the
+    // session catalog for the JVM's lifetime (the per-call unique
+    // query name makes the tables accumulate, not replace). The
+    // checkpoint pins only the folded rows; its blocks free with the
+    // returned plan.
+    val result = spark.table(name)
       .groupBy($"fp")
       .agg(min($"keeper_doc_id").as("keeper_doc_id"),
            max($"n_copies").as("n_copies"))
       .orderBy($"keeper_doc_id")
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    result
   }
 
   /** q68 — streaming-vs-batch dedup parity: the full stateful pipeline

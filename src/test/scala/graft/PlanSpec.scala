@@ -90,8 +90,11 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q69_ivf_near_dups")
     assert(!p.contains("CartesianProduct"),
       s"corpus-side cartesian in the cell-blocked path:\n${p.take(3000)}")
-    assert("hashpartitioning\\(cell_id".r.findFirstIn(p).isDefined,
-      s"candidate join must be keyed on cell_id:\n${p.take(3000)}")
+    // the candidate join may plan as broadcast (small side) or
+    // shuffled (at scale) — either way its KEYS must be cell_id
+    val joinKeyed = p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("cell_id"))
+    assert(joinKeyed, s"candidate join must be keyed on cell_id:\n${p.take(3000)}")
   }
 
   test("bounded re-clean prunes the Bronze store scan to the touched dates") {
