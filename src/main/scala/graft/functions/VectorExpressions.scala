@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Codegen'd vector kernels for the similarity operators.
   *
@@ -133,6 +134,82 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Top-`probes` nearest-centroid generator: emits one `cell_id` row
+  * per probe for the input vector, ranked by (round(dist², 6),
+  * centroid_id) ascending — byte-identical ordering to the oracle's
+  * `ROW_NUMBER() OVER (ORDER BY ROUND(d2, 6), centroid_id)` and to
+  * Spark's `round` (HALF_UP decimal).
+  *
+  * The codebook rides IN THE EXPRESSION as plain Scala arrays, not as
+  * plan literals: an inlined literal codebook blows generated-method
+  * limits past ~10² cells and degrades the whole projection to
+  * interpreted evaluation (measured on q69's pair stage at 10×
+  * amplification, 200 cells: 53 s literal-array vs ~1 s through this
+  * Generator). The SQL-facing builder accepts the codebook as a
+  * FOLDABLE array-of-structs literal and evaluates it once at
+  * analysis time into the arrays, so the per-row work is one tight
+  * JVM loop with a bounded insertion top-k — no shuffle, no HOF
+  * lambdas, no giant generated method.
+  */
+case class NearestCells(child: Expression, ids: Array[Long],
+                        cells: Array[Array[Double]], probes: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(ids.length == cells.length && probes >= 1)
+
+  override def elementSchema: StructType =
+    StructType(StructField("cell_id", LongType) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_cells expects array<double>, got $other")
+    }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) return Nil
+    val arr = raw.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { v(i) = arr.getDouble(i); i += 1 }
+    val k = math.min(probes, cells.length)
+    val topD = Array.fill(k)(Double.PositiveInfinity)
+    val topC = Array.fill(k)(Long.MaxValue)
+    var c = 0
+    while (c < cells.length) {
+      val cv = cells(c)
+      val n = math.min(dim, cv.length) // the graft_sqdist loop bound
+      var s = 0.0
+      var j = 0
+      while (j < n) { val d = v(j) - cv(j); s += d * d; j += 1 }
+      // Spark round(col, 6) semantics: HALF_UP decimal rounding
+      val dr = java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cid = ids(c)
+      var pos = k
+      while (pos > 0 && (dr < topD(pos - 1) ||
+             (dr == topD(pos - 1) && cid < topC(pos - 1)))) pos -= 1
+      if (pos < k) {
+        var m = k - 1
+        while (m > pos) { topD(m) = topD(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topD(pos) = dr; topC(pos) = cid
+      }
+      c += 1
+    }
+    val out = new Array[InternalRow](k)
+    i = 0
+    while (i < k) { out(i) = InternalRow(topC(i)); i += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Builders shared by per-session registration and the
     * [[graft.GraftExtensions]] injection path. */
@@ -150,7 +227,45 @@ object VectorExpressions {
     "graft_sqdist" -> arity("graft_sqdist(a, b)", 2)(
       exprs => SquaredDistance(exprs(0), exprs(1))),
     "graft_l2norm" -> arity("graft_l2norm(a)", 1)(
-      exprs => L2Norm(exprs.head)))
+      exprs => L2Norm(exprs.head)),
+    "graft_nearest_cells" ->
+      arity("graft_nearest_cells(v, cells, probes)", 3) { exprs =>
+        // the codebook arg must be a literal (foldable) array of
+        // struct(cid: long, cv: array<double>); it is evaluated ONCE
+        // here and carried in the expression as plain arrays — see
+        // the NearestCells scaladoc for why plan literals don't scale
+        // the Column API wraps struct fields in UnresolvedAlias, which
+        // reports unresolved/non-foldable at builder time — the alias
+        // names are irrelevant to the VALUE, so strip them before the
+        // foldability check and the one-time eval
+        val cellsE = exprs(1).transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias =>
+            ua.child
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        }
+        require(cellsE.foldable,
+          "graft_nearest_cells: cells must be a literal array")
+        val data = cellsE.eval(null).asInstanceOf[ArrayData]
+        val n = data.numElements()
+        val ids = new Array[Long](n)
+        val cvs = new Array[Array[Double]](n)
+        var i = 0
+        while (i < n) {
+          val row = data.getStruct(i, 2)
+          ids(i) = row.getLong(0)
+          val cv = row.getArray(1)
+          cvs(i) = Array.tabulate(cv.numElements())(cv.getDouble)
+          i += 1
+        }
+        val probesE = exprs(2)
+        require(probesE.foldable, "graft_nearest_cells: probes must be a literal")
+        val probes = probesE.eval(null) match {
+          case p: Int if p >= 1 => p
+          case other => throw new IllegalArgumentException(
+            s"graft_nearest_cells probes must be a positive INT, got $other")
+        }
+        NearestCells(exprs.head, ids, cvs, probes)
+      })
 
   /** Register the kernels as SQL functions (idempotent, per-session).
     * Callers then use `expr("graft_dot(a, b)")` — the registry route

@@ -438,55 +438,53 @@ object VectorOps {
 
   val NearDupProbes = 2
 
-  /** Row-local N-probe corpus assignment: the collected codebook
-    * inlines as a LITERAL cells array, so each vector scores and
-    * ranks all cells inside its own row (array_sort over
-    * struct(round(dist²,6), cid) — same ordering as the oracle's
-    * ROW_NUMBER) and explodes its head `probes` slice. ZERO shuffle —
-    * strictly better than both the crossJoin+window formulation (which
-    * sorted an N×cells-wide exchange, the exact shape [[assignCells]]'s
-    * min-struct aggregate exists to avoid) and the aggregate itself
-    * (one shuffled row per vec_id). Bounded by codebook size: literal
-    * plans stay sane to ~10³ cells; past that a broadcast join + a
-    * bounded top-k aggregate is the shape. */
+  /** Row-local N-probe corpus assignment through the
+    * [[graft.functions.NearestCells]] Generator: each vector scores
+    * every cell and keeps its `probes` nearest INSIDE its own row —
+    * ZERO shuffle, vs the crossJoin+window formulation's N×cells-wide
+    * sort exchange (the exact shape [[assignCells]]'s min-struct
+    * aggregate exists to avoid). The codebook crosses the function
+    * boundary as a foldable literal but is folded into plain arrays at
+    * analysis, so neither the plan nor the generated code grows with
+    * cell count (a literal-array formulation measured 53 s at 200
+    * cells; this one ~1 s). */
   private def assignCellsProbes(all: DataFrame,
                                 codebook: Array[(Long, Seq[Double])],
                                 probes: Int): DataFrame = {
-    // one codegen'd struct per cell — NOT a transform() lambda over a
-    // cells array, which would run the kernel on the interpreted HOF
-    // path this file's header warns about. Fixture cost matches the
-    // crossJoin+window formulation within run noise (~2 s at sf0.1);
-    // the point of the row-local shape is what it REMOVES at scale:
-    // the N×cells-row sort exchange the window needed.
-    val scored = array_sort(array(codebook.map { case (id, cv) =>
-      struct(
-        round(call_function("graft_sqdist", $"v", array(cv.map(lit): _*)), 6)
-          .as("d"),
-        lit(id).as("cid"))
-    }.toIndexedSeq: _*))
-    all
-      .select($"vec_id", $"v", $"nrm",
-        explode(slice(scored, 1, probes)).as("probe"))
-      .select($"vec_id", $"v", $"nrm", $"probe.cid".as("cell_id"))
+    val cellsLit = array(codebook.map { case (id, cv) =>
+      struct(lit(id), array(cv.map(lit): _*)) // (cid, cv) by position
+    }.toIndexedSeq: _*)
+    all.select($"vec_id", $"v", $"nrm",
+      call_function("graft_nearest_cells", $"v", cellsLit, lit(probes))
+        .as("cell_id"))
   }
 
-  def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val all = vecs(spark, dir)
+  def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    ivfNearDupPairsFrom(vecs(spark, dir), codebookRowsFor(spark, dir))
+
+  /** q69 over any (vec_id, v, nrm) frame with explicit codebook rows —
+    * the spec/stress entry (the named query feeds the memoized
+    * per-corpus codebook). */
+  def ivfNearDupPairsFrom(all: DataFrame,
+                          codebook: Array[(Long, Seq[Double])]): DataFrame = {
     val assigned =
-      assignCellsProbes(all, codebookRowsFor(spark, dir), NearDupProbes)
+      assignCellsProbes(all, codebook, NearDupProbes)
         .localCheckpoint(false) // both self-join sides read it
-    val cand = assigned.as("x").join(assigned.as("y"), Seq("cell_id"))
+    assigned.as("x").join(assigned.as("y"), Seq("cell_id"))
       .filter($"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("vec_a"), $"x.v".as("va"), $"x.nrm".as("na"),
               $"y.vec_id".as("vec_b"), $"y.v".as("vb"), $"y.nrm".as("nb"))
-      // a pair can share up to `probes` cells — dedup before the
-      // kernel, not after (payload rows are identical per key, so
-      // dropDuplicates is deterministic here)
-      .dropDuplicates("vec_a", "vec_b")
-    cand
+      // A pair can share up to `probes` cells. Verify the duplicates
+      // and dedup AFTER the threshold filter, not before: the kernel
+      // is codegen'd and pipeline-local (the fat vector payload never
+      // crosses a shuffle), whereas a pre-kernel dropDuplicates
+      // sort-shuffles candidate×vector-payload rows — measured 43 s vs
+      // ~4 s for the 10× pair stage. cos_sim is deterministic per
+      // pair, so distinct() on the thin result is exact.
       .select($"vec_a", $"vec_b",
         round(dot("va", "vb") / ($"na" * $"nb"), 6).as("cos_sim"))
       .filter($"cos_sim" >= CosineDupThreshold)
+      .distinct()
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -109,6 +109,21 @@ object ScaleStress {
         .select(expr("graft_dot(qv, v) / (qn * nrm)").as("c"))
         .agg(max($"c")).collect()
     }
+    // q69 cell-blocked near-dups at 10×: replicas are byte-identical
+    // vectors, so cells grow with N (every-100th-id seeding) and the
+    // true-pair count explodes combinatorially (each clone family is
+    // mutually cos=1.0) — the output-sensitive property; the exact
+    // baseline's guard would refuse this corpus outright.
+    val corpus = vecs.localCheckpoint(true)
+    var cb: Array[(Long, Seq[Double])] = null
+    time("q69 codebook fit (offline write-path, memoized in the named query)") {
+      cb = VectorOps.fittedCentroids(corpus).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      println(s"  cells: ${cb.length}")
+    }
+    time("q69 ivf near-dup pairs (cell-blocked, fitted codebook)") {
+      println(s"  pairs: ${VectorOps.ivfNearDupPairsFrom(corpus, cb).count()}")
+    }
     spark.stop()
   }
 }
