@@ -34,6 +34,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(wfp.nonEmpty && wfp.forall(_.matches("[0-9a-f]{32}")))
   }
 
+  test("media + cell generators resolve in pure SQL via the session extension") {
+    val frames = fresh.sql(
+      "SELECT graft_frames(encode('abcdefghij', 'UTF-8'), 4, 2) " +
+        "AS (frame_idx, frame_md5, frame_chars)").collect()
+    // 10 chars / 4-char frames = 3 frames, stride 2 keeps idx 0 and 2
+    assert(frames.map(_.getLong(0)).toSeq === Seq(0L, 2L))
+    assert(frames.map(_.getLong(2)).toSeq === Seq(4L, 2L))
+    val cells = fresh.sql(
+      "SELECT graft_nearest_cells(array(0.0D), " +
+        "array(struct(10L, array(5.0D)), struct(20L, array(1.0D))), 1) " +
+        "AS cell_id").collect()
+    assert(cells.map(_.getLong(0)).toSeq === Seq(20L),
+      "nearest cell by squared distance")
+  }
+
   test("arity/literal validation surfaces at analysis time") {
     intercept[Exception] {
       fresh.sql("SELECT graft_shingles('a b c')").collect()
