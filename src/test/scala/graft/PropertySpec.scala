@@ -114,4 +114,46 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graft_nearest_cells == brute-force top-k by (round(d2,6), cid) " +
+       "on random vectors and codebooks") {
+    graft.functions.VectorExpressions.register(spark)
+    val caseGen: Gen[(List[List[Double]], List[(Long, List[Double])], Int)] =
+      for {
+        dim <- Gen.choose(1, 8)
+        nVec <- Gen.choose(1, 12)
+        nCell <- Gen.choose(1, 9)
+        // coarse grid values make exact round-boundary TIES likely,
+        // exercising the cid tie-break, not just the distance order
+        coord = Gen.choose(-4, 4).map(_ / 2.0)
+        vecs <- Gen.listOfN(nVec, Gen.listOfN(dim, coord))
+        cells <- Gen.listOfN(nCell, Gen.listOfN(dim, coord))
+        probes <- Gen.choose(1, 4)
+      } yield (vecs, cells.zipWithIndex.map { case (cv, i) =>
+        ((i.toLong * 7) % 11, cv) }, probes) // non-monotone cell ids
+    forAllSampled(caseGen, 25) { case (vecs, cells, probes) =>
+      def roundHalfUp(d: Double): Double =
+        java.math.BigDecimal.valueOf(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def expectedFor(v: List[Double]): Seq[Long] =
+        cells.map { case (cid, cv) =>
+          val d = v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (roundHalfUp(d), cid)
+        }.sorted.take(probes).map(_._2)
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+      val cellsLit = array(cells.map { case (cid, cv) =>
+        struct(lit(cid), array(cv.map(lit): _*)) }: _*)
+      val got = df.select($"vec_id",
+          call_function("graft_nearest_cells", $"v", cellsLit, lit(probes))
+            .as("cell_id"))
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSeq).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) === expectedFor(v),
+          s"vec $v cells $cells probes $probes")
+      }
+    }
+  }
 }
