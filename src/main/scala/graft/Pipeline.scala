@@ -173,6 +173,33 @@ object Pipeline {
       kpiRows = spark.read.parquet(wh.martKpis).count())
   }
 
+  /** CLI — the reference's `python -m app.etl.nasa` / `python
+    * silver_clean.py` chained as one runnable entry point:
+    * `runMain graft.Pipeline [sfDir] [warehouseRoot]`. Builds (or
+    * incrementally merges into) the warehouse at `warehouseRoot` from
+    * the fixture feed and prints the published store sizes. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val root = args.lift(1).getOrElse(
+      StreamingClean.trackedTempDir("graft-wh-cli-") + "/wh")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, sfDir, root)
+    println(s"[pipeline] warehouse: $root")
+    println(s"[pipeline] bronze=${report.bronzeRows} " +
+      s"silver=${report.silverRows} features=${report.featureRows} " +
+      s"kpis=${report.kpiRows}")
+    spark.stop()
+  }
+
   /** q38 — the end-to-end gate: run the pipeline into a scratch
     * warehouse, then read back the PUBLISHED Silver store. Its oracle
     * is the batch silver SQL, so a hash match proves fetch → Bronze
