@@ -88,6 +88,7 @@ object SparkEntry {
     "q67_media_resize"      -> (Multimodal.mediaResize(_, _)),
     "q68_streaming_dedup"   -> (graft.streaming.StreamingCorpus.dedupViaStreaming(_, _)),
     "q69_ivf_near_dups"     -> (VectorOps.ivfNearDupPairs(_, _)),
+    "q70_dedup_keep_corpus" -> (Dedup.dedupKeepCorpus(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -164,6 +165,7 @@ object SparkEntry {
     // (min/count are order-independent), mirroring q34's discipline.
     "q68_streaming_dedup"   -> TextOps.exactDedupSql,
     "q69_ivf_near_dups"     -> VectorOps.ivfNearDupPairsSql,
+    "q70_dedup_keep_corpus" -> Dedup.dedupKeepCorpusSql,
     // No oracle by design: q14 (HLL sketches differ across engines —
     // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
     // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).

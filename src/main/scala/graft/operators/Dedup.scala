@@ -538,6 +538,50 @@ object Dedup {
        |FROM cc JOIN sz ON cc.cluster_id = sz.cluster_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q70 — the kept corpus: the materialization step every dedup
+  // pipeline ends with. A document survives iff it is NOT a non-
+  // canonical member of a near-dup cluster — i.e. it is its cluster's
+  // keeper (min doc_id) or belongs to no cluster at all. Composes
+  // q62's components with a broadcastable anti-join: the drop list is
+  // (cluster members − keepers), tiny relative to the corpus (bounded
+  // by the near-dup rate), so at 100 TB the kept-corpus scan is one
+  // map-side anti-join over the documents table — no corpus shuffle.
+  // ---------------------------------------------------------------
+
+  def dedupKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepCorpusFrom(Tables.documents(spark, dir),
+      dedupClusters(spark, dir))
+
+  /** Kept rows of `docs` given a (doc_id, cluster_id, *) cluster
+    * frame; emits (doc_id, n_chars) — thin on purpose (the full-text
+    * projection is a join-back the caller owns). */
+  def dedupKeepCorpusFrom(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val dropList = clusters
+      .filter($"doc_id" =!= $"cluster_id") // keepers label themselves
+      .select($"doc_id")
+    docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val dedupKeepCorpusSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT d.doc_id, length(d.text) AS n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM cc
+       |                  WHERE cc.doc_id = d.doc_id
+       |                    AND cc.doc_id != cc.cluster_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val lshNearDupPairsSql: String =
     s"""WITH ${shinglesCte()},
        |$minhashCte,

@@ -129,6 +129,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q70 kept corpus: exactly one survivor per cluster (the keeper), " +
+       "all unclustered docs survive") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+    val kept = Dedup.dedupKeepCorpus(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val clustered = clusters.map(_.getLong(0)).toSet
+    val keepers = clusters.map(_.getLong(1)).toSet // cluster_id = min doc_id
+    // survivors = keepers ∪ (docs \ clustered)
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (allIds -- clustered) ++ keepers)
+    // every cluster contributes exactly its keeper
+    assert((kept intersect clustered) === keepers)
+    assert(kept.size === allIds.size - clustered.size + keepers.size)
+  }
+
   test("q62 clusters: chain deeper than the propagation budget escalates and converges") {
     // path graph 0-1-2-...-n with n = MaxCcRounds + 15: its diameter
     // exceeds what the seeded propagation can reach within the round
