@@ -45,8 +45,10 @@ object Pipeline {
     val martKpis: String = s"$root/gold/mart_kpis"
   }
 
-  /** Published-store row counts after a [[run]] (parquet footer
-    * metadata only — no data scan). */
+  /** Published-store row counts after a [[run]] (a zero-column
+    * count(*) scan — cheap: column pruning drops every data page,
+    * though vanilla Spark still launches the job; flip
+    * `spark.sql.parquet.aggregatePushdown` for footer-only counts). */
   final case class Report(bronzeRows: Long, silverRows: Long,
                           featureRows: Long, kpiRows: Long)
 

@@ -89,6 +89,7 @@ object SparkEntry {
     "q68_streaming_dedup"   -> (graft.streaming.StreamingCorpus.dedupViaStreaming(_, _)),
     "q69_ivf_near_dups"     -> (VectorOps.ivfNearDupPairs(_, _)),
     "q70_dedup_keep_corpus" -> (Dedup.dedupKeepCorpus(_, _)),
+    "q71_streaming_near_dups" -> (graft.streaming.StreamingCorpus.nearDupViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -105,6 +106,11 @@ object SparkEntry {
     "q11_window_topk"       -> Relational.topOrdersPerCustomerSql,
     "q12_running_sum"       -> Relational.runningUserSpendSql,
     "q13_rollup"            -> Relational.pricingRollupSql,
+    // q14's oracle hashes the exact count + the within_5pct VERDICT
+    // (oracle side emits literal TRUE): a hash match proves Spark's
+    // HLL estimate landed inside the 5% bound without hashing the
+    // engine-specific estimate itself.
+    "q14_approx_distinct"   -> Relational.approxDistinctSql,
     "q15_set_ops"           -> Relational.customerSetOpsSql,
     "q16_asof_locf"         -> Relational.asofLastErrorSql,
     "q17_sessionize"        -> Relational.sessionizeSql,
@@ -166,8 +172,12 @@ object SparkEntry {
     "q68_streaming_dedup"   -> TextOps.exactDedupSql,
     "q69_ivf_near_dups"     -> VectorOps.ivfNearDupPairsSql,
     "q70_dedup_keep_corpus" -> Dedup.dedupKeepCorpusSql,
-    // No oracle by design: q14 (HLL sketches differ across engines —
-    // error bound pinned in SessionizeSpec), q30 (MLlib WLS fit isn't
-    // bit-reproducible in SQL — shape/bounds pinned in ForecastSpec).
+    // q71's oracle IS the batch q70 SQL: the streaming LSH state must
+    // resolve to exactly the batch q47→q62→q70 keeper set (q68's
+    // parity discipline lifted from exact dedup to near-dup).
+    "q71_streaming_near_dups" -> Dedup.dedupKeepCorpusSql,
+    // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
+    // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
+    // construction isn't SQL-mirrored).
   )
 }

@@ -151,10 +151,18 @@ case class L2Norm(child: Expression)
   * JVM loop with a bounded insertion top-k — no shuffle, no HOF
   * lambdas, no giant generated method.
   */
-case class NearestCells(child: Expression, ids: Array[Long],
-                        cells: Array[Array[Double]], probes: Int)
+case class NearestCells(child: Expression, ids: IndexedSeq[Long],
+                        cells: IndexedSeq[IndexedSeq[Double]], probes: Int)
     extends UnaryExpression with Generator with CodegenFallback {
   require(ids.length == cells.length && probes >= 1)
+
+  // constructor fields are IndexedSeq (NOT Array) so case-class
+  // equality is by VALUE: Array fields fall back to reference
+  // equality, and two semantically identical calls would then never
+  // canonicalize equal — defeating subexpression elimination (ADVICE
+  // r6). The hot loop still runs over plain arrays, built once.
+  private lazy val idArr: Array[Long] = ids.toArray
+  private lazy val cellArr: Array[Array[Double]] = cells.map(_.toArray).toArray
 
   override def elementSchema: StructType =
     StructType(StructField("cell_id", LongType) :: Nil)
@@ -176,12 +184,12 @@ case class NearestCells(child: Expression, ids: Array[Long],
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) { v(i) = arr.getDouble(i); i += 1 }
-    val k = math.min(probes, cells.length)
+    val k = math.min(probes, cellArr.length)
     val topD = Array.fill(k)(Double.PositiveInfinity)
     val topC = Array.fill(k)(Long.MaxValue)
     var c = 0
-    while (c < cells.length) {
-      val cv = cells(c)
+    while (c < cellArr.length) {
+      val cv = cellArr(c)
       val n = math.min(dim, cv.length) // the graft_sqdist loop bound
       var s = 0.0
       var j = 0
@@ -189,7 +197,7 @@ case class NearestCells(child: Expression, ids: Array[Long],
       // Spark round(col, 6) semantics: HALF_UP decimal rounding
       val dr = java.math.BigDecimal.valueOf(s)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      val cid = ids(c)
+      val cid = idArr(c)
       var pos = k
       while (pos > 0 && (dr < topD(pos - 1) ||
              (dr == topD(pos - 1) && cid < topC(pos - 1)))) pos -= 1
@@ -264,7 +272,8 @@ object VectorExpressions {
           case other => throw new IllegalArgumentException(
             s"graft_nearest_cells probes must be a positive INT, got $other")
         }
-        NearestCells(exprs.head, ids, cvs, probes)
+        NearestCells(exprs.head, ids.toIndexedSeq,
+          cvs.map(_.toIndexedSeq).toIndexedSeq, probes)
       })
 
   /** Register the kernels as SQL functions (idempotent, per-session).

@@ -291,7 +291,7 @@ object Dedup {
     * one 16-column row BEFORE the shuffle — measured 30×+ faster than
     * the collect_list formulation, and the shape that survives 100 TB
     * (shuffle volume = docs, not docs × seeds × shingles). */
-  private[operators] def lshBands(shf: DataFrame): DataFrame = {
+  private[graft] def lshBands(shf: DataFrame): DataFrame = {
     val wide = wideSignatures(shf)
     val numBands = NumHashes / BandSize
     val bandStructs = (0 until numBands).map { b =>
@@ -322,6 +322,18 @@ object Dedup {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+    verifyCandidates(cand, shf)
+  }
+
+  /** Candidates-only Jaccard verification: true hashed-shingle Jaccard
+    * for each (doc_a, doc_b) candidate against the full (doc_id, fp)
+    * relation, kept at ≥ [[JaccardThreshold]]. Shared by the batch q47
+    * tail and the streaming q71 drain — the code being ONE function is
+    * what makes streaming-vs-batch verification parity structural
+    * rather than coincidental. Cost is linear in candidate fp
+    * occurrences (never all-pairs — that's the callers' contract). */
+  private[graft] def verifyCandidates(cand: DataFrame,
+                                      shf: DataFrame): DataFrame = {
     val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shf.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))

@@ -306,15 +306,34 @@ object Relational {
   /** q14 — approximate distinct counting (HyperLogLog++): the
     * mergeable-sketch aggregate that replaces exact COUNT(DISTINCT) at
     * 100 TB (constant memory per group, partial sketches merge across
-    * partitions — no giant distinct shuffle). Rows-only check: HLL
-    * sketch values differ across engines by construction; the error
-    * bound vs the exact count is pinned in SessionizeSpec. */
+    * partitions — no giant distinct shuffle).
+    *
+    * Oracle discipline (VERDICT r6 item 5): the raw estimate is
+    * engine-specific by construction (HLL register layouts differ), so
+    * the HASHED output carries the exact count plus a boolean
+    * `within_5pct` VERDICT — Spark computes |approx−exact| ≤ 5%·exact,
+    * the oracle emits literal TRUE. A hash match therefore proves the
+    * sketch landed within the bound (rsd=0.02 ⇒ 5% is 2.5σ); the
+    * estimate itself stays observable via [[approxDistinctRaw]] and
+    * the tighter 2%-rsd spec in SessionizeSpec. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(spark, dir)
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users")
+          <= lit(0.05) * $"exact_users").as("within_5pct"))
+
+  /** q14's dev/audit form WITH the engine-specific estimate column. */
+  def approxDistinctRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy($"event_type")
       .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
            countDistinct($"user_id").as("exact_users"))
       .orderBy($"event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q17 — gap-based sessionization: a new session starts after a
     * 30-minute silence per user (lag → flag → running sum → per-session

@@ -462,13 +462,34 @@ object VectorOps {
   def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     ivfNearDupPairsFrom(vecs(spark, dir), codebookRowsFor(spark, dir))
 
+  /** The q69 path with the probe knob exposed at the corpus-dir level
+    * (the deployment entry — mirrors `ivfTopKProbes`). */
+  def ivfNearDupPairs(spark: SparkSession, dir: String,
+                      probes: Int): DataFrame =
+    ivfNearDupPairsProbes(vecs(spark, dir), codebookRowsFor(spark, dir),
+      probes)
+
   /** q69 over any (vec_id, v, nrm) frame with explicit codebook rows —
     * the spec/stress entry (the named query feeds the memoized
     * per-corpus codebook). */
   def ivfNearDupPairsFrom(all: DataFrame,
-                          codebook: Array[(Long, Seq[Double])]): DataFrame = {
+                          codebook: Array[(Long, Seq[Double])]): DataFrame =
+    ivfNearDupPairsProbes(all, codebook, NearDupProbes)
+
+  /** q69 with an explicit probe count — the recall-vs-cost knob,
+    * mirroring [[ivfTopKProbes]] (VERDICT r6 hygiene #2: a
+    * recall-sensitive user tunes this instead of editing source).
+    * Candidates grow ~linearly in probes (each vector lands in
+    * `probes` cells), so cost scales smoothly; the recall curve vs the
+    * exact q51 baseline is measured in VectorSweepSpec (table in
+    * SCALE.md). The NAMED q69 stays at [[NearDupProbes]] = 2 so its
+    * oracle hash is unchanged. */
+  def ivfNearDupPairsProbes(all: DataFrame,
+                            codebook: Array[(Long, Seq[Double])],
+                            probes: Int): DataFrame = {
+    require(probes >= 1, "ivfNearDupPairs needs at least one probe")
     val assigned =
-      assignCellsProbes(all, codebook, NearDupProbes)
+      assignCellsProbes(all, codebook, probes)
         .localCheckpoint(false) // both self-join sides read it
     assigned.as("x").join(assigned.as("y"), Seq("cell_id"))
       .filter($"x.vec_id" < $"y.vec_id")

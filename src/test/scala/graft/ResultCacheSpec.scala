@@ -63,4 +63,25 @@ class ResultCacheSpec extends AnyFunSuite {
     cache.invalidate()
     assert(cache.size === 0)
   }
+
+  test("an oversized result is served but never stored (working set survives)") {
+    var now = 0L
+    val cache = new ResultCache(ttlMs = 1000000, maxEntries = 2,
+      maxRowsPerEntry = 10, clock = () => now)
+    import spark.implicits._
+    def small(n: Int) = Seq(n).toDF("v")
+    cache(spark, "a")(small(1)); cache(spark, "b")(small(2))
+    // the careless big get: correct data back, but NOT cached — and
+    // the small working set is untouched (pre-cap behavior: caching
+    // it would have evicted one of a/b)
+    val big = cache(spark, "big")((1 to 11).toDF("v"))
+    assert(big.count() === 11)
+    assert(cache.size === 2 && cache.oversized === 1)
+    val (h0, _) = cache.stats
+    cache(spark, "a")(small(1)); cache(spark, "b")(small(2))
+    assert(cache.stats._1 === h0 + 2, "a and b must still be cached")
+    // a re-get of the big key recomputes every time (never stored)
+    assert(cache(spark, "big")((1 to 11).toDF("v")).count() === 11)
+    assert(cache.oversized === 2)
+  }
 }

@@ -46,11 +46,16 @@ class SessionizeSpec extends AnyFunSuite {
   }
 
   test("approx distinct within the configured 2% rsd of the exact count") {
-    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+    Relational.approxDistinctRaw(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.06,
         s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+    // the q14 gate shape: every verdict row must read true, or the
+    // oracle hash (which emits literal TRUE) would mismatch
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: within_5pct=false")
     }
   }
 

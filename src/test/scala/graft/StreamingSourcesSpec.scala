@@ -102,11 +102,18 @@ class StreamingCleanSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(dir.toString)
       ()
     }
-    def partFiles(ds: String): Map[String, (Long, Long)] = {
+    // content hashes, not (size, mtime): mtime granularity is 1 s on
+    // some filesystems, so a same-size rewrite within one tick could
+    // false-pass (and metadata churn false-fail) — bytes can't lie
+    def partFiles(ds: String): Map[String, String] = {
       val d = new java.io.File(s"$out/ds=$ds")
       Option(d.listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getName -> md.map("%02x".format(_)).mkString
+        }.toMap
     }
     val in1 = TestTmp.dir("graft-mbpart-in1-")
     write(Seq((1L, day1), (2L, day2)), in1)

@@ -146,6 +146,87 @@ class StreamingCorpusSpec extends AnyFunSuite {
   }
 }
 
+class StreamingNearDupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Stage each row-group as one parquet file so maxFilesPerTrigger=1
+    * makes each group one micro-batch. */
+  private def stageBatches(batches: Seq[Seq[(Long, String)]]): String = {
+    val inDir = TestTmp.dir("graft-nd-in-")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = TestTmp.dir("graft-nd-stage-").toString + "/p"
+      docsDf(rows).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(f"b$i%02d.parquet"))
+      ()
+    }
+    inDir.toString
+  }
+
+  private def batchKeepCorpus(rows: Seq[(Long, String)]) = {
+    val docs = docsDf(rows)
+    Dedup.dedupKeepCorpusFrom(docs, Dedup.dedupClustersFrom(
+      Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(docs))
+        .select($"doc_a", $"doc_b")))
+  }
+
+  test("streaming near-dup dedup == batch q47→q62→q70 on the fixture corpus") {
+    val streamed = graft.streaming.StreamingCorpus
+      .nearDupViaStreaming(spark, sf).collect()
+    val batch = Dedup.dedupKeepCorpus(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("a late-arriving near-dup pairs with state from an earlier batch") {
+    val original = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    // batch 2's noise doc uses a DISJOINT vocabulary: a one-word edit
+    // of `unrelated` would itself be a near-dup of doc 9 (40/41 shared
+    // shingles) and would legitimately cluster {2, 9}
+    val noise = (200 to 240).map(i => s"v$i").mkString(" ")
+    val rows = Seq(
+      Seq(5L -> original, 9L -> unrelated), // batch 1
+      Seq(2L -> noise), // batch 2: noise
+      Seq(30L -> nearDup)) // batch 3: near-dup of batch 1's doc 5
+    val kept = graft.streaming.StreamingCorpus
+      .nearDupStream(spark, stageBatches(rows), maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSeq
+    // 30 is a near-dup of 5 discovered ACROSS two batch boundaries:
+    // the cluster {5, 30} keeps its min; everything else survives
+    assert(kept === Seq(2L, 5L, 9L))
+    val batch = batchKeepCorpus(rows.flatten).collect().map(_.getLong(0)).toSeq
+    assert(kept === batch)
+  }
+
+  test("mega-bucket guard holds across batches: pairs recorded while " +
+       "small die when the bucket's final occupancy crosses the cap") {
+    // 40 identical docs in batch 1 (buckets at 40 ≤ 64: ~780 pairs per
+    // band recorded), 35 more in batch 2 (final occupancy 75 > 64):
+    // resolution must drop EVERY recorded pair — the batch guard's
+    // skip-the-whole-bucket semantics — so all 75 docs survive the
+    // NEAR-dup path (byte-identical copies are q44/q68's job)
+    val clone = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (100L until 140L).map(_ -> clone),
+      (140L until 175L).map(_ -> clone))
+    assert(rows.flatten.size > Dedup.MaxBucketDocs)
+    val kept = graft.streaming.StreamingCorpus
+      .nearDupStream(spark, stageBatches(rows), maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === (100L until 175L).toSeq)
+    val batch = batchKeepCorpus(rows.flatten).collect().map(_.getLong(0)).toSeq
+    assert(kept === batch)
+  }
+}
+
 class PartitionedUpsertSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._

@@ -315,6 +315,30 @@ class TextDedupSpec extends AnyFunSuite {
       s"cell-blocked recall collapsed: $recall")
   }
 
+  test("near-dup probe sweep 1..4: recall monotone, precision stays exact " +
+       "(curve in SCALE.md)") {
+    // the q69 recall-vs-cost knob (mirrors ivfTopKProbes): each extra
+    // probe lands every vector in one more cell, so candidates grow
+    // ~linearly while recall climbs toward the exact baseline
+    val exact = VectorOps.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val curve = (1 to 4).map { p =>
+      val pairs = VectorOps.ivfNearDupPairs(spark, sf, p).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.subsetOf(exact),
+        s"probes=$p invented pairs: ${pairs -- exact}")
+      p -> (exact.intersect(pairs).size.toDouble / exact.size)
+    }
+    info(s"near-dup recall@probes: ${
+      curve.map { case (p, r) => f"$p:$r%.2f" }.mkString(" ")}")
+    curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(hi >= lo - 1e-9, s"recall not monotone: $curve")
+    }
+    assert(curve(1)._2 >= 0.6, s"default 2-probe recall floor: $curve")
+    assert(curve.last._2 >= curve(1)._2,
+      s"extra probes past the default must not lose pairs: $curve")
+  }
+
   test("winnowing: near-dup documents share fingerprints; fingerprint sets are compact") {
     val fps = Dedup.winnowFingerprints(spark, sf).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
