@@ -1,11 +1,14 @@
 package graft
 
+import java.net.URI
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.operators.{Weather, WeatherApi}
 import graft.sources.{NasaIngest, UpsertWriter}
@@ -112,12 +115,7 @@ object Pipeline {
       }
     }
     val payloads = spark.createDataFrame(fetched).toDF("site", "payload")
-    val bronzeRows = NasaIngest.ingest(payloads)
-      .select($"site", $"ts".as("ts_utc"),
-        xxhash64($"site", $"ts").as("ingest_seq"),
-        $"ghi_wm2", $"t2m_c", $"ws10_mps",
-        lit(fetchedAt).as("ingested_at"), $"raw_json")
-    ingestBronze(spark, bronzeRows, wh)
+    ingestBronze(spark, nasaBronzeRows(payloads, fetchedAt), wh)
     fetched.size
   }
 
@@ -135,7 +133,26 @@ object Pipeline {
     val bronzeStore = sinceDs.foldLeft(spark.read.parquet(wh.bronze)) {
       (df, d) => df.filter($"ds" >= lit(java.sql.Date.valueOf(d)))
     }
-    val cleaned = Weather.cleanToHourlyAudit(bronzeStore.select(
+    refineSilverSlice(spark, wh, bronzeStore)
+  }
+
+  /** Touched-partition re-clean (the streaming pipeline's
+    * per-micro-batch shape): read ONLY the given `ds` partitions from
+    * Bronze (partition-pruned scan) and merge ONLY those Silver
+    * partitions. Cumulative-correct per partition — each re-clean sees
+    * every Bronze row the partition has accumulated, and (site, hour)
+    * clean groups never span a `ds` boundary — so after any sequence
+    * of bounded re-cleans the touched partitions equal a full
+    * re-clean's. */
+  def refineSilverPartitions(spark: SparkSession, wh: Warehouse,
+                             touched: Seq[java.sql.Date]): Unit =
+    if (touched.nonEmpty)
+      refineSilverSlice(spark, wh,
+        spark.read.parquet(wh.bronze).filter($"ds".isin(touched: _*)))
+
+  private def refineSilverSlice(spark: SparkSession, wh: Warehouse,
+                                bronzeSlice: DataFrame): Unit = {
+    val cleaned = Weather.cleanToHourlyAudit(bronzeSlice.select(
       $"site", $"ts_utc", $"ingest_seq",
       $"ghi_wm2", $"t2m_c", $"ws10_mps", $"ingested_at"))
     UpsertWriter.upsertPartitioned(spark, wh.silver,
@@ -160,6 +177,39 @@ object Pipeline {
       .write.mode("overwrite").partitionBy("ds").parquet(wh.martKpis)
   }
 
+  /** Incremental gold-mart maintenance (VERDICT r6 item 7): rebuild
+    * ONLY the given `ds` partitions of both marts, via a
+    * partition-pruned Silver read and a dynamic-partition-overwrite
+    * write. Exact, not approximate: both marts are row-local over
+    * Silver — features and hourly KPIs are per-(site, ts_utc) maps
+    * with no window crossing a date — so a mart partition depends only
+    * on its own Silver partition. Untouched `ds` partitions are
+    * neither read nor rewritten (PipelineSpec pins file-level
+    * byte-identity), which is what keeps a trickle of late data from
+    * re-publishing a 100 TB mart. */
+  def refreshMarts(spark: SparkSession, wh: Warehouse,
+                   touched: Seq[java.sql.Date]): Unit = {
+    if (touched.isEmpty) return
+    val silverSlice = spark.read.parquet(wh.silver)
+      .filter($"ds".isin(touched: _*))
+    def publish(mart: DataFrame, path: String): Unit = {
+      val fs = FileSystem.get(new URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      val df = mart.withColumn("ds", to_date($"ts_utc"))
+      if (!fs.exists(new Path(path)))
+        df.write.partitionBy("ds").parquet(path)
+      else
+        df.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ds").parquet(path)
+      // dynamic overwrite replaced files under the touched partitions;
+      // drop the session's stale file listing for the store
+      spark.catalog.refreshByPath(path)
+    }
+    publish(Weather.goldFeaturesFromAudit(silverSlice), wh.martFeatures)
+    publish(Weather.martKpisFromAudit(silverSlice), wh.martKpis)
+  }
+
   /** The one callable: fixture feed → Bronze store → Silver store →
     * gold marts. Re-running against the same warehouse is a no-op on
     * Bronze/Silver and a byte-identical rebuild of the marts. */
@@ -173,6 +223,159 @@ object Pipeline {
       silverRows = spark.read.parquet(wh.silver).count(),
       featureRows = spark.read.parquet(wh.martFeatures).count(),
       kpiRows = spark.read.parquet(wh.martKpis).count())
+  }
+
+  // ---------------------------------------------------------------
+  // The composed pipeline as a STREAMING callable (VERDICT r6 item 2;
+  // SURVEY §2.10): the same Bronze → Silver → marts warehouse, fed by
+  // bounded micro-batches under Trigger.AvailableNow — the streaming
+  // twin of the reference's chunked re-runnable backfill loop
+  // (nasa.py:160-177). Every stage below is the batch stage reused:
+  // the micro-batch is merely a *bounded incremental feed* into the
+  // same keyed merges, so a drained stream leaves the warehouse in
+  // exactly the state the batch pipeline publishes (q39's gate).
+  // ---------------------------------------------------------------
+
+  /** One micro-batch of the composed streaming pipeline: upsert the
+    * Bronze-shaped batch into the Bronze store, then cumulative
+    * re-clean and mart refresh bounded to the batch's `ds` partitions.
+    * The re-clean reads the PUBLISHED Bronze partitions (not just the
+    * batch), so rows of one (site, hour) split across micro-batches
+    * converge identically to the batch clean — and the driver only
+    * ever sees the touched date list, never data. */
+  private def microBatchStep(bronzeBatch: DataFrame, wh: Warehouse): Unit = {
+    val sp = bronzeBatch.sparkSession
+    // consumed by the Bronze upsert AND the touched-ds listing: persist
+    // once so the file-stream source isn't re-read per consumer
+    val batch = bronzeBatch.cache()
+    try {
+      if (!batch.isEmpty) {
+        ingestBronze(sp, batch, wh)
+        val touched = batch.select(to_date(col("ts_utc")).as("ds"))
+          .distinct().collect().map(_.getDate(0)).toSeq
+        refineSilverPartitions(sp, wh, touched)
+        refreshMarts(sp, wh, touched)
+      }
+    } finally { batch.unpersist(); () }
+  }
+
+  /** [[run]]'s streaming mirror, events-source flavor: file-stream the
+    * events feed, map to Bronze, and drain it micro-batch by
+    * micro-batch through [[microBatchStep]]. `Trigger.AvailableNow`
+    * bounds the drain and stops; the same query with a continuous
+    * trigger is the live path — nothing else changes. */
+  def runStreaming(spark: SparkSession, eventsPath: String, wh: Warehouse,
+                   maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-pipe-ckpt-").toString
+    val raw = StreamingClean.readEventsStream(spark, eventsPath,
+      maxFilesPerTrigger)
+    val query = Weather.bronzeFromEvents(raw).writeStream
+      .queryName("graft_streaming_pipeline")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        microBatchStep(batch, wh)
+      }
+      .start()
+    try query.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+  }
+
+  /** The NASA payload rows projected to the Bronze store schema —
+    * shared by the batch ([[runNasaIngest]]) and streaming
+    * ([[runNasaIngestStreaming]]) ingest flavors. `ingest_seq`
+    * derives from (site, ts) so a re-fetch of the same window
+    * collapses onto the same keys. */
+  private def nasaBronzeRows(payloads: DataFrame,
+                             fetchedAt: java.sql.Timestamp): DataFrame =
+    NasaIngest.ingest(payloads)
+      .select($"site", $"ts".as("ts_utc"),
+        xxhash64($"site", $"ts").as("ingest_seq"),
+        $"ghi_wm2", $"t2m_c", $"ws10_mps",
+        lit(fetchedAt).as("ingested_at"), $"raw_json")
+
+  /** Minimal JSON string literal (quote, backslash, control chars) for
+    * the staged payload lines below — keeps each staged record on one
+    * line, as the default (non-multiline) JSON source requires. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+
+  /** [[runNasaIngest]]'s streaming mirror: the same driver-side
+    * windowed fetch (≤7-day chunks, abort-on-failure), but each
+    * (site, window) payload lands as ONE staged JSON file consumed as
+    * a file stream with `maxFilesPerTrigger=1` — every fetch window
+    * becomes its own micro-batch, upserted into Bronze and propagated
+    * through the touched-partition clean + mart refresh as it
+    * arrives. Returns the number of payloads staged. */
+  def runNasaIngestStreaming(spark: SparkSession, sites: Seq[Site],
+                             start: LocalDate, end: LocalDate, wh: Warehouse,
+                             fetchedAt: java.sql.Timestamp,
+                             transport: NasaIngest.Transport =
+                               NasaIngest.httpTransport): Int = {
+    val fmt = DateTimeFormatter.BASIC_ISO_DATE
+    val stageDir = StreamingClean.trackedTempDir("graft-nasa-stage-")
+    var staged = 0
+    for {
+      site <- sites
+      (ws, we) <- WeatherApi.ingestWindows(start, end)
+    } {
+      val url = NasaIngest.powerUrl(site.lat, site.lon,
+        ws.format(fmt), we.format(fmt))
+      NasaIngest.fetch(url, transport = transport) match {
+        case Right(body) =>
+          val line = s"""{"site": ${jsonStr(site.name)}, """ +
+            s""""payload": ${jsonStr(body)}}"""
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stageDir, f"window-$staged%05d.json"),
+            line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          staged += 1
+        case Left(err) =>
+          throw new java.io.IOException(s"run_ingest: $err")
+      }
+    }
+    val payloadSchema = StructType(Seq(
+      StructField("site", StringType), StructField("payload", StringType)))
+    val checkpoint =
+      java.nio.file.Files.createTempDirectory("graft-nasa-ckpt-").toString
+    val query = spark.readStream.schema(payloadSchema)
+      .option("maxFilesPerTrigger", 1).json(stageDir)
+      .writeStream
+      .queryName("graft_streaming_nasa_ingest")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (payloads: DataFrame, _: Long) =>
+        microBatchStep(nasaBronzeRows(payloads, fetchedAt), wh)
+      }
+      .start()
+    try query.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    staged
+  }
+
+  /** q39 — the composed STREAMING pipeline gate: stage the fixture
+    * feed as three time-ranged files (the chunked backfill windows,
+    * nasa.py:160-177), drain them as three micro-batches through
+    * Bronze → Silver → marts, then read back the PUBLISHED Silver
+    * store. Its oracle is the batch silver SQL — a hash match proves
+    * the micro-batched warehouse (three Bronze upserts, three bounded
+    * re-cleans, three mart refreshes) publishes exactly what the
+    * one-shot batch kernel computes: q38's gate at streaming parity. */
+  def pipelineSilverStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = StreamingClean.trackedTempDir("graft-whs-in-") + "/events"
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(3, $"ts")
+      .write.parquet(staged)
+    val wh = Warehouse(StreamingClean.trackedTempDir("graft-whs-") + "/wh")
+    runStreaming(spark, staged, wh, maxFilesPerTrigger = Some(1))
+    spark.read.parquet(wh.silver)
+      .select($"site", $"ts_utc", $"ghi_wm2", $"temp_c", $"wind_mps")
+      .orderBy($"site", $"ts_utc")
   }
 
   /** CLI — the reference's `python -m app.etl.nasa` / `python

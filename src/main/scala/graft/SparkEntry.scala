@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_mart_kpis"         -> (Weather.martKpisHourly(_, _)),
     "q37_silver_audit"      -> (Weather.silverAudit(_, _)),
     "q38_pipeline_silver"   -> (Pipeline.pipelineSilver(_, _)),
+    "q39_streaming_pipeline" -> (Pipeline.pipelineSilverStreaming(_, _)),
     "q35_nasa_roundtrip"    -> (graft.sources.NasaIngest.roundTrip(_, _)),
     "q40_token_stats"       -> (TextOps.tokenStats(_, _)),
     "q41_quality_score"     -> (TextOps.qualityScore(_, _)),
@@ -137,6 +138,10 @@ object SparkEntry {
     // (events → Bronze store → clean → Silver store) must publish
     // exactly what the in-memory kernel computes (q34's discipline).
     "q38_pipeline_silver"   -> Weather.silverCleanSql,
+    // q39: the same oracle at STREAMING parity — three micro-batches
+    // of Bronze upsert + touched-partition re-clean + mart refresh
+    // must converge to the identical published Silver store.
+    "q39_streaming_pipeline" -> Weather.silverCleanSql,
     // q35 intentionally has no oracle (payload build isn't SQL-mirrored).
     "q40_token_stats"       -> TextOps.tokenStatsSql,
     "q41_quality_score"     -> TextOps.qualityScoreSql,
