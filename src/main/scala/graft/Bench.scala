@@ -235,8 +235,15 @@ object Bench {
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the artifact names its own posture (VERDICT r6 "What's missing"
+    // #3): a bench.json and a bench_cluster.json are self-describing
+    // without cross-referencing the env the run happened to use
+    val postureJson =
+      s"""{"aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
+        s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
+        s""""cores":$cpus}"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"queries":$qs,"sf":"$sfDir","pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
     // The driver parses this from stdout, where sbt's log prefixes can
     // bury it (BENCH_r01 recorded "parsed": null). Belt and braces:
     // print the bare line AND write it to bench.json (cwd = repo root

@@ -91,6 +91,8 @@ object SparkEntry {
     "q69_ivf_near_dups"     -> (VectorOps.ivfNearDupPairs(_, _)),
     "q70_dedup_keep_corpus" -> (Dedup.dedupKeepCorpus(_, _)),
     "q71_streaming_near_dups" -> (graft.streaming.StreamingCorpus.nearDupViaStreaming(_, _)),
+    "q72_chunk_docs"        -> (Corpus.chunkDocs(_, _)),
+    "q73_repetition_stats"  -> (Corpus.repetitionStats(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -181,6 +183,8 @@ object SparkEntry {
     // resolve to exactly the batch q47→q62→q70 keeper set (q68's
     // parity discipline lifted from exact dedup to near-dup).
     "q71_streaming_near_dups" -> Dedup.dedupKeepCorpusSql,
+    "q72_chunk_docs"        -> Corpus.chunkDocsSql,
+    "q73_repetition_stats"  -> Corpus.repetitionStatsSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -440,4 +440,154 @@ object Corpus {
        |    ORDER BY tfidf DESC, token ASC) AS rank
        |  FROM scored)
        |WHERE rank <= $TfIdfTopTerms ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q72 — document chunking: split each document into fixed-size
+  // token windows with overlap — the step that turns a cleaned corpus
+  // into training sequences (every LLM data pipeline ends here). The
+  // sliding-window convention: starts advance by stride until the
+  // first window that reaches the document's end (so every token is
+  // covered, the tail is never re-emitted as a redundant sub-suffix,
+  // and a doc shorter than one window yields exactly one chunk).
+  //
+  // 100 TB shape: pure row-local generate — tokenize, compute the
+  // start list, explode, slice. Zero shuffle; the ORDER BY below is
+  // oracle ceremony. Chunk count ≈ tokens/stride, so output scales
+  // linearly with the corpus; no row ever holds more than one
+  // document's tokens (the explode is per-doc, not per-corpus).
+  // ---------------------------------------------------------------
+
+  val ChunkTokens = 64
+  val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkDocsFrom(Tables.documents(spark, dir))
+
+  def chunkDocsFrom(docs: DataFrame): DataFrame =
+    docs
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      // last start = the first stride multiple whose window reaches
+      // the end: 0 for short docs, else ceil((n - W) / S) * S
+      .select($"doc_id", $"toks",
+        expr(s"""CASE WHEN size(toks) <= $ChunkTokens THEN 0
+                 ELSE ((size(toks) - $ChunkTokens + $ChunkStride - 1)
+                       div $ChunkStride) * $ChunkStride END""")
+          .as("last_start"))
+      .select($"doc_id", $"toks",
+        posexplode(expr(s"sequence(0, last_start, $ChunkStride)"))
+          .as(Seq("chunk_idx", "start_token")))
+      .select($"doc_id",
+        $"chunk_idx".cast(LongType).as("chunk_idx"),
+        $"start_token".cast(LongType).as("start_token"),
+        expr(s"slice(toks, start_token + 1, $ChunkTokens)").as("chunk_toks"))
+      .select($"doc_id", $"chunk_idx", $"start_token",
+        size($"chunk_toks").cast(LongType).as("n_tokens"),
+        array_join($"chunk_toks", " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  val chunkDocsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $ChunkTokens THEN 0
+       |         ELSE ((len(toks) - $ChunkTokens + $ChunkStride - 1)
+       |               // $ChunkStride) * $ChunkStride END AS last_start
+       |  FROM tok),
+       |ch AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, last_start, $ChunkStride)) AS start_token
+       |  FROM st)
+       |SELECT doc_id,
+       |  start_token // $ChunkStride AS chunk_idx,
+       |  start_token,
+       |  len(toks[start_token + 1 : start_token + $ChunkTokens]) AS n_tokens,
+       |  array_to_string(toks[start_token + 1 : start_token + $ChunkTokens],
+       |                  ' ') AS chunk_text
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q73 — repetition statistics: the Gopher-style redundancy signals
+  // (Rae et al. 2021, "Scaling Language Models", table A1) that the
+  // q41 length/punctuation score cannot see — duplicate-line fraction
+  // (by count and by character mass) and the fraction of word-bigrams
+  // claimed by the single most frequent bigram. Boilerplate and
+  // template spam score well on q41 but light up here.
+  //
+  // 100 TB shape: two groupBys keyed by (doc_id, line) and
+  // (doc_id, bigram) — both partial-aggregated, both keyed by doc so
+  // the shuffle is ~corpus-sized, never a global token table; the
+  // per-doc rollup then rides the same doc_id partitioning. No
+  // per-doc state ever exceeds one document's distinct lines/bigrams.
+  // ---------------------------------------------------------------
+
+  val MaxDupLineFrac = 0.30
+  val MaxTopBigramFrac = 0.20
+
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsFrom(Tables.documents(spark, dir))
+
+  def repetitionStatsFrom(docs: DataFrame): DataFrame = {
+    val lineAgg = docs
+      .select($"doc_id", explode(expr(
+        "filter(split(text, '\\n'), l -> trim(l) != '')")).as("line"))
+      .groupBy($"doc_id", $"line")
+      .agg(count(lit(1)).as("cnt"), length($"line").as("chars"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_lines"),
+        round(sum($"cnt" - 1) * lit(1.0) / sum($"cnt"), 6)
+          .as("dup_line_frac"),
+        round(sum(($"cnt" - 1) * $"chars") * lit(1.0)
+          / sum($"cnt" * $"chars"), 6).as("dup_line_char_frac"))
+    val bigramAgg = docs
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           END""")).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(round(max($"cnt") * lit(1.0) / sum($"cnt"), 6)
+        .as("top_bigram_frac"))
+    lineAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines", $"dup_line_frac", $"dup_line_char_frac",
+        coalesce($"top_bigram_frac", lit(0.0)).as("top_bigram_frac"))
+      .withColumn("keep",
+        $"dup_line_frac" <= MaxDupLineFrac &&
+          $"top_bigram_frac" <= MaxTopBigramFrac)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH lines AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+       |    l -> trim(l) <> '')) AS line
+       |  FROM documents),
+       |la AS (
+       |  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS chars
+       |  FROM lines GROUP BY 1, 2),
+       |ld AS (
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       |    ROUND(SUM(cnt - 1) * 1.0 / SUM(cnt), 6) AS dup_line_frac,
+       |    ROUND(SUM((cnt - 1) * chars) * 1.0 / SUM(cnt * chars), 6)
+       |      AS dup_line_char_frac
+       |  FROM la GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+       |    ELSE list_transform(generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+       |  FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents)),
+       |ba AS (
+       |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+       |bd AS (
+       |  SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6)
+       |    AS top_bigram_frac
+       |  FROM ba GROUP BY 1)
+       |SELECT ld.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |  COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+       |  dup_line_frac <= $MaxDupLineFrac
+       |    AND COALESCE(top_bigram_frac, 0.0) <= $MaxTopBigramFrac AS keep
+       |FROM ld LEFT JOIN bd ON ld.doc_id = bd.doc_id
+       |ORDER BY ld.doc_id""".stripMargin
 }
