@@ -306,6 +306,51 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 chunking: full coverage, stride overlap, and exact " +
+       "reconstruction of the token stream") {
+    val words = (1 to 150).map(i => s"w$i")
+    val chunks = Corpus.chunkDocsFrom(docsFrame(
+        1L -> words.mkString(" "),  // 3 windows (starts 0, 48, 96)
+        2L -> "a b c",              // shorter than one window: 1 chunk
+        3L -> (1 to 64).map(i => s"x$i").mkString(" "))) // exactly W: 1 chunk
+      .collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc(1L).length === 3 && byDoc(2L).length === 1
+      && byDoc(3L).length === 1)
+    // window arithmetic: starts advance by the stride, sizes are W
+    // except the final window, which reaches exactly the end
+    val d1 = byDoc(1L).sortBy(_.getLong(1))
+    assert(d1.map(_.getLong(2)).toSeq === Seq(0L, 48L, 96L))
+    assert(d1.map(_.getLong(3)).toSeq === Seq(64L, 64L, 54L))
+    // overlap reconstruction: dropping the first W-S tokens of every
+    // chunk after the first rebuilds the document verbatim
+    val rebuilt = d1.head.getString(4) +: d1.tail.map(
+      _.getString(4).split(' ').drop(Corpus.ChunkTokens - Corpus.ChunkStride)
+        .mkString(" "))
+    assert(rebuilt.mkString(" ") === words.mkString(" "))
+    assert(byDoc(2L).head.getLong(3) === 3L)
+  }
+
+  test("q73 repetition: duplicate lines and dominant bigrams are " +
+       "measured exactly; template spam fails the gate") {
+    val stats = Corpus.repetitionStatsFrom(docsFrame(
+        1L -> "unique one\nunique two\nunique three",
+        2L -> "same line\nsame line\nsame line\nother line",
+        3L -> Seq.fill(30)("buy now").mkString(" "),
+        4L -> "solo"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stats(1L).getDouble(2) === 0.0) // no duplicate lines
+    // doc 2: 4 non-blank lines, "same line" ×3 → 2 duplicates of 4
+    assert(stats(2L).getDouble(2) === 0.5)
+    assert(stats(2L).getLong(1) === 4L)
+    // doc 3: "now buy" ×29... the top bigram "buy now" claims 30 of 59
+    assert(stats(3L).getDouble(4) > Corpus.MaxTopBigramFrac)
+    assert(!stats(3L).getBoolean(5), "template spam is rejected")
+    assert(stats(1L).getBoolean(5) && stats(2L).getBoolean(5) === false)
+    // single-token doc: no bigrams → frac 0, kept
+    assert(stats(4L).getDouble(4) === 0.0 && stats(4L).getBoolean(5))
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),
