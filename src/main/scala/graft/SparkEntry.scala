@@ -93,6 +93,7 @@ object SparkEntry {
     "q71_streaming_near_dups" -> (graft.streaming.StreamingCorpus.nearDupViaStreaming(_, _)),
     "q72_chunk_docs"        -> (Corpus.chunkDocs(_, _)),
     "q73_repetition_stats"  -> (Corpus.repetitionStats(_, _)),
+    "q74_unigram_logprob"   -> (Corpus.unigramLogProb(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -185,6 +186,7 @@ object SparkEntry {
     "q71_streaming_near_dups" -> Dedup.dedupKeepCorpusSql,
     "q72_chunk_docs"        -> Corpus.chunkDocsSql,
     "q73_repetition_stats"  -> Corpus.repetitionStatsSql,
+    "q74_unigram_logprob"   -> Corpus.unigramLogProbSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -559,6 +559,67 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q74 — unigram log-probability scoring: the perplexity-proxy
+  // quality filter (CCNet/RedPajama use a KenLM 5-gram; the unigram
+  // model is the same pipeline shape with the LM swapped). Score =
+  // mean over tokens of ln(corpus unigram probability); documents of
+  // improbable-token soup (OCR noise, code in a prose corpus, another
+  // language) score far below prose and fail the gate.
+  //
+  // 100 TB shape: tf is per-(doc, token) — partial aggregation
+  // collapses repeats map-side; the vocab join is keyed by token (the
+  // q65 discipline: the vocabulary is NEVER assumed broadcastable);
+  // the corpus-total is one scalar crossJoin(broadcast). Parity
+  // discipline: each token's logprob is rounded to 6dp and summed as
+  // DECIMAL (order-independent exact integer arithmetic — the
+  // graft.functions.Exact pattern), so a 32-way Spark aggregate and
+  // the single-threaded oracle produce bit-identical doubles.
+  // ---------------------------------------------------------------
+
+  /** Gate: mean token logprob ≥ −8 nats (p ≥ ~3e-4 on average). */
+  val MinAvgLogProb = -8.0
+
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    unigramLogProbFrom(Tables.documents(spark, dir))
+
+  def unigramLogProbFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val scored = tf.join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        round(log($"cnt".cast(DoubleType) / $"total"), 6)
+          .cast(DecimalType(18, 6)))
+    scored.groupBy($"doc_id")
+      .agg(sum($"tf").cast(LongType).as("n_tokens"),
+        round(sum($"tf" * $"lp").cast(DoubleType) / sum($"tf"), 6)
+          .as("avg_logprob"))
+      .withColumn("keep", $"avg_logprob" >= MinAvgLogProb)
+      .orderBy($"doc_id")
+  }
+
+  val unigramLogProbSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |vocab AS (
+       |  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+       |scored AS (
+       |  SELECT t.doc_id, t.tf,
+       |    CAST(ROUND(ln(CAST(v.cnt AS DOUBLE) / total), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM tf t JOIN vocab v USING (token) CROSS JOIN tot)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) AS avg_logprob,
+       |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) >= $MinAvgLogProb
+       |    AS keep
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val repetitionStatsSql: String =
     s"""WITH lines AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),

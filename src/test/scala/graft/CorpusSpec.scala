@@ -351,6 +351,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(stats(4L).getDouble(4) === 0.0 && stats(4L).getBoolean(5))
   }
 
+  test("q74 unigram logprob: exact hand-computed mean; rare-token soup " +
+       "scores below common prose") {
+    val stats = Corpus.unigramLogProbFrom(docsFrame(
+        1L -> "a a b",
+        2L -> "z"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus: a=2, b=1, z=1, total=4 → lp(a)=ln(.5), lp(b)=lp(z)=ln(.25)
+    val expected1 = (2 * math.log(0.5) + math.log(0.25)) / 3
+    assert(math.abs(stats(1L).getDouble(2) - expected1) < 1e-5)
+    assert(math.abs(stats(2L).getDouble(2) - math.log(0.25)) < 1e-5)
+    assert(stats(1L).getDouble(2) > stats(2L).getDouble(2),
+      "common tokens score above rare ones")
+    assert(stats(1L).getLong(1) === 3L && stats(2L).getLong(1) === 1L)
+    // on the fixture corpus the gate separates: every doc scores, and
+    // the keep verdict matches the threshold applied to the score
+    val fixture = Corpus.unigramLogProb(spark, sf).collect()
+    assert(fixture.length === 500)
+    fixture.foreach { r =>
+      assert(r.getBoolean(3) === (r.getDouble(2) >= Corpus.MinAvgLogProb))
+    }
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),

@@ -82,6 +82,31 @@ class PlanSpec extends AnyFunSuite {
       "no window partitioned by pbucket — the two-level packing was removed?")
   }
 
+  test("q72 chunking: row-local generate — the only exchange is the " +
+       "oracle's final sort, and the scan prunes to (doc_id, text)") {
+    val p = plan("q72_chunk_docs")
+    val exchanges = "Exchange ".r.findAllIn(p).size
+    assert(exchanges === 1, // rangepartitioning for the ORDER BY only
+      s"chunking must not shuffle data (1 sort exchange expected), " +
+        s"found $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no hash shuffle belongs in a row-local generate:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns:\n${p.take(3000)}")
+  }
+
+  test("q73 repetition: every aggregate and window keys on doc_id — " +
+       "no global token/line table is ever built") {
+    val p = plan("q73_repetition_stats")
+    val hashParts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(hashParts.nonEmpty, p.take(3000))
+    hashParts.foreach { spec =>
+      assert(spec.contains("doc_id"),
+        s"a shuffle not keyed by doc_id would concentrate hot " +
+          s"tokens/lines globally: $spec\n${p.take(3000)}")
+    }
+  }
+
   test("q69: candidates join hash-partitioned on cell_id, never cartesian") {
     // the centroid broadcast lives inside the localCheckpoint'd
     // assignment subtree (invisible here by design — the checkpoint
