@@ -94,6 +94,7 @@ object SparkEntry {
     "q72_chunk_docs"        -> (Corpus.chunkDocs(_, _)),
     "q73_repetition_stats"  -> (Corpus.repetitionStats(_, _)),
     "q74_unigram_logprob"   -> (Corpus.unigramLogProb(_, _)),
+    "q75_mixture_sample"    -> (Corpus.mixtureSample(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -187,6 +188,7 @@ object SparkEntry {
     "q72_chunk_docs"        -> Corpus.chunkDocsSql,
     "q73_repetition_stats"  -> Corpus.repetitionStatsSql,
     "q74_unigram_logprob"   -> Corpus.unigramLogProbSql,
+    "q75_mixture_sample"    -> Corpus.mixtureSampleSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -620,6 +620,63 @@ object Corpus {
        |    AS keep
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q75 — mixture sampling: per-source sampling rates (the data-mixing
+  // step that sets a training corpus's source composition — curated
+  // sources kept whole, bulk web downsampled). Deterministic hash
+  // gate, NOT rand(): a doc's verdict is a pure function of its id,
+  // so re-runs, engines, and corpus growth cannot move it (the q58
+  // property). The hash is SALTED ('mix:' prefix) so the sampling
+  // bucket is independent of the q58 split bucket — otherwise
+  // "sampled" would correlate perfectly with "train".
+  //
+  // 100 TB shape: pure row-local map (one md5 + a CASE) — no shuffle,
+  // no state, trivially parallel.
+  // ---------------------------------------------------------------
+
+  /** The named query's mixture config: five curated sources kept
+    * whole, five at half rate, five at quarter, the long tail at 10%. */
+  val MixtureRates: Seq[(String, Double)] =
+    (0 until 15).map(i => s"src$i" ->
+      (if (i < 5) 1.0 else if (i < 10) 0.5 else 0.25))
+  val MixtureDefaultRate = 0.1
+
+  private[graft] def mixBucketCol: Column =
+    expr("CAST(conv(substring(md5(CAST(concat('mix:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)") % 100
+  private val mixBucketSql =
+    "CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleFrom(Tables.documents(spark, dir),
+      MixtureRates, MixtureDefaultRate)
+
+  def mixtureSampleFrom(docs: DataFrame, rates: Seq[(String, Double)],
+                        default: Double): DataFrame = {
+    val rateCol = rates.sortBy(_._1).foldLeft(lit(default): Column) {
+      case (acc, (src, r)) => when($"source" === src, lit(r)).otherwise(acc)
+    }
+    docs
+      .select($"doc_id", $"source", mixBucketCol.as("mix_bucket"),
+        rateCol.as("rate"))
+      .withColumn("sampled", $"mix_bucket" < $"rate" * 100)
+      .orderBy($"doc_id")
+  }
+
+  val mixtureSampleSql: String = {
+    val cases = MixtureRates.map { case (s, r) =>
+      s"WHEN '$s' THEN CAST($r AS DOUBLE)"
+    }.mkString("\n|    ")
+    s"""SELECT doc_id, source, $mixBucketSql AS mix_bucket,
+       |  CASE source
+       |    $cases
+       |    ELSE CAST($MixtureDefaultRate AS DOUBLE) END AS rate,
+       |  $mixBucketSql <
+       |    (CASE source
+       |    $cases
+       |    ELSE CAST($MixtureDefaultRate AS DOUBLE) END) * 100 AS sampled
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val repetitionStatsSql: String =
     s"""WITH lines AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),

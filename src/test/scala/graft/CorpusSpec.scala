@@ -373,6 +373,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 mixture sampling: deterministic, rate-faithful, and " +
+       "independent of the q58 split hash") {
+    val a = Corpus.mixtureSample(spark, sf).collect()
+    val b = Corpus.mixtureSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "pure function of doc_id")
+    val bySrc = a.groupBy(_.getString(1))
+    // rate 1.0 sources keep everything; downsampled sources keep less
+    (0 until 5).foreach { i =>
+      assert(bySrc(s"src$i").forall(_.getBoolean(4)),
+        s"src$i is a keep-whole source")
+    }
+    val tailKept = (15 until 20)
+      .map(i => bySrc(s"src$i").count(_.getBoolean(4))).sum
+    val tailTotal = (15 until 20).map(i => bySrc(s"src$i").length).sum
+    assert(tailKept < tailTotal * 0.35,
+      s"10% tail sources kept $tailKept of $tailTotal")
+    // salt independence: the sampled set must straddle all three q58
+    // splits (a shared hash would nest one inside the other)
+    val splits = Corpus.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val sampledSplits = a.filter(_.getBoolean(4))
+      .map(r => splits(r.getLong(0))).toSet
+    assert(sampledSplits === Set("train", "validation", "test"))
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),
