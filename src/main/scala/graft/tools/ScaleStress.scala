@@ -71,6 +71,11 @@ object ScaleStress {
     println(s"q64 widest ordered-window partition: $w64 rows")
     packed.unpersist()
     time("q65 tf-idf top terms")(Corpus.tfidfTopTermsFrom(docs).count())
+    time("q72 chunk docs")(Corpus.chunkDocsFrom(docs).count())
+    time("q73 repetition stats")(Corpus.repetitionStatsFrom(docs).count())
+    time("q74 unigram logprob")(Corpus.unigramLogProbFrom(docs).count())
+    time("q75 mixture sample")(Corpus.mixtureSampleFrom(docs,
+      Corpus.MixtureRates, Corpus.MixtureDefaultRate).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())
