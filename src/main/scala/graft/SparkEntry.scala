@@ -95,6 +95,7 @@ object SparkEntry {
     "q73_repetition_stats"  -> (Corpus.repetitionStats(_, _)),
     "q74_unigram_logprob"   -> (Corpus.unigramLogProb(_, _)),
     "q75_mixture_sample"    -> (Corpus.mixtureSample(_, _)),
+    "q76_training_corpus"   -> (Corpus.trainingCorpus(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,6 +190,9 @@ object SparkEntry {
     "q73_repetition_stats"  -> Corpus.repetitionStatsSql,
     "q74_unigram_logprob"   -> Corpus.unigramLogProbSql,
     "q75_mixture_sample"    -> Corpus.mixtureSampleSql,
+    // q76's oracle recomposes the full corpus-build chain from the
+    // per-operator oracle SQLs — the composition itself is hash-gated.
+    "q76_training_corpus"   -> Corpus.trainingCorpusSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

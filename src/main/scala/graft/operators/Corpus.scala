@@ -677,6 +677,83 @@ object Corpus {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q76 — the composed training-corpus pipeline: the flagship that
+  // turns the raw documents table into a training-ready manifest by
+  // chaining the whole family — repetition gate (q73) ∧ perplexity
+  // gate (q74) ∧ near-dup keeper (q47→q62→q70) ∧ not-contaminated
+  // (q59) ∧ mixture-sampled (q75), then split-assigned (q58) and
+  // chunk-counted (q72). One callable = the "corpus build" run a
+  // training team schedules nightly; its oracle recomposes the same
+  // chain from the per-operator oracle SQLs, so the composition is
+  // hash-gated end to end, not just its pieces.
+  //
+  // 100 TB shape: every stage is the already-audited operator; the
+  // composition adds only doc_id-keyed 1:1 joins (co-partitioned
+  // after the first shuffle) and inherits each stage's scale story.
+  // Benchmark docs (the q59 eval set) are excluded outright — they
+  // are eval data, never training data.
+  // ---------------------------------------------------------------
+
+  /** Exclusion threshold on q59's contamination ratio. */
+  val DecontamMaxRate = 0.5
+
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // each stage's verdict is a doc_id-thin frame; lazily checkpoint
+    // them so the final join tree plans over seven LogicalRDD leaves
+    // instead of one enormous composed lineage (measured: Catalyst on
+    // the fused tree cost more than executing the stages themselves)
+    def thin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    val keepers = thin(Dedup.dedupKeepCorpus(spark, dir).select($"doc_id"))
+    val repKeep = thin(repetitionStatsFrom(docs)
+      .filter($"keep").select($"doc_id"))
+    val lpKeep = thin(unigramLogProbFrom(docs)
+      .filter($"keep").select($"doc_id"))
+    val contaminated = thin(decontaminateFrom(docs)
+      .filter($"contamination" >= DecontamMaxRate).select($"doc_id"))
+    val sampled = thin(mixtureSampleFrom(docs, MixtureRates,
+      MixtureDefaultRate).filter($"sampled").select($"doc_id", $"source"))
+    val splits = thin(splitAssignFrom(docs).select($"doc_id", $"split"))
+    val chunkStats = thin(chunkDocsFrom(docs).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("n_tokens")))
+    docs.select($"doc_id").filter($"doc_id" >= BenchmarkMaxDocId)
+      .join(keepers, Seq("doc_id"))
+      .join(repKeep, Seq("doc_id"))
+      .join(lpKeep, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(sampled, Seq("doc_id"))
+      .join(splits, Seq("doc_id"))
+      .join(chunkStats, Seq("doc_id"))
+      .select($"doc_id", $"source", $"split", $"n_chunks", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  lazy val trainingCorpusSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source FROM documents
+       |  WHERE doc_id >= $BenchmarkMaxDocId),
+       |keep_dedup AS (SELECT doc_id FROM (${Dedup.dedupKeepCorpusSql}) k),
+       |keep_rep AS (SELECT doc_id FROM ($repetitionStatsSql) r WHERE keep),
+       |keep_lp AS (SELECT doc_id FROM ($unigramLogProbSql) l WHERE keep),
+       |contam AS (SELECT doc_id FROM ($decontaminateSql) c
+       |           WHERE contamination >= $DecontamMaxRate),
+       |samp AS (SELECT doc_id FROM ($mixtureSampleSql) s WHERE sampled),
+       |spl AS (SELECT doc_id, split FROM ($splitAssignSql) p),
+       |ch AS (SELECT doc_id, COUNT(*) AS n_chunks,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |       FROM ($chunkDocsSql) g GROUP BY 1)
+       |SELECT b.doc_id, b.source, spl.split, ch.n_chunks, ch.n_tokens
+       |FROM base b
+       |JOIN keep_dedup USING (doc_id)
+       |JOIN keep_rep USING (doc_id)
+       |JOIN keep_lp USING (doc_id)
+       |JOIN samp USING (doc_id)
+       |JOIN spl USING (doc_id)
+       |JOIN ch USING (doc_id)
+       |WHERE b.doc_id NOT IN (SELECT doc_id FROM contam)
+       |ORDER BY b.doc_id""".stripMargin
+
   val repetitionStatsSql: String =
     s"""WITH lines AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),

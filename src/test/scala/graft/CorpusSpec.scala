@@ -398,6 +398,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(sampledSplits === Set("train", "validation", "test"))
   }
 
+  test("q76 training corpus: the composed funnel equals the exact " +
+       "intersection of its independently-computed stages") {
+    val docs = Tables.documents(spark, sf)
+    val tc = Corpus.trainingCorpus(spark, sf).collect()
+    val ids = tc.map(_.getLong(0)).toSet
+
+    def idSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepers = idSet(graft.operators.Dedup.dedupKeepCorpus(spark, sf))
+    val rep = idSet(Corpus.repetitionStatsFrom(docs).filter($"keep"))
+    val lp = idSet(Corpus.unigramLogProbFrom(docs).filter($"keep"))
+    val contaminated = idSet(Corpus.decontaminateFrom(docs)
+      .filter($"contamination" >= Corpus.DecontamMaxRate))
+    val sampled = idSet(Corpus.mixtureSampleFrom(docs,
+      Corpus.MixtureRates, Corpus.MixtureDefaultRate).filter($"sampled"))
+    val expected = (keepers & rep & lp & sampled)
+      .diff(contaminated)
+      .filter(_ >= Corpus.BenchmarkMaxDocId)
+    assert(ids === expected)
+    assert(ids.nonEmpty && ids.size < 500, "the funnel actually gates")
+    // manifest sanity: every surviving doc chunks and carries a split
+    tc.foreach { r =>
+      assert(r.getLong(3) >= 1L, "n_chunks >= 1")
+      assert(r.getLong(4) >= 1L, "n_tokens >= 1")
+      assert(Set("train", "validation", "test")(r.getString(2)))
+    }
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),
