@@ -698,14 +698,21 @@ object Corpus {
   /** Exclusion threshold on q59's contamination ratio. */
   val DecontamMaxRate = 0.5
 
-  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame =
+    trainingCorpusFrom(spark, Tables.documents(spark, dir))
+
+  def trainingCorpusFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
     // each stage's verdict is a doc_id-thin frame; lazily checkpoint
     // them so the final join tree plans over seven LogicalRDD leaves
     // instead of one enormous composed lineage (measured: Catalyst on
     // the fused tree cost more than executing the stages themselves)
     def thin(df: DataFrame): DataFrame = df.localCheckpoint(false)
-    val keepers = thin(Dedup.dedupKeepCorpus(spark, dir).select($"doc_id"))
+    val clusters = Dedup.dedupClustersFrom(
+      Dedup.lshNearDupPairsFrom(
+        Dedup.shingleFpsFrom(docs).localCheckpoint(false))
+        .select($"doc_a", $"doc_b"))
+    val keepers = thin(
+      Dedup.dedupKeepCorpusFrom(docs, clusters).select($"doc_id"))
     val repKeep = thin(repetitionStatsFrom(docs)
       .filter($"keep").select($"doc_id"))
     val lpKeep = thin(unigramLogProbFrom(docs)

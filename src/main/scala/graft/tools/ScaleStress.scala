@@ -76,6 +76,8 @@ object ScaleStress {
     time("q74 unigram logprob")(Corpus.unigramLogProbFrom(docs).count())
     time("q75 mixture sample")(Corpus.mixtureSampleFrom(docs,
       Corpus.MixtureRates, Corpus.MixtureDefaultRate).count())
+    time("q76 training corpus (composed)")(
+      Corpus.trainingCorpusFrom(spark, docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())
