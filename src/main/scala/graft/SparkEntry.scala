@@ -96,6 +96,8 @@ object SparkEntry {
     "q74_unigram_logprob"   -> (Corpus.unigramLogProb(_, _)),
     "q75_mixture_sample"    -> (Corpus.mixtureSample(_, _)),
     "q76_training_corpus"   -> (Corpus.trainingCorpus(_, _)),
+    "q77_source_cap"        -> (Corpus.sourceCap(_, _)),
+    "q78_label_coherence"   -> (VectorOps.labelCoherence(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -193,6 +195,8 @@ object SparkEntry {
     // q76's oracle recomposes the full corpus-build chain from the
     // per-operator oracle SQLs — the composition itself is hash-gated.
     "q76_training_corpus"   -> Corpus.trainingCorpusSql,
+    "q77_source_cap"        -> Corpus.sourceCapSql,
+    "q78_label_coherence"   -> VectorOps.labelCoherenceSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

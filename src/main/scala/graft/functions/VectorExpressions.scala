@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Codegen'd vector kernels for the similarity operators.
@@ -218,6 +220,126 @@ case class NearestCells(child: Expression, ids: IndexedSeq[Long],
     copy(child = newChild)
 }
 
+/** Element-wise mean of `array<double>` columns as a PARTIAL-AGGREGABLE
+  * Catalyst aggregate: each map task folds its rows into one
+  * (count, Σ per component) buffer, so the shuffle carries one buffer
+  * per (group × task) — `groups × dim` longs — instead of the
+  * `rows × dim` exchange a posexplode/groupBy(pos) mean pays. That is
+  * the 100 TB difference between "centroids cost one pass" and
+  * "centroids re-shuffle the corpus".
+  *
+  * Parity discipline (the [[graft.operators.VectorOps.fittedCentroids]]
+  * contract, element-wise): each component is rounded to 6 dp exactly
+  * as Spark's `round(col, 6)` does (`BigDecimal.valueOf` — shortest
+  * decimal representation — then HALF_UP), accumulated EXACTLY as a
+  * 1e6-scaled long (order-independent integer addition — the moral
+  * equivalent of the oracle's `SUM(CAST(ROUND(v[i],6) AS
+  * DECIMAL(18,6)))`), and divided by the row count in double space at
+  * eval. The result is bit-identical to DuckDB's
+  * `CAST(SUM(...) AS DOUBLE) / COUNT(*)` per position regardless of
+  * row or merge order. Scaled sums overflow Long at ~9e12 unit-scale
+  * rows per group — the same magnitude DECIMAL(18,6) overflows — so
+  * the oracle and the aggregate degrade at the same cliff.
+  *
+  * All input vectors in a group must share one dimensionality (dense
+  * embedding columns do); a null array contributes nothing; an empty
+  * group evaluates to null.
+  */
+case class VectorAvg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VectorAvg.Buf] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_vec_avg"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): VectorAvg.Buf =
+    new VectorAvg.Buf(0L, null)
+
+  override def update(b: VectorAvg.Buf, input: InternalRow): VectorAvg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (b.sums == null) b.sums = new Array[Long](n)
+      require(b.sums.length == n,
+        s"graft_vec_avg: mixed dimensionality ${b.sums.length} vs $n")
+      var i = 0
+      while (i < n) {
+        b.sums(i) += java.math.BigDecimal.valueOf(arr.getDouble(i))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .unscaledValue().longValueExact()
+        i += 1
+      }
+      b.count += 1
+    }
+    b
+  }
+
+  override def merge(b: VectorAvg.Buf, o: VectorAvg.Buf): VectorAvg.Buf = {
+    if (o.sums != null) {
+      if (b.sums == null) b.sums = new Array[Long](o.sums.length)
+      require(b.sums.length == o.sums.length,
+        s"graft_vec_avg: mixed dimensionality ${b.sums.length} vs ${o.sums.length}")
+      var i = 0
+      while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
+      b.count += o.count
+    }
+    b
+  }
+
+  override def eval(b: VectorAvg.Buf): Any =
+    if (b.sums == null) null
+    else {
+      val out = new Array[Double](b.sums.length)
+      var i = 0
+      while (i < out.length) {
+        // decimal -> double, THEN double division: the oracle's
+        // CAST(SUM(..) AS DOUBLE) / COUNT(*), bit for bit
+        out(i) = java.math.BigDecimal.valueOf(b.sums(i), 6)
+          .doubleValue() / b.count
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(b: VectorAvg.Buf): Array[Byte] = {
+    val dim = if (b.sums == null) 0 else b.sums.length
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 * dim)
+    buf.putLong(b.count).putInt(dim)
+    var i = 0
+    while (i < dim) { buf.putLong(b.sums(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VectorAvg.Buf = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val count = buf.getLong()
+    val dim = buf.getInt()
+    val sums = if (dim == 0) null else {
+      val a = new Array[Long](dim)
+      var i = 0
+      while (i < dim) { a(i) = buf.getLong(); i += 1 }
+      a
+    }
+    new VectorAvg.Buf(count, sums)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorAvg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorAvg {
+  /** count + 1e6-scaled exact component sums (null until a row lands). */
+  final class Buf(var count: Long, var sums: Array[Long])
+}
+
 object VectorExpressions {
   /** Builders shared by per-session registration and the
     * [[graft.GraftExtensions]] injection path. */
@@ -236,6 +358,8 @@ object VectorExpressions {
       exprs => SquaredDistance(exprs(0), exprs(1))),
     "graft_l2norm" -> arity("graft_l2norm(a)", 1)(
       exprs => L2Norm(exprs.head)),
+    "graft_vec_avg" -> arity("graft_vec_avg(v)", 1)(
+      exprs => VectorAvg(exprs.head)),
     "graft_nearest_cells" ->
       arity("graft_nearest_cells(v, cells, probes)", 3) { exprs =>
         // the codebook arg must be a literal (foldable) array of

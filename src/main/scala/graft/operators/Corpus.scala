@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -676,6 +677,57 @@ object Corpus {
        |    ELSE CAST($MixtureDefaultRate AS DOUBLE) END) * 100 AS sampled
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q77 — per-source capping: keep at most SourceCapN documents per
+  // source (the domain-cap step that stops one giant crawl domain
+  // from dominating the mixture — the complement of q75's rate
+  // sampling, which thins proportionally but cannot bound an outsized
+  // source). The kept subset is chosen by SALTED-hash rank, so it is
+  // deterministic across engines and reruns and uncorrelated with the
+  // q58 split / q75 mixture buckets.
+  //
+  // 100 TB shape: rank-then-filter compiles to Spark's
+  // WindowGroupLimit (pinned in PlanSpec) — each map task keeps only
+  // its N smallest (hash, doc_id) rows PER SOURCE before the
+  // exchange, and the reduce side keeps N again — so a
+  // billion-document domain ships ~tasks × N thin rows through the
+  // shuffle, never the domain. The frame is doc_id-thin (id, source,
+  // hash); text never enters the window.
+  // ---------------------------------------------------------------
+
+  /** Per-source document cap. 15 bites on the fixture corpus (25
+    * docs/source at sf0.01, 250 at sf0.1). */
+  val SourceCapN = 15
+
+  private def capHashCol: Column =
+    expr("md5(CAST(concat('cap:', CAST(doc_id AS STRING)) AS BINARY))")
+  private val capHashSql = "md5('cap:' || CAST(doc_id AS VARCHAR))"
+
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCapFrom(Tables.documents(spark, dir), SourceCapN)
+
+  /** The capped manifest: (doc_id, source, cap_rank) for the kept
+    * docs only, ordered by doc_id. Hash ties are impossible (the hash
+    * is injective-salted over distinct doc_ids) but doc_id breaks
+    * them anyway so the order is total by construction. */
+  def sourceCapFrom(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy($"source")
+      .orderBy($"cap_hash", $"doc_id")
+    docs.select($"doc_id", $"source", capHashCol.as("cap_hash"))
+      .withColumn("cap_rank", row_number().over(w))
+      .filter($"cap_rank" <= n)
+      .select($"doc_id", $"source", $"cap_rank")
+      .orderBy($"doc_id")
+  }
+
+  val sourceCapSql: String =
+    s"""SELECT doc_id, source, cap_rank FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY $capHashSql, doc_id) AS cap_rank
+       |  FROM documents)
+       |WHERE cap_rank <= $SourceCapN ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q76 — the composed training-corpus pipeline: the flagship that

@@ -533,4 +533,76 @@ object VectorOps {
        |      >= $CosineDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q78 — label coherence: per-label embedding centroids (class
+  // prototypes) and each vector's cosine to its OWN label's centroid.
+  // The training-data QA pass that surfaces mislabeled / outlier
+  // examples: a vector pointing away from its class prototype
+  // (cos < CoherenceMin) is a labeling suspect, reviewed or dropped
+  // before the corpus ships.
+  //
+  // 100 TB shape: the centroid is ONE partial-aggregable pass —
+  // graft_vec_avg (a TypedImperativeAggregate) folds map-side, so the
+  // shuffle carries `labels × dim` longs, not `rows × dim` exploded
+  // positions; the score-back join broadcasts the centroid table
+  // (labels are bounded — classes, clusters, shards — never
+  // corpus-sized). Total cost: two corpus scans, zero corpus-sized
+  // shuffles.
+  // ---------------------------------------------------------------
+
+  /** Coherence gate: cos-to-own-centroid below this flags the row.
+    * On the fixture corpus ~10% of vectors land below 0 (p10 ≈
+    * −0.004), so the gate marks the genuinely-antipodal tail. */
+  val CoherenceMin = 0.0
+
+  def labelCoherence(spark: SparkSession, dir: String): DataFrame =
+    labelCoherenceFrom(Tables.embeddings(spark, dir))
+
+  /** (vec_id, label, n_label, cos_centroid, coherent) over any
+    * embeddings-shaped frame, ordered by vec_id. */
+  def labelCoherenceFrom(embeddings: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(embeddings.sparkSession)
+    val all = embeddings
+      .select($"vec_id", $"label", vecD("embedding").as("v"))
+      .withColumn("nrm", l2norm("v"))
+    val cents = all.groupBy($"label")
+      .agg(expr("graft_vec_avg(v)").as("cv"),
+        count(lit(1)).as("n_label"))
+    all.join(broadcast(cents), Seq("label"))
+      .select($"vec_id", $"label", $"n_label",
+        round(dot("v", "cv") / ($"nrm" * l2norm("cv")), 6)
+          .as("cos_centroid"))
+      .withColumn("coherent", $"cos_centroid" >= CoherenceMin)
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle twin: the decimal-exact per-position mean (the
+    * [[fittedCentroids]] fit_mean discipline) recomposed per label,
+    * then the same rounded cosine. */
+  val labelCoherenceSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, label, v, ${sqlNorm("v")} AS nrm FROM vecs),
+       |mean AS (
+       |  SELECT label, i,
+       |    CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+       |      / COUNT(*) AS c
+       |  FROM normed, (SELECT unnest(generate_series(1, $VecDim)) AS i)
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM mean GROUP BY label),
+       |sizes AS (SELECT label, COUNT(*) AS n_label FROM normed GROUP BY label)
+       |SELECT a.vec_id, a.label, s.n_label,
+       |  ROUND(${sqlDot("a.v", "c.cv")} / (a.nrm * ${sqlNorm("c.cv")}), 6)
+       |    AS cos_centroid,
+       |  ROUND(${sqlDot("a.v", "c.cv")} / (a.nrm * ${sqlNorm("c.cv")}), 6)
+       |    >= $CoherenceMin AS coherent
+       |FROM normed a
+       |JOIN cents c ON a.label = c.label
+       |JOIN sizes s ON a.label = s.label
+       |ORDER BY vec_id""".stripMargin
 }

@@ -78,6 +78,8 @@ object ScaleStress {
       Corpus.MixtureRates, Corpus.MixtureDefaultRate).count())
     time("q76 training corpus (composed)")(
       Corpus.trainingCorpusFrom(spark, docs).count())
+    time("q77 source cap")(
+      Corpus.sourceCapFrom(docs, Corpus.SourceCapN).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())
@@ -105,6 +107,8 @@ object ScaleStress {
       .withColumn("vec_id", $"vec_id" * reps + $"rep")
       .drop("rep")
     println(s"embeddings rows: ${emb.count()}")
+    time("q78 label coherence")(
+      VectorOps.labelCoherenceFrom(emb).count())
     graft.functions.VectorExpressions.register(spark)
     val vecs = emb
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

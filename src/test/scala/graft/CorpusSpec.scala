@@ -426,6 +426,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 source cap: at most N per source, ranks dense, deterministic") {
+    val a = Corpus.sourceCap(spark, sf).collect()
+    val b = Corpus.sourceCap(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "pure function of doc_id")
+    assert(a.map(_.getLong(0)).distinct.length === a.length, "one row per doc")
+    a.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      assert(rows.length <= Corpus.SourceCapN, s"$src over cap")
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length),
+        s"$src ranks not dense from 1")
+    }
+  }
+
+  test("q77 source cap: hash rank matches an independent md5 " +
+       "reimplementation, and growth can only evict, never admit") {
+    val docs = (1L to 40L).map(id => (id, s"text $id", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.sourceCapFrom(docs, 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // independent rank: java MessageDigest over the same salted key
+    def capHash(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"cap:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = (1L to 40L).map(id => id -> capHash(id))
+      .sortBy { case (id, h) => (h, id) }.take(5)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(kept === expected)
+    // growth monotonicity: capping a SUBSET keeps every doc the full
+    // run kept (subset ranks can only be smaller) — i.e. appending
+    // data can evict a kept doc but never admit a dropped one
+    val halfKept = Corpus.sourceCapFrom(
+      docs.filter($"doc_id" <= 20), 5).collect().map(_.getLong(0)).toSet
+    assert(kept.keySet.filter(_ <= 20L).subsetOf(halfKept))
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),

@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q77 source cap: rank-filter compiles to WindowGroupLimit — " +
+       "each side of the exchange keeps only N rows per source") {
+    val p = plan("q77_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"the cap must push per-key top-N below the shuffle, or a " +
+        s"billion-doc domain ships whole:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"the window frame must stay doc_id-thin (text never enters):\n" +
+        p.take(3000))
+  }
+
+  test("q78 label coherence: centroid aggregate combines map-side " +
+       "(ObjectHashAggregate partial+final) and the score-back join broadcasts") {
+    val p = plan("q78_label_coherence")
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2,
+      s"graft_vec_avg must partial-aggregate (shuffle = labels×dim, " +
+        s"not rows×dim), found $aggs ObjectHashAggregate nodes:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the labels-sized centroid table must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-wide sort belongs in the score-back:\n${p.take(3000)}")
+  }
+
   test("q69: candidates join hash-partitioned on cell_id, never cartesian") {
     // the centroid broadcast lives inside the localCheckpoint'd
     // assignment subtree (invisible here by design — the checkpoint

@@ -447,4 +447,53 @@ class TextDedupSpec extends AnyFunSuite {
       assert(m.feature.length === 8)
     }
   }
+
+  test("q78 label coherence: graft_vec_avg centroid is bit-identical " +
+       "to the decimal posexplode mean") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val all = Tables.embeddings(spark, sf)
+      .select($"label", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val fast = all.groupBy($"label")
+      .agg(expr("graft_vec_avg(v)").as("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // the fittedCentroids discipline, label-keyed: round 6dp, sum as
+    // DECIMAL (exact, order-independent), divide in double space
+    val slow = all
+      .select($"label", posexplode($"v").as(Seq("pos", "val")))
+      .groupBy($"label", $"pos")
+      .agg((sum(round($"val", 6).cast(DecimalType(18, 6)))
+        .cast(DoubleType) / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+        x => x("c")).as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(fast.keySet === slow.keySet)
+    fast.foreach { case (label, cv) =>
+      val ref = slow(label)
+      assert(cv.length === ref.length)
+      cv.indices.foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(cv(i)) ===
+               java.lang.Double.doubleToLongBits(ref(i)),
+          s"label $label component $i: ${cv(i)} vs ${ref(i)}")
+      }
+    }
+  }
+
+  test("q78 label coherence: one row per vector, flag consistent with " +
+       "the gate, and both sides of the gate populated") {
+    import spark.implicits._
+    val rows = VectorOps.labelCoherence(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    val sizes = rows.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === sizes(r.getInt(1)).toLong, "n_label")
+      assert(r.getBoolean(4) === (r.getDouble(3) >= VectorOps.CoherenceMin))
+      assert(r.getDouble(3) >= -1.000001 && r.getDouble(3) <= 1.000001)
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "the gate separates the corpus (≈10% antipodal tail)")
+  }
 }
