@@ -98,6 +98,9 @@ object SparkEntry {
     "q76_training_corpus"   -> (Corpus.trainingCorpus(_, _)),
     "q77_source_cap"        -> (Corpus.sourceCap(_, _)),
     "q78_label_coherence"   -> (VectorOps.labelCoherence(_, _)),
+    "q79_seq_pack"          -> (Corpus.seqPack(_, _)),
+    "q80_bpe_pairs"         -> (Corpus.bpePairStats(_, _)),
+    "q81_length_quantiles"  -> (Corpus.lengthQuantiles(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +200,11 @@ object SparkEntry {
     "q76_training_corpus"   -> Corpus.trainingCorpusSql,
     "q77_source_cap"        -> Corpus.sourceCapSql,
     "q78_label_coherence"   -> VectorOps.labelCoherenceSql,
+    "q79_seq_pack"          -> Corpus.seqPackSql,
+    "q80_bpe_pairs"         -> Corpus.bpePairStatsSql,
+    // q81's sketch estimates are engine-specific; the oracle gates the
+    // exact percentiles and the within-tolerance verdicts (q14 style)
+    "q81_length_quantiles"  -> Corpus.lengthQuantilesSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -385,6 +385,98 @@ object Corpus {
        |FROM c ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q79 — sequence packing: where q64 assigns whole documents to
+  // shards, this computes each document's TOKEN-LEVEL placement in
+  // the fixed-length training sequences a dataloader actually feeds
+  // the model. The causal-LM convention: within each q58 split,
+  // documents are concatenated into one token stream (each doc
+  // terminated by an EOS separator) and the stream is cut into
+  // SeqPackLen-token blocks; a document may span several blocks and a
+  // block may hold several documents. The manifest emitted here —
+  // (first sequence, offset within it, last sequence, span count) per
+  // doc — is exactly what an indexed dataloader needs to seek any
+  // document, and what attribution tooling needs to map a training
+  // sequence back to its sources.
+  //
+  // Packing is per split (train/val/test streams must never share a
+  // sequence), and the stream order is the q64 permutation —
+  // (pack-bucket, doc_id) — so the running sum reuses the same
+  // two-level decomposition: an ordered window within (split,
+  // pbucket) plus broadcast per-bucket exclusive offsets. No global
+  // window at any corpus size; everything after the running sum is
+  // row-local arithmetic.
+  // ---------------------------------------------------------------
+
+  /** Tokens per training sequence — fixture-sized (production: the
+    * model context length, 2k–128k). */
+  val SeqPackLen = 128L
+
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    seqPackFrom(Tables.documents(spark, dir))
+
+  /** (doc_id, split, n_tokens incl. the EOS separator, cum_before,
+    * seq_first, off_first, seq_last, n_seqs), ordered by doc_id.
+    * `cum_before` is the doc's start position in its split's stream;
+    * sequence ids restart at 0 per split. */
+  def seqPackFrom(docs: DataFrame): DataFrame = {
+    val m = docs
+      // +1: every document is terminated by one EOS token, so the
+      // stream is doc ⊕ EOS ⊕ doc ⊕ EOS … and no block can ever
+      // begin mid-document without the separator in front of it
+      .withColumn("n_tokens",
+        (size(TextOps.tokens($"text")) + 1).cast(LongType))
+      .withColumn("split", splitCol(bucketCol))
+      .withColumn("pbucket", packBucketCol)
+    val wOff = Window.partitionBy($"split").orderBy($"pbucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = m.groupBy($"split", $"pbucket")
+      .agg(sum($"n_tokens").as("bucket_tokens"))
+      .withColumn("bucket_offset",
+        coalesce(sum($"bucket_tokens").over(wOff), lit(0L)))
+      .select($"split", $"pbucket", $"bucket_offset")
+    val wIn = Window.partitionBy($"split", $"pbucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    m.join(broadcast(offsets), Seq("split", "pbucket"))
+      .withColumn("cum_before",
+        $"bucket_offset" + coalesce(sum($"n_tokens").over(wIn), lit(0L)))
+      .select($"doc_id", $"split", $"n_tokens", $"cum_before",
+        floor($"cum_before" / SeqPackLen).cast(LongType).as("seq_first"),
+        ($"cum_before" % SeqPackLen).cast(LongType).as("off_first"),
+        floor(($"cum_before" + $"n_tokens" - 1) / SeqPackLen)
+          .cast(LongType).as("seq_last"))
+      .withColumn("n_seqs", $"seq_last" - $"seq_first" + 1L)
+      .orderBy($"doc_id")
+  }
+
+  val seqPackSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, $splitCaseSql AS split,
+       |    $packBucketSql AS pbucket,
+       |    len(${TextOps.tokensSql}) + 1 AS n_tokens
+       |  FROM documents),
+       |off AS (
+       |  SELECT split, pbucket,
+       |    COALESCE(SUM(SUM(n_tokens)) OVER (PARTITION BY split
+       |      ORDER BY pbucket ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS bucket_offset
+       |  FROM m GROUP BY split, pbucket),
+       |c AS (
+       |  SELECT m.doc_id, m.split, m.n_tokens,
+       |    CAST(o.bucket_offset + COALESCE(SUM(m.n_tokens) OVER (
+       |      PARTITION BY m.split, m.pbucket ORDER BY m.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS cum_before
+       |  FROM m JOIN off o ON m.split = o.split AND m.pbucket = o.pbucket)
+       |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens, cum_before,
+       |  CAST(FLOOR(cum_before / $SeqPackLen) AS BIGINT) AS seq_first,
+       |  CAST(cum_before % $SeqPackLen AS BIGINT) AS off_first,
+       |  CAST(FLOOR((cum_before + n_tokens - 1) / $SeqPackLen) AS BIGINT)
+       |    AS seq_last,
+       |  CAST(FLOOR((cum_before + n_tokens - 1) / $SeqPackLen)
+       |    - FLOOR(cum_before / $SeqPackLen) + 1 AS BIGINT) AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q65 — TF-IDF top terms per document: the classic salience
   // ranking (retrieval features, keyword extraction, topic drift
   // monitoring over a training corpus). tf·ln(N/df) rounded to 6dp;
@@ -844,4 +936,148 @@ object Corpus {
        |    AND COALESCE(top_bigram_frac, 0.0) <= $MaxTopBigramFrac AS keep
        |FROM ld LEFT JOIN bd ON ld.doc_id = bd.doc_id
        |ORDER BY ld.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q80 — BPE pair statistics: the corpus-wide adjacent-character-
+  // pair frequencies that drive one merge step of byte-pair-encoding
+  // tokenizer training (Sennrich et al. 2016). The top pair is the
+  // next merge; running this to a vocabulary budget IS tokenizer
+  // training, and each iteration is this exact aggregate.
+  //
+  // 100 TB shape — the cost collapses from corpus to vocabulary in
+  // stage one and never comes back:
+  //   1. word counts: one partial-aggregated groupBy over the token
+  //      stream — Zipf skew ("the" × 10¹¹) collapses map-side, the
+  //      shuffle carries distinct words per task;
+  //   2. pair explode runs over the DISTINCT-WORD table (vocab-sized,
+  //      millions — not the corpus, trillions), each pair weighted by
+  //      the word's count;
+  //   3. pair totals: a groupBy over ≤ charset² keys;
+  //   4. top-k via orderBy+limit = TakeOrderedAndProject — per-task
+  //      heaps, no global sort materialization (pinned in PlanSpec).
+  // ---------------------------------------------------------------
+
+  val BpeTopPairs = 50
+
+  def bpePairStats(spark: SparkSession, dir: String): DataFrame =
+    bpePairStatsFrom(Tables.documents(spark, dir))
+
+  /** (rank, pair, pair_count): the BpeTopPairs most frequent adjacent
+    * character pairs, count ties broken lexicographically. */
+  def bpePairStatsFrom(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val pairTotals = words
+      .filter(length($"token") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"), $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("pair_count"))
+    // rank AFTER the limit: the unpartitioned window sees only the
+    // BpeTopPairs surviving rows, never the full pair table
+    pairTotals.orderBy($"pair_count".desc, $"pair".asc).limit(BpeTopPairs)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"pair_count".desc, $"pair".asc))
+        .cast(LongType))
+      .select($"rank", $"pair", $"pair_count")
+      .orderBy($"rank")
+  }
+
+  val bpePairStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |words AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+       |pairs AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(token) - 1),
+       |    i -> substring(token, i, 2))) AS pair, cnt
+       |  FROM words WHERE length(token) >= 2),
+       |agg AS (
+       |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+       |  FROM pairs GROUP BY pair)
+       |SELECT ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank,
+       |  pair, pair_count
+       |FROM agg ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q81 — per-source document-length quantiles via a mergeable
+  // sketch, gated by the exact answer (the q14 discipline applied to
+  // percentiles). Length distributions are the first thing a corpus
+  // report shows and the input to truncation/packing decisions; at
+  // 100 TB the exact per-group percentile needs every group's values
+  // collected and sorted, while the KLL-style sketch behind
+  // percentile_approx is partial-aggregable with bounded memory — the
+  // named query computes BOTH and hash-gates the exact values plus a
+  // boolean attesting the sketch landed within tolerance; production
+  // calls [[lengthQuantilesSketch]] and drops the exact pass.
+  // ---------------------------------------------------------------
+
+  /** Sketch rank-accuracy knob (1/accuracy relative rank error) and
+    * the RANK band the verdict attests: the estimate must lie between
+    * the exact quantiles at p ± QuantileTolerance. Rank — not value —
+    * is what a quantile sketch actually guarantees: on a small jumpy
+    * group the discrete order statistic next to an interpolated
+    * quantile can sit far away in value space while being exactly
+    * right in rank space (observed: p90 of a 25-doc source interp-
+    * lands at 81.0 between neighbors 72 and 87). */
+  val QuantileAccuracy = 10000
+  val QuantileTolerance = 0.05
+
+  def lengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantilesFrom(Tables.documents(spark, dir))
+
+  /** (source, n_docs, p50_exact, p90_exact, p50_within_tol,
+    * p90_within_tol): exact interpolated percentiles (hash-gated) and
+    * the sketch-vs-exact rank-band verdicts. */
+  def lengthQuantilesFrom(docs: DataFrame): DataFrame =
+    lengthQuantilesRawFrom(docs)
+      .select($"source", $"n_docs",
+        round($"p50_exact", 6).as("p50_exact"),
+        round($"p90_exact", 6).as("p90_exact"),
+        ($"p50_approx" >= $"p50_lo" && $"p50_approx" <= $"p50_hi")
+          .as("p50_within_tol"),
+        ($"p90_approx" >= $"p90_lo" && $"p90_approx" <= $"p90_hi")
+          .as("p90_within_tol"))
+
+  /** Dev/audit form WITH the engine-specific sketch estimates and the
+    * exact rank-band edges the verdict compares against. */
+  def lengthQuantilesRawFrom(docs: DataFrame): DataFrame =
+    docs
+      .select($"source",
+        size(TextOps.tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile($"n_tokens", lit(0.5)).as("p50_exact"),
+        percentile($"n_tokens", lit(0.9)).as("p90_exact"),
+        percentile($"n_tokens", lit(0.5 - QuantileTolerance)).as("p50_lo"),
+        percentile($"n_tokens", lit(0.5 + QuantileTolerance)).as("p50_hi"),
+        percentile($"n_tokens", lit(0.9 - QuantileTolerance)).as("p90_lo"),
+        percentile($"n_tokens", lit(0.9 + QuantileTolerance)).as("p90_hi"),
+        percentile_approx($"n_tokens", lit(0.5), lit(QuantileAccuracy))
+          .cast(DoubleType).as("p50_approx"),
+        percentile_approx($"n_tokens", lit(0.9), lit(QuantileAccuracy))
+          .cast(DoubleType).as("p90_approx"))
+      .orderBy($"source")
+
+  /** The production path: sketch only — one partial-aggregable pass,
+    * no exact sort anywhere. */
+  def lengthQuantilesSketch(docs: DataFrame): DataFrame =
+    docs
+      .select($"source",
+        size(TextOps.tokens($"text")).cast(LongType).as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx($"n_tokens", lit(0.5), lit(QuantileAccuracy))
+          .as("p50"),
+        percentile_approx($"n_tokens", lit(0.9), lit(QuantileAccuracy))
+          .as("p90"))
+      .orderBy($"source")
+
+  val lengthQuantilesSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(quantile_cont(len(${TextOps.tokensSql}), 0.5), 6) AS p50_exact,
+       |  ROUND(quantile_cont(len(${TextOps.tokensSql}), 0.9), 6) AS p90_exact,
+       |  TRUE AS p50_within_tol,
+       |  TRUE AS p90_within_tol
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

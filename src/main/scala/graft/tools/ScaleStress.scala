@@ -80,6 +80,9 @@ object ScaleStress {
       Corpus.trainingCorpusFrom(spark, docs).count())
     time("q77 source cap")(
       Corpus.sourceCapFrom(docs, Corpus.SourceCapN).count())
+    time("q79 seq pack")(Corpus.seqPackFrom(docs).count())
+    time("q80 bpe pairs")(Corpus.bpePairStatsFrom(docs).count())
+    time("q81 length quantiles")(Corpus.lengthQuantilesFrom(docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())

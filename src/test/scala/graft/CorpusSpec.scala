@@ -462,6 +462,104 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.keySet.filter(_ <= 20L).subsetOf(halfKept))
   }
 
+  test("q79 seq pack: streams abut exactly per split — independent " +
+       "prefix-sum recomputation over the (pbucket, doc_id) order") {
+    val rows = Corpus.seqPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // independent md5-slice pack bucket (chars 9–16 of the hex digest)
+    def pbucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(8, 16), 16) % Corpus.NumPackBuckets
+    }
+    rows.groupBy(_._2).foreach { case (split, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (pbucket(d._1), d._1)).foreach { d =>
+        assert(d._4 === cum, s"split $split doc ${d._1}: gap or overlap")
+        cum += d._3
+      }
+      // abutment ⇒ every sequence index up to the last is populated
+      val lastSeq = docs.map(_._7).max
+      assert(lastSeq === (cum - 1) / Corpus.SeqPackLen)
+    }
+  }
+
+  test("q79 seq pack: span arithmetic consistent and EOS accounted") {
+    val L = Corpus.SeqPackLen
+    val rows = Corpus.seqPack(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, cum) = (r.getLong(2), r.getLong(3))
+      val (sf0, off, sl, ns) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(sf0 === cum / L && off === cum % L)
+      assert(sl === (cum + n - 1) / L && ns === sl - sf0 + 1)
+      assert(n >= 2, "every doc carries >= 1 token + its EOS")
+    }
+    // n_tokens = whitespace tokens + 1 (EOS), pinned against raw text
+    val toks = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text").trim.split("\\s+").length + 1L)).toMap
+    rows.foreach(r => assert(r.getLong(2) === toks(r.getLong(0))))
+  }
+
+  test("q80 bpe pairs: weighted adjacent-pair counts on a hand corpus, " +
+       "ties broken lexicographically") {
+    val out = Corpus.bpePairStatsFrom(
+      docsFrame(1L -> "aaab aaab", 2L -> "aaab xy")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "aaab"×3 → aa appears at 2 positions per word (6 weighted),
+    // ab at 1 (3); "xy"×1 → xy:1
+    assert(out.toSeq === Seq((1L, "aa", 6L), (2L, "ab", 3L), (3L, "xy", 1L)))
+    val tie = Corpus.bpePairStatsFrom(docsFrame(1L -> "cd ab")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(tie.toSeq === Seq((1L, "ab", 1L), (2L, "cd", 1L)))
+  }
+
+  test("q80 bpe pairs: fixture run deterministic, ranks dense, counts " +
+       "non-increasing, single-char tokens contribute nothing") {
+    val a = Corpus.bpePairStats(spark, sf).collect()
+    val b = Corpus.bpePairStats(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getLong(0)).toSeq === (1L to a.length))
+    assert(a.length <= Corpus.BpeTopPairs && a.nonEmpty)
+    a.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi.getLong(2) >= lo.getLong(2))
+      case _ =>
+    }
+    a.foreach(r => assert(r.getString(1).length === 2))
+    val solo = Corpus.bpePairStatsFrom(docsFrame(1L -> "a b c")).collect()
+    assert(solo.isEmpty)
+  }
+
+  test("q81 length quantiles: exact percentiles match a hand " +
+       "interpolation and every sketch verdict holds") {
+    val rows = Corpus.lengthQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"${r.getString(0)}: sketch strayed past the tolerance")
+    }
+    // hand interpolation (the quantile_cont convention) per source
+    val bySource = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        r.getAs[String]("text").trim.split("\\s+").length.toDouble)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(v: Array[Double], p: Double): Double = {
+      val pos = p * (v.length - 1)
+      val lo = pos.toInt
+      if (lo + 1 >= v.length) v(lo)
+      else v(lo) + (v(lo + 1) - v(lo)) * (pos - lo)
+    }
+    rows.foreach { r =>
+      val v = bySource(r.getString(0))
+      assert(r.getLong(1) === v.length.toLong)
+      assert(math.abs(r.getDouble(2) - interp(v, 0.5)) < 1e-6)
+      assert(math.abs(r.getDouble(3) - interp(v, 0.9)) < 1e-6)
+    }
+  }
+
   test("q65 tf-idf: ubiquitous tokens score zero, rare tokens rank first") {
     val docs = Seq(
       (1L, "common common rare1"),

@@ -82,6 +82,39 @@ class PlanSpec extends AnyFunSuite {
       "no window partitioned by pbucket — the two-level packing was removed?")
   }
 
+  test("q79 seq pack: the doc-level running-sum window is keyed by the " +
+       "pack bucket (q64's two-level discipline)") {
+    // same structural pin as q64: a window ORDERED over the doc
+    // stream (doc_id in the order clause) must partition by pbucket,
+    // or one split's token stream funnels through a single task
+    val p = plan("q79_seq_pack")
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty, s"no window in the q79 plan:\n${p.take(3000)}")
+    val docLevel = specs.filter { s =>
+      val cut = Seq(s.indexOf(" ASC"), s.indexOf(" DESC"))
+        .filter(_ >= 0).minOption.getOrElse(s.length)
+      val partitionCols = s.take(cut).split(",").dropRight(1).mkString(",")
+      if (s.contains("doc_id"))
+        assert(partitionCols.contains("pbucket"),
+          s"doc-stream window partitioned without the pack bucket: $s")
+      partitionCols.contains("pbucket")
+    }
+    assert(docLevel.nonEmpty,
+      "no window partitioned by pbucket — the two-level packing was removed?")
+  }
+
+  test("q80 bpe pairs: word counts partial-aggregate and the top-k is " +
+       "a TakeOrderedAndProject, never a global sort") {
+    val p = plan("q80_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-task heaps + merge, not a full sort:\n${p.take(3000)}")
+    assert(p.contains("HashAggregate"),
+      s"word/pair counts must hash-aggregate (map-side combine):\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>")
+      || p.contains("ReadSchema: struct<text:string>"),
+      s"the scan must prune to the text column:\n${p.take(3000)}")
+  }
+
   test("q72 chunking: row-local generate — the only exchange is the " +
        "oracle's final sort, and the scan prunes to (doc_id, text)") {
     val p = plan("q72_chunk_docs")
