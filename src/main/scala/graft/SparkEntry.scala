@@ -101,6 +101,7 @@ object SparkEntry {
     "q79_seq_pack"          -> (Corpus.seqPack(_, _)),
     "q80_bpe_pairs"         -> (Corpus.bpePairStats(_, _)),
     "q81_length_quantiles"  -> (Corpus.lengthQuantiles(_, _)),
+    "q82_repeated_spans"    -> (Dedup.repeatedSpans(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -205,6 +206,7 @@ object SparkEntry {
     // q81's sketch estimates are engine-specific; the oracle gates the
     // exact percentiles and the within-tolerance verdicts (q14 style)
     "q81_length_quantiles"  -> Corpus.lengthQuantilesSql,
+    "q82_repeated_spans"    -> Dedup.repeatedSpansSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

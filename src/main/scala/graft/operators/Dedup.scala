@@ -915,6 +915,91 @@ object Dedup {
        |  FROM grams)
        |SELECT DISTINCT doc_id, fp FROM winnowed ORDER BY doc_id, fp""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q82 — cross-document repeated spans: for each document, the
+  // fraction of its distinct [[SpanK]]-word shingles that also appear
+  // in some OTHER document, plus a keep verdict. This is the
+  // span-level dup signal (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better"): q44/q47 catch whole-document
+  // clones, but a doc that is 60% boilerplate shared with thousands
+  // of others passes both — and lights up here. Spans are 5 words
+  // (the q59 decontamination granularity; measured on the fixture:
+  // char-8-gram and word-trigram variants saturate — every doc shares
+  // most of them on template-generated text — while 5-word spans
+  // separate cleanly: median shared fraction 0, and exactly the
+  // near-dup clone families exceed the gate).
+  //
+  // 100 TB shape: the shingle pass is the zero-shuffle
+  // graft_shingle_fps Generator (distinct 32-bit fps per doc, one
+  // tight loop); fp doc-counts are one partial-aggregated groupBy (a
+  // boilerplate fp in 10⁸ docs collapses map-side first); the
+  // count-back join and per-doc rollup shuffle only (doc_id, fp)
+  // long pairs — the corpus text never moves. A pathologically hot
+  // fp skews the count-back join; that is AQE skew-split territory,
+  // and the count side is orders smaller than the corpus.
+  // ---------------------------------------------------------------
+
+  /** Span length in words and the keep gate: more than half the
+    * doc's spans shared elsewhere flags it. */
+  val SpanK = 5
+  val MaxSharedFpFrac = 0.5
+
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpansFrom(Tables.documents(spark, dir))
+
+  /** (doc_id, n_fps, n_shared, shared_frac, keep) per document,
+    * ordered by doc_id; docs too short for one span keep with
+    * shared_frac 0. */
+  def repeatedSpansFrom(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val fps = docs.select($"doc_id",
+      expr(s"graft_shingle_fps(text, $SpanK)").as("fp"))
+    // the Generator dedups within doc, so count(*) = distinct docs
+    val counts = fps.groupBy($"fp").agg(count(lit(1)).as("n_docs_fp"))
+    val perDoc = fps.join(counts, Seq("fp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when($"n_docs_fp" >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_fps", lit(0L)).as("n_fps"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        round(coalesce($"n_shared" / $"n_fps", lit(0.0)), 6)
+          .as("shared_frac"))
+      .withColumn("keep", $"shared_frac" <= MaxSharedFpFrac)
+      .orderBy($"doc_id")
+  }
+
+  val repeatedSpansSql: String = {
+    val concat = (0 until SpanK).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${graft.operators.TextOps.tokensSql} AS toks
+       |  FROM documents),
+       |shd AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - ${SpanK - 1}),
+       |      i -> $concat)) AS s
+       |  FROM tok WHERE len(toks) >= $SpanK),
+       |fps AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS fp
+       |  FROM shd),
+       |cnt AS (SELECT fp, COUNT(*) AS n_docs_fp FROM fps GROUP BY fp),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_fps,
+       |    SUM(CASE WHEN n_docs_fp >= 2 THEN 1 ELSE 0 END) AS n_shared
+       |  FROM fps JOIN cnt USING (fp) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_fps, 0) AS BIGINT) AS n_fps,
+       |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+       |  ROUND(COALESCE(n_shared * 1.0 / n_fps, 0.0), 6) AS shared_frac,
+       |  ROUND(COALESCE(n_shared * 1.0 / n_fps, 0.0), 6) <= $MaxSharedFpFrac
+       |    AS keep
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val simhashSql: String =
     s"""WITH ${shinglesCte()},
        |votes AS (

@@ -83,6 +83,7 @@ object ScaleStress {
     time("q79 seq pack")(Corpus.seqPackFrom(docs).count())
     time("q80 bpe pairs")(Corpus.bpePairStatsFrom(docs).count())
     time("q81 length quantiles")(Corpus.lengthQuantilesFrom(docs).count())
+    time("q82 repeated spans")(Dedup.repeatedSpansFrom(docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())

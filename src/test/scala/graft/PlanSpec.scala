@@ -115,6 +115,18 @@ class PlanSpec extends AnyFunSuite {
       s"the scan must prune to the text column:\n${p.take(3000)}")
   }
 
+  test("q82 repeated spans: fingerprints come from the one-pass " +
+       "Generator and the rollups hash-aggregate — no cartesian anywhere") {
+    val p = plan("q82_repeated_spans")
+    assert(p.contains("Generate"),
+      s"the winnow Generator must produce the fps (no explode+window):\n" +
+        p.take(3000))
+    assert(p.contains("HashAggregate"),
+      s"fp counts and per-doc rollups must hash-aggregate:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anything belongs in the span audit:\n${p.take(3000)}")
+  }
+
   test("q72 chunking: row-local generate — the only exchange is the " +
        "oracle's final sort, and the scan prunes to (doc_id, text)") {
     val p = plan("q72_chunk_docs")

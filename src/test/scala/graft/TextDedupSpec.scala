@@ -448,6 +448,42 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q82 repeated spans: planted boilerplate flags, unique docs keep, " +
+       "partial overlap lands strictly between") {
+    import spark.implicits._
+    val boiler =
+      "this is a long shared boilerplate sentence that repeats everywhere"
+    val docs = Seq(
+      (1L, boiler),
+      (2L, boiler),
+      (3L, s"alpha beta gamma delta epsilon zeta eta theta iota $boiler"),
+      (4L, "zzz qqq vvv www kkk mmm nnn ppp rrr ttt uuu xxx yyy jjj"))
+      .toDF("doc_id", "text")
+    val out = Dedup.repeatedSpansFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._3 === 1.0 && !out(1L)._4, "full clone must flag")
+    assert(out(2L)._3 === 1.0 && !out(2L)._4)
+    assert(out(3L)._3 > 0.0 && out(3L)._3 < 1.0,
+      "partial boilerplate is a strict mixture")
+    assert(out(3L)._2 > 0 && out(3L)._2 < out(3L)._1)
+    assert(out(4L)._3 === 0.0 && out(4L)._4, "unique doc keeps clean")
+  }
+
+  test("q82 repeated spans: one row per fixture doc, verdicts consistent, " +
+       "near-dup clone families light up") {
+    val rows = Dedup.repeatedSpans(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "shared <= total")
+      assert(r.getBoolean(4) ===
+        (r.getDouble(3) <= Dedup.MaxSharedFpFrac))
+    }
+    assert(rows.exists(!_.getBoolean(4)),
+      "the fixture's planted near-dup families must flag")
+    assert(rows.exists(_.getBoolean(4)))
+  }
+
   test("q78 label coherence: graft_vec_avg centroid is bit-identical " +
        "to the decimal posexplode mean") {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
