@@ -59,23 +59,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft entry
-    * points — Bench, Verify, TestSpark, tools — set it at builder
-    * time; setting it here per-call would mutate shared session conf
-    * under concurrently-planning queries). The raw nanosecond long is
-    * truncated to microseconds with integer arithmetic (`div` — a
-    * double round-trip would lose precision above 2^53 ns), matching
-    * DuckDB's truncating ns→µs read, so oracle comparisons line up
-    * exactly. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events.ts` normalized to a session-zoned TIMESTAMP regardless of
+    * the on-disk encoding. Fixture generations have shipped two
+    * layouts, both handled here so the whole engine sees one shape:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's reader rejects it unless the
+    *    session sets `spark.sql.legacy.parquet.nanosAsLong=true` (all
+    *    graft entry points do, at builder time — a no-op for other
+    *    layouts). The raw nanosecond long is truncated to microseconds
+    *    with integer arithmetic (`div` — a double round-trip would
+    *    lose precision above 2^53 ns), matching DuckDB's truncating
+    *    ns→µs read.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to the session-zoned type (sessions run
+    *    UTC, so the wall clock — and every downstream date/hour
+    *    bucket — is unchanged, and DuckDB's naive read agrees).
+    */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(s, load(s, d, "events"))
+
+  /** See [[events]] — shared with the streaming reader, which must
+    * normalize the same way so batch and micro-batch plans agree. */
+  def normalizeEventsTs(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+          "events.ts read as LongType implies TIMESTAMP(NANOS) data: " +
+            "build the session with spark.sql.legacy.parquet.nanosAsLong=true")
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

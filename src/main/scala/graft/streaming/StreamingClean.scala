@@ -27,29 +27,16 @@ import graft.syntax._
   */
 object StreamingClean {
 
-  /** events.parquet raw schema for the streaming reader — `ts` arrives
-    * as nanosecond INT64 (see graft.Tables.events). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Run the streaming clean over `$sfDir/events.parquet`, merging
-    * each micro-batch into the silver store at `outPath`. Blocks until
-    * the backlog is drained; returns the final silver table. */
   /** Streaming reader over an events parquet file or directory,
-    * normalized to the batch `Tables.events` shape (ns → µs). The
-    * file-stream source requires a directory, so single files are
-    * staged via symlink. */
+    * normalized to the batch `Tables.events` shape. The file-stream
+    * source needs an explicit schema, so the actual on-disk schema is
+    * peeked with a one-off batch footer read — which also makes the
+    * stream robust to both fixture `ts` encodings (nanos INT64 vs
+    * micros NTZ; see `Tables.normalizeEventsTs`). The file-stream
+    * source requires a directory, so single files are staged via
+    * symlink. */
   def readEventsStream(spark: SparkSession, eventsPath: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      .contains("true"),
-      "events streams are TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
     val src = java.nio.file.Paths.get(eventsPath)
     val inputDir =
       if (java.nio.file.Files.isDirectory(src)) eventsPath
@@ -59,12 +46,12 @@ object StreamingClean {
           d.resolve(src.getFileName), src)
         d.toString
       }
+    val onDisk = spark.read.parquet(eventsPath).schema
     val reader = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(onDisk)
     val withRate = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    withRate.parquet(inputDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(spark, withRate.parquet(inputDir))
   }
 
   /** Recursive delete for the bounded-drain temp dirs below. A live
