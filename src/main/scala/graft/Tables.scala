@@ -90,6 +90,13 @@ object Tables {
             "build the session with spark.sql.legacy.parquet.nanosAsLong=true")
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // the NTZ→timestamp cast interprets the wall clock in the
+        // session zone; anything but UTC would silently shift every
+        // instant (the LongType branch fails loudly via require when
+        // its config is missing — be symmetric here)
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts read as TIMESTAMP_NTZ is cast in the session zone: " +
+            "build the session with spark.sql.session.timeZone=UTC")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
