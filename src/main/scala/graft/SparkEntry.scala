@@ -102,6 +102,10 @@ object SparkEntry {
     "q80_bpe_pairs"         -> (Corpus.bpePairStats(_, _)),
     "q81_length_quantiles"  -> (Corpus.lengthQuantiles(_, _)),
     "q82_repeated_spans"    -> (Dedup.repeatedSpans(_, _)),
+    "q83_ppl_buckets"       -> (Corpus.perplexityBuckets(_, _)),
+    "q84_snapshot_diff"     -> (Corpus.snapshotDiff(_, _)),
+    "q85_containment_pairs" -> (Dedup.containmentPairs(_, _)),
+    "q86_heavy_hitters"     -> (Corpus.heavyHitters(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +211,12 @@ object SparkEntry {
     // exact percentiles and the within-tolerance verdicts (q14 style)
     "q81_length_quantiles"  -> Corpus.lengthQuantilesSql,
     "q82_repeated_spans"    -> Dedup.repeatedSpansSql,
+    "q83_ppl_buckets"       -> Corpus.perplexityBucketsSql,
+    "q84_snapshot_diff"     -> Corpus.snapshotDiffSql,
+    "q85_containment_pairs" -> Dedup.containmentPairsSql,
+    // q86's CMS is built from an engine-neutral md5 hash, so unlike
+    // q14's HLL the ESTIMATE itself is hash-gated, not just bounded.
+    "q86_heavy_hitters"     -> Corpus.heavyHittersSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1080,4 +1080,235 @@ object Corpus {
        |  TRUE AS p50_within_tol,
        |  TRUE AS p90_within_tol
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q83 — CCNet-style perplexity bucketing: split each language's
+  // documents into head / middle / tail thirds by LM score (CCNet
+  // buckets by KenLM perplexity; the q74 unigram log-probability is
+  // the same signal with the LM swapped, see q74's header). Training
+  // recipes sample the thirds at different rates — head-heavy for
+  // quality, tail kept for diversity — so the bucket label is a
+  // first-class corpus column, and bucketing PER LANGUAGE matters
+  // because raw LM scores are not comparable across languages.
+  //
+  // 100 TB shape: the corpus-scale work is q74 itself; the boundary
+  // step reduces to one row per (lang, boundary) — computed here with
+  // the EXACT interpolated quantile for oracle parity, swapped for
+  // percentile_approx's mergeable KLL sketch in production (the q81
+  // discipline; [[perplexityBucketsSketch]] is that path) — then
+  // broadcast back for a row-local CASE. No per-lang window, no
+  // single-partition sort anywhere.
+  // ---------------------------------------------------------------
+
+  /** Tertile points as exact double literals; the SQL twins inline the
+    * same digits so both engines interpolate at the identical rank. */
+  val PplTertileLo = 1.0 / 3
+  val PplTertileHi = 2.0 / 3
+
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsFrom(Tables.documents(spark, dir))
+
+  def perplexityBucketsFrom(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProbFrom(docs)
+      .select($"doc_id", $"avg_logprob")
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val bounds = scored.groupBy($"lang").agg(
+      round(percentile($"avg_logprob", lit(PplTertileLo)), 6).as("b_lo"),
+      round(percentile($"avg_logprob", lit(PplTertileHi)), 6).as("b_hi"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select($"doc_id", $"lang", $"avg_logprob",
+        when($"avg_logprob" >= $"b_hi", lit("head"))
+          .when($"avg_logprob" >= $"b_lo", lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** Production path: tertile boundaries from the mergeable
+    * percentile_approx sketch instead of the exact sort — the only
+    * line that changes at scale. */
+  def perplexityBucketsSketch(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProbFrom(docs)
+      .select($"doc_id", $"avg_logprob")
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val bounds = scored.groupBy($"lang").agg(
+      percentile_approx($"avg_logprob", lit(PplTertileLo),
+        lit(QuantileAccuracy)).as("b_lo"),
+      percentile_approx($"avg_logprob", lit(PplTertileHi),
+        lit(QuantileAccuracy)).as("b_hi"))
+    scored.join(broadcast(bounds), Seq("lang"))
+      .select($"doc_id", $"lang", $"avg_logprob",
+        when($"avg_logprob" >= $"b_hi", lit("head"))
+          .when($"avg_logprob" >= $"b_lo", lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val perplexityBucketsSql: String =
+    s"""WITH scored AS (
+       |  SELECT l.doc_id, d.lang, l.avg_logprob
+       |  FROM ($unigramLogProbSql) l JOIN documents d USING (doc_id)),
+       |bounds AS (
+       |  SELECT lang,
+       |    ROUND(quantile_cont(avg_logprob, ${PplTertileLo}), 6) AS b_lo,
+       |    ROUND(quantile_cont(avg_logprob, ${PplTertileHi}), 6) AS b_hi
+       |  FROM scored GROUP BY lang)
+       |SELECT doc_id, lang, avg_logprob,
+       |  CASE WHEN avg_logprob >= b_hi THEN 'head'
+       |       WHEN avg_logprob >= b_lo THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM scored JOIN bounds USING (lang) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q84 — corpus snapshot diff: classify every document as added /
+  // removed / changed / unchanged between two crawl snapshots by
+  // content digest. The ops question behind every corpus refresh —
+  // "what actually changed since the version we trained on?" — and
+  // the input to incremental re-processing (only 'added'+'changed'
+  // need re-scoring, re-dedup probing, re-embedding).
+  //
+  // The fixtures ship one documents table, so the named query derives
+  // the two snapshots deterministically from it: docs with
+  // doc_id % 17 == 3 joined after the old crawl (→ added), docs with
+  // doc_id % 19 == 7 were dropped before the new one (→ removed), and
+  // docs with doc_id % 13 == 5 had different text in the old crawl
+  // (simulated by salting the old digest — the diff only ever sees
+  // digests, so WHAT changed is irrelevant). The oracle twin applies
+  // the identical derivation; [[snapshotDiffOf]] takes two real
+  // snapshot frames.
+  //
+  // 100 TB shape: one full-outer sort-merge join co-partitioned on
+  // doc_id — both sides shuffle exactly once on the join key; the
+  // digest compare and status CASE are row-local. With both
+  // snapshots bucketed by doc_id on disk (sources/Layout.scala), the
+  // shuffle disappears entirely.
+  // ---------------------------------------------------------------
+
+  val SnapAddedMod = 17L;   val SnapAddedRes = 3L
+  val SnapRemovedMod = 19L; val SnapRemovedRes = 7L
+  val SnapChangedMod = 13L; val SnapChangedRes = 5L
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prev = docs.filter($"doc_id" % SnapAddedMod =!= SnapAddedRes)
+      .select($"doc_id",
+        md5(when($"doc_id" % SnapChangedMod === SnapChangedRes,
+              concat($"text", lit(":prev")))
+            .otherwise($"text").cast(BinaryType)).as("prev_digest"))
+    val cur = docs.filter($"doc_id" % SnapRemovedMod =!= SnapRemovedRes)
+      .select($"doc_id", md5($"text".cast(BinaryType)).as("cur_digest"))
+    snapshotDiffOf(prev, cur)
+  }
+
+  /** The general operator: diff any two (doc_id, *_digest) snapshot
+    * frames. */
+  def snapshotDiffOf(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.join(cur, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"prev_digest".isNull, lit("added"))
+          .when($"cur_digest".isNull, lit("removed"))
+          .when($"prev_digest" =!= $"cur_digest", lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        $"prev_digest", $"cur_digest")
+      .orderBy($"doc_id")
+
+  val snapshotDiffSql: String =
+    s"""WITH prev AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % $SnapChangedMod = $SnapChangedRes
+       |             THEN text || ':prev' ELSE text END) AS prev_digest
+       |  FROM documents WHERE doc_id % $SnapAddedMod <> $SnapAddedRes),
+       |cur AS (
+       |  SELECT doc_id, md5(text) AS cur_digest
+       |  FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)
+       |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+       |  CASE WHEN p.doc_id IS NULL THEN 'added'
+       |       WHEN c.doc_id IS NULL THEN 'removed'
+       |       WHEN prev_digest <> cur_digest THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  prev_digest, cur_digest
+       |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q86 — heavy hitters with a count-min sketch attestation: the
+  // exact top-K corpus tokens (hash-gated) alongside the CMS estimate
+  // and a verdict that the sketch landed inside its ε = 2/width error
+  // bound — the q14/q81 discipline applied to frequency sketching.
+  // Unlike q14's HLL (whose estimate is engine-internal and can only
+  // be rows-checked), the CMS here is BUILT from an engine-neutral
+  // md5 hash, so the estimate itself hash-matches the oracle: the
+  // sketch math is verified end-to-end, not just bounded.
+  //
+  // 100 TB shape: the token aggregate is the only corpus-scale
+  // shuffle (map-side combine collapses repeats before the exchange);
+  // the sketch is depth × width = 4 × 1024 counters built FROM that
+  // aggregate (in a streaming deployment the same counters are
+  // maintained incrementally — CMS rows merge by +, the reason the
+  // structure exists); the counter table is broadcast for the probe
+  // join, and the top-K is a TakeOrdered, never a global sort.
+  // ---------------------------------------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  val HeavyHitterK = 50
+
+  /** Row r of the sketch: md5("cms<r>:<token>") folded to [0, width). */
+  private def cmsBucket(row: Column, token: Column): Column =
+    conv(substring(md5(concat(lit("cms"), row.cast(StringType), lit(":"),
+      token).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % CmsWidth
+  private def cmsBucketSql(row: String): String =
+    s"CAST('0x' || substring(md5('cms' || $row || ':' || token), 1, 8) " +
+      s"AS BIGINT) % $CmsWidth"
+
+  private def cmsRows: Column =
+    explode(array((0 until CmsDepth).map(lit): _*))
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFrom(Tables.documents(spark, dir))
+
+  def heavyHittersFrom(docs: DataFrame): DataFrame = {
+    val tf = docs.select(explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum($"cnt").cast(LongType).as("n"))
+    val counters = tf.select($"token", $"cnt", cmsRows.as("r"))
+      .select($"r", cmsBucket($"r", $"token").as("b"), $"cnt")
+      .groupBy($"r", $"b").agg(sum($"cnt").cast(LongType).as("c"))
+    val topk = tf.orderBy($"cnt".desc, $"token").limit(HeavyHitterK)
+    topk.select($"token", $"cnt", cmsRows.as("r"))
+      .withColumn("b", cmsBucket($"r", $"token"))
+      .join(broadcast(counters), Seq("r", "b"))
+      .groupBy($"token", $"cnt").agg(min($"c").as("cms_est"))
+      .crossJoin(broadcast(total))
+      .select($"token", $"cnt", $"cms_est",
+        ($"cms_est" >= $"cnt" &&
+          ($"cms_est" - $"cnt").cast(DoubleType) <=
+            $"n".cast(DoubleType) * 2 / CmsWidth).as("within_bound"))
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tf),
+       |rws AS (SELECT unnest([${(0 until CmsDepth).mkString(",")}]) AS r),
+       |counters AS (
+       |  SELECT r, ${cmsBucketSql("CAST(r AS VARCHAR)")} AS b,
+       |    CAST(SUM(cnt) AS BIGINT) AS c
+       |  FROM tf CROSS JOIN rws GROUP BY 1, 2),
+       |topk AS (SELECT token, cnt FROM tf
+       |         ORDER BY cnt DESC, token LIMIT $HeavyHitterK),
+       |probes AS (
+       |  SELECT token, cnt, r, ${cmsBucketSql("CAST(r AS VARCHAR)")} AS b
+       |  FROM topk CROSS JOIN rws),
+       |est AS (
+       |  SELECT token, cnt, MIN(c) AS cms_est
+       |  FROM probes JOIN counters USING (r, b) GROUP BY 1, 2)
+       |SELECT token, cnt, cms_est,
+       |  (cms_est >= cnt AND
+       |   CAST(cms_est - cnt AS DOUBLE) <= CAST(n AS DOUBLE) * 2 / $CmsWidth)
+       |    AS within_bound
+       |FROM est CROSS JOIN tot ORDER BY cnt DESC, token""".stripMargin
 }

@@ -107,8 +107,11 @@ object Dedup {
     * kernel behind the fp (q45) and string (audit/drift-spec) paths.
     * Set sizes are computed AFTER the frequency cutoff (both engines),
     * i.e. Jaccard over the kept-shingle universe. */
-  private[operators] def jaccardPairsOver(
-      items: DataFrame, itemCol: String, threshold: Double,
+  /** The shared all-pairs overlap kernel behind q45 (Jaccard) and q85
+    * (containment): (doc_a, doc_b, i, na, nb) for every co-occurring
+    * pair over the kept-item universe. */
+  private[operators] def pairOverlap(
+      items: DataFrame, itemCol: String,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
     // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
     // same shape as the q47 mega-bucket guard. Only the kept frame is
@@ -135,11 +138,16 @@ object Dedup {
                  .withColumnRenamed("n", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
                  .withColumnRenamed("n", "nb"), Seq("doc_b"))
+  }
+
+  private[operators] def jaccardPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    pairOverlap(items, itemCol, maxDocFreq)
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
-  }
 
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsOver(shingleFps(spark, dir), "fp", JaccardThreshold)
@@ -183,6 +191,65 @@ object Dedup {
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q85 — shingle containment pairs: C(A|B) = |A∩B| / |A| in both
+  // directions. The asymmetric twin of q45's Jaccard, and the measure
+  // that actually catches quote-and-extend duplication: a document
+  // wholly embedded in a much longer one has near-1 containment while
+  // its Jaccard (÷ the union) can sit far below any dedup threshold —
+  // the pair q45/q47 structurally cannot flag. Production corpora run
+  // both: Jaccard for near-identical pairs, containment for
+  // subset/superset pairs (the MinHash-era "containment search"
+  // problem; LSH-ensemble papers exist precisely because banded
+  // MinHash under-recalls high-containment/low-Jaccard pairs).
+  //
+  // 100 TB shape: identical to q45 — the shared [[pairOverlap]]
+  // kernel (hot-shingle broadcast anti-join + doc-freq cutoff keeps
+  // the self-join linear in occurrences); the containment division is
+  // row-local on the pair aggregate.
+  // ---------------------------------------------------------------
+
+  val ContainmentThreshold = 0.8
+
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOver(shingleFps(spark, dir), "fp", ContainmentThreshold)
+
+  def containmentPairsFrom(docs: DataFrame,
+                           threshold: Double = ContainmentThreshold,
+                           maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    containmentPairsOver(shingleFpsFrom(docs), "fp", threshold, maxDocFreq)
+
+  private[operators] def containmentPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    pairOverlap(items, itemCol, maxDocFreq)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / $"na").as("containment_a"),
+        ($"i" * lit(1.0) / $"nb").as("containment_b"))
+      .filter(greatest($"containment_a", $"containment_b") >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+
+  val containmentPairsSql: String =
+    s"""WITH ${shinglesCte()},
+       |$fpsCte,
+       |hot AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING COUNT(*) > $MaxShingleDocFreq),
+       |kept AS (SELECT * FROM fps
+       |         WHERE fp NOT IN (SELECT fp FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, i * 1.0 / sa.n AS containment_a,
+       |  i * 1.0 / sb.n AS containment_b
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n)
+       |  >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------

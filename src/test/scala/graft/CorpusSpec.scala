@@ -592,4 +592,106 @@ class CorpusSpec extends AnyFunSuite {
       members.foreach(m => assert(m.getLong(2) === members.length.toLong))
     }
   }
+
+  test("q83 ppl buckets: per-lang thirds, ordered by score, every doc " +
+       "bucketed exactly once") {
+    val rows = Corpus.perplexityBuckets(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_.getString(3))
+        .view.mapValues(_.map(_.getDouble(2))).toMap
+      // ordering: every head score >= every middle score >= every tail
+      for (h <- byBucket.getOrElse("head", Array());
+           m <- byBucket.getOrElse("middle", Array())) assert(h >= m)
+      for (m <- byBucket.getOrElse("middle", Array());
+           t <- byBucket.getOrElse("tail", Array())) assert(m >= t)
+      // thirds: no bucket swallows the language (boundary ties can
+      // shift a few docs, not a third)
+      val n = docs.length.toDouble
+      if (n >= 30)
+        byBucket.values.foreach(b => assert(b.length / n < 0.5,
+          s"$lang: a tertile holds ${b.length / n} of the docs"))
+    }
+  }
+
+  test("q83 ppl buckets: sketch-boundary path agrees with the exact " +
+       "path on nearly every doc") {
+    val exact = Corpus.perplexityBuckets(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val approx = Corpus
+      .perplexityBucketsSketch(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    val agree = exact.count { case (id, b) => approx(id) == b }
+    assert(agree >= exact.size * 0.9,
+      s"sketch boundaries moved ${exact.size - agree} of ${exact.size} docs")
+  }
+
+  test("q84 snapshot diff: statuses match the deterministic derivation") {
+    val rows = Corpus.snapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.documents(spark, sf).select($"doc_id")
+      .collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val inPrev = id % Corpus.SnapAddedMod != Corpus.SnapAddedRes
+      val inCur = id % Corpus.SnapRemovedMod != Corpus.SnapRemovedRes
+      val salted = id % Corpus.SnapChangedMod == Corpus.SnapChangedRes
+      (inPrev, inCur) match {
+        case (false, false) => assert(!rows.contains(id))
+        case (false, true)  => assert(rows(id) === "added")
+        case (true, false)  => assert(rows(id) === "removed")
+        case (true, true)   =>
+          assert(rows(id) === (if (salted) "changed" else "unchanged"))
+      }
+    }
+    assert(rows.size === ids.count(id =>
+      id % Corpus.SnapAddedMod != Corpus.SnapAddedRes ||
+        id % Corpus.SnapRemovedMod != Corpus.SnapRemovedRes))
+  }
+
+  test("q84 snapshot diff: hand snapshots classify all four ways") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "prev_digest")
+    val cur = Seq((2L, "b"), (3L, "C"), (4L, "d"))
+      .toDF("doc_id", "cur_digest")
+    val out = Corpus.snapshotDiffOf(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("q86 heavy hitters: exact counts verified by hand, CMS never " +
+       "underestimates, every fixture verdict holds") {
+    val rows = Corpus.heavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Corpus.HeavyHitterK)
+    // descending by count, token tiebreak
+    rows.sliding(2).foreach {
+      case Array(hi, lo) =>
+        assert(hi.getLong(1) > lo.getLong(1) ||
+          (hi.getLong(1) == lo.getLong(1) &&
+            hi.getString(0) < lo.getString(0)))
+      case _ =>
+    }
+    // CMS structural guarantee: est >= truth, always
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: CMS strayed past the 2N/w bound"))
+    // exact counts pinned against a driver-side recount
+    val truth = Tables.documents(spark, sf).collect()
+      .flatMap(_.getAs[String]("text").trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) === truth(r.getString(0))))
+  }
+
+  test("q86 heavy hitters: hand corpus — top-k cut and the estimate " +
+       "of an uncollided token is exact") {
+    val out = Corpus.heavyHittersFrom(
+      docsFrame(1L -> "x x x y y z")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+    // 3 tokens into 4×1024 buckets: collisions are ~impossible, the
+    // min over rows recovers the exact count
+    out.foreach(r => assert(r.getLong(2) === r.getLong(1)))
+  }
 }

@@ -532,4 +532,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
       "the gate separates the corpus (≈10% antipodal tail)")
   }
+
+  test("q85 containment catches a subset pair whose Jaccard is far " +
+       "below any dedup threshold") {
+    import spark.implicits._
+    // doc 1's 2 shingles ⊆ doc 2's 10 → containment_a = 1.0 while
+    // jaccard = 2/10: invisible to q45, flagged by q85
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "unrelated text with no overlap at all")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairsFrom(docs).collect()
+    assert(cont.length === 1)
+    val r = cont.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 0.2)
+    assert(Dedup.jaccardPairsFrom(docs).collect().isEmpty,
+      "q45 at its production threshold must NOT see the subset pair")
+  }
+
+  test("q85 on the fixture: asymmetric scores consistent with q45's " +
+       "symmetric view") {
+    val cont = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach { case (ca, cb) =>
+      assert(ca > 0 && ca <= 1.0 && cb > 0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= Dedup.ContainmentThreshold)
+    }
+    // jaccard = i/(na+nb-i) is derivable from the two containments:
+    // 1/j = 1/ca + 1/cb - 1 — the q45 pair set at threshold t must be
+    // exactly the q85 pairs whose derived jaccard >= t
+    val jac = Dedup.jaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val derived = cont.view.mapValues { case (ca, cb) =>
+      1.0 / (1.0 / ca + 1.0 / cb - 1.0)
+    }.toMap
+    derived.foreach { case (pair, j) =>
+      if (j >= Dedup.JaccardThreshold + 1e-9)
+        assert(jac.contains(pair),
+          s"$pair derived jaccard $j missing from q45")
+    }
+  }
 }
