@@ -225,4 +225,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
       s"q66 must not cross the typed-object boundary:\n${p.take(3000)}")
   }
+
+  test("q83 ppl buckets: boundary join broadcasts, no per-lang window") {
+    // the scale trap here is NTILE over a lang partition — one task
+    // per language. The boundary-broadcast design must show up as: a
+    // broadcast join back onto the scored stream, and NO window
+    // operator anywhere in the plan.
+    val p = plan("q83_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Window"),
+      s"q83 must bucket via broadcast boundaries, not a window:\n${p.take(3000)}")
+  }
+
+  test("q84 snapshot diff: one co-partitioned full-outer join, nothing " +
+       "cartesian") {
+    val p = plan("q84_snapshot_diff")
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"the diff must stay a keyed join:\n${p.take(3000)}")
+  }
+
+  test("q85 containment: pair aggregate keyed on (doc_a, doc_b), " +
+       "nothing cartesian") {
+    // the hot-shingle LeftAnti guard sits behind the kernel's
+    // localCheckpoint (plan-truncated, like q45's); pin what the
+    // outer plan shows: a hash-partitioned pair aggregate and keyed
+    // joins only.
+    val p = plan("q85_containment_pairs")
+    assert(p.contains("Exchange hashpartitioning(doc_a"),
+      s"pair aggregate must hash-partition on the pair key:\n${p.take(3000)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"the pair join must stay keyed:\n${p.take(3000)}")
+  }
+
+  test("q86 heavy hitters: top-k is a TakeOrdered, the counter probe " +
+       "broadcasts") {
+    val p = plan("q86_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must never be a global sort:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 4x1024 counter table must broadcast to the probe:\n${p.take(3000)}")
+  }
 }
