@@ -106,6 +106,8 @@ object SparkEntry {
     "q84_snapshot_diff"     -> (Corpus.snapshotDiff(_, _)),
     "q85_containment_pairs" -> (Dedup.containmentPairs(_, _)),
     "q86_heavy_hitters"     -> (Corpus.heavyHitters(_, _)),
+    "q87_streaming_hh"      -> (graft.streaming.StreamingCorpus.heavyHittersViaStreaming(_, _)),
+    "q88_incremental_scores" -> (Corpus.incrementalScores(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,6 +219,13 @@ object SparkEntry {
     // q86's CMS is built from an engine-neutral md5 hash, so unlike
     // q14's HLL the ESTIMATE itself is hash-gated, not just bounded.
     "q86_heavy_hitters"     -> Corpus.heavyHittersSql,
+    // q87's oracle IS the batch q86 SQL: CMS counters merge by + and
+    // the exact counts by min/count, so streaming state must drain to
+    // byte-identical output (the q68/q71 parity discipline).
+    "q87_streaming_hh"      -> Corpus.heavyHittersSql,
+    // q88's oracle is the FULL RECOMPUTE over the new snapshot — a
+    // hash match proves carry-forward ∪ rescore == rescore-everything.
+    "q88_incremental_scores" -> Corpus.incrementalScoresSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -905,11 +905,15 @@ object Corpus {
        |WHERE b.doc_id NOT IN (SELECT doc_id FROM contam)
        |ORDER BY b.doc_id""".stripMargin
 
-  val repetitionStatsSql: String =
+  val repetitionStatsSql: String = repetitionStatsSqlFrom("documents")
+
+  /** q73's oracle over an arbitrary documents-shaped source subquery —
+    * q88's full-recompute oracle runs it over the current snapshot. */
+  def repetitionStatsSqlFrom(src: String): String =
     s"""WITH lines AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
        |    l -> trim(l) <> '')) AS line
-       |  FROM documents),
+       |  FROM $src),
        |la AS (
        |  SELECT doc_id, line, COUNT(*) AS cnt, length(line) AS chars
        |  FROM lines GROUP BY 1, 2),
@@ -923,7 +927,7 @@ object Corpus {
        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
        |    ELSE list_transform(generate_series(1, len(toks) - 1),
        |      i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
-       |  FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents)),
+       |  FROM (SELECT doc_id, ${TextOps.tokensSql} AS toks FROM $src)),
        |ba AS (
        |  SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
        |bd AS (
@@ -1230,6 +1234,61 @@ object Corpus {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q88 — incremental score maintenance over a snapshot diff: bring a
+  // stored per-document score table up to date with the new crawl by
+  // recomputing ONLY the documents the q84 diff marks added/changed,
+  // carrying every unchanged row forward untouched and dropping the
+  // removed. The incremental-view-maintenance move that makes nightly
+  // corpus refreshes affordable: a crawl that touches 0.1% of a 100 TB
+  // corpus pays 0.1% of the scoring cost, not a full rescore. Sound
+  // exactly because the scorer (q73's repetition stats) is doc-local —
+  // a document's score depends on its own text alone. (Corpus-global
+  // scores — q74's logprob, whose vocabulary shifts with every added
+  // doc — need their own delta treatment and are deliberately out of
+  // this operator's contract.)
+  //
+  // The oracle is the FULL RECOMPUTE over the new snapshot: a hash
+  // match proves the carry-forward ∪ rescore union is byte-identical
+  // to rescoring everything.
+  //
+  // 100 TB shape: the carry side is one anti-join of the stored score
+  // table against the (tiny) dirty doc_id set — broadcast, zero
+  // corpus shuffle; the scorer subtree runs over only the
+  // added/changed slice.
+  // ---------------------------------------------------------------
+
+  def incrementalScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the q84 snapshots: prev lacks the added docs, cur lacks the
+    // removed. Unchanged docs have identical text in both, and the
+    // changed docs' prev-side scores are recomputed anyway, so scoring
+    // prev over current text is exact for every row that survives the
+    // carry-forward.
+    val prevDocs = docs.filter($"doc_id" % SnapAddedMod =!= SnapAddedRes)
+    val curDocs = docs.filter($"doc_id" % SnapRemovedMod =!= SnapRemovedRes)
+    incrementalScoresOf(repetitionStatsFrom(prevDocs), curDocs,
+      snapshotDiff(spark, dir))
+  }
+
+  /** The general operator: `prevScores` = the stored q73 output for
+    * the previous snapshot, `curDocs` = the new snapshot, `diff` = a
+    * q84-shaped status frame. */
+  def incrementalScoresOf(prevScores: DataFrame, curDocs: DataFrame,
+                          diff: DataFrame): DataFrame = {
+    // dirty = anything whose stored row must not survive as-is
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toScore = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    val carried = prevScores.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+    val fresh = repetitionStatsFrom(
+      curDocs.join(broadcast(toScore), Seq("doc_id")))
+    carried.unionByName(fresh).orderBy($"doc_id")
+  }
+
+  lazy val incrementalScoresSql: String = repetitionStatsSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
   // q86 — heavy hitters with a count-min sketch attestation: the
   // exact top-K corpus tokens (hash-gated) alongside the CMS estimate
   // and a verdict that the sketch landed inside its ε = 2/width error
@@ -1252,8 +1311,10 @@ object Corpus {
   val CmsWidth = 1024
   val HeavyHitterK = 50
 
-  /** Row r of the sketch: md5("cms<r>:<token>") folded to [0, width). */
-  private def cmsBucket(row: Column, token: Column): Column =
+  /** Row r of the sketch: md5("cms<r>:<token>") folded to [0, width).
+    * Shared with the streaming twin (q87) so batch and streaming
+    * counters hash identically. */
+  private[graft] def cmsBucket(row: Column, token: Column): Column =
     conv(substring(md5(concat(lit("cms"), row.cast(StringType), lit(":"),
       token).cast(BinaryType)), 1, 8), 16, 10)
       .cast(LongType) % CmsWidth
@@ -1261,7 +1322,7 @@ object Corpus {
     s"CAST('0x' || substring(md5('cms' || $row || ':' || token), 1, 8) " +
       s"AS BIGINT) % $CmsWidth"
 
-  private def cmsRows: Column =
+  private[graft] def cmsRows: Column =
     explode(array((0 until CmsDepth).map(lit): _*))
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
@@ -1270,10 +1331,19 @@ object Corpus {
   def heavyHittersFrom(docs: DataFrame): DataFrame = {
     val tf = docs.select(explode(TextOps.tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val total = tf.agg(sum($"cnt").cast(LongType).as("n"))
     val counters = tf.select($"token", $"cnt", cmsRows.as("r"))
       .select($"r", cmsBucket($"r", $"token").as("b"), $"cnt")
       .groupBy($"r", $"b").agg(sum($"cnt").cast(LongType).as("c"))
+    composeHeavyHitters(tf, counters)
+  }
+
+  /** The output tail shared by the batch (q86) and streaming (q87)
+    * paths: given (token, cnt) exact counts and (r, b, c) CMS
+    * counters — however they were accumulated — cut the top-K, probe
+    * the sketch, and attach the error-bound verdict. */
+  private[graft] def composeHeavyHitters(tf: DataFrame,
+                                         counters: DataFrame): DataFrame = {
+    val total = tf.agg(sum($"cnt").cast(LongType).as("n"))
     val topk = tf.orderBy($"cnt".desc, $"token").limit(HeavyHitterK)
     topk.select($"token", $"cnt", cmsRows.as("r"))
       .withColumn("b", cmsBucket($"r", $"token"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -291,5 +291,104 @@ object StreamingCorpus {
       .repartitionByRange(4, $"doc_id")
       .write.mode("overwrite").parquet(staged)
     nearDupStream(spark, staged, maxFilesPerTrigger = Some(1))
+  }
+
+  // ---------------------------------------------------------------
+  // q87 — streaming heavy hitters: the q86 count-min sketch maintained
+  // as STREAMING STATE. The CMS exists precisely for this shape —
+  // counters merge by addition, so per-(row, bucket) state accumulates
+  // micro-batch by micro-batch into exactly the table the batch
+  // aggregate builds, and its size is depth × width (4 × 1024 rows)
+  // NO MATTER the stream length or vocabulary: the bounded-memory
+  // frequency summary of an unbounded token stream. The exact
+  // per-token counter state alongside it is vocabulary-bounded (the
+  // q68 state-growth regime) and exists to cut the top-K and attest
+  // the sketch; a 100 TB deployment that cannot afford vocab-sized
+  // state drops that side and keeps the CMS + a fixed-size top-K
+  // candidate heap (space-saving), trading the exactness this query's
+  // oracle proves for O(K) memory.
+  //
+  // Both counters are order-independent sums, so the drained result is
+  // byte-identical to the batch q86 — the oracle IS the batch SQL
+  // (q68/q71's parity discipline applied to sketches).
+  // ---------------------------------------------------------------
+
+  case class KeyCount(key: String, cnt: Long)
+
+  /** Drain a stream of string keys through per-key additive count
+    * state and return the final (key, cnt) table. The changelog folds
+    * with max — counts only grow — so replayed batches cannot inflate
+    * the result. */
+  private def countStream(spark: SparkSession, keys: Dataset[String],
+                          prefix: String): DataFrame = {
+    import spark.implicits.newProductEncoder
+    val updater = (key: String, rows: Iterator[String],
+                   state: GroupState[KeyCount]) => {
+      val next = KeyCount(key,
+        state.getOption.map(_.cnt).getOrElse(0L) + rows.size)
+      state.update(next)
+      Iterator(next)
+    }
+    val changelog = keys.groupByKey(identity)(
+        spark.implicits.newStringEncoder)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updater)
+    val name = prefix + sinkSeq.incrementAndGet()
+    val checkpoint = StreamingClean.trackedTempDir("graft-hh-ckpt-")
+    val q = changelog.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    // eager-checkpoint the fold and drop the sink table (the
+    // dedupStream hygiene: per-call names would otherwise accumulate
+    // changelogs in the catalog for the JVM's lifetime)
+    val result = spark.table(name)
+      .groupBy($"key").agg(max($"cnt").as("cnt"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    result
+  }
+
+  /** Drain `docsPath` through both stateful counters and compose the
+    * q86 output: exact top-K from the token state, estimates from the
+    * CMS state, via the shared [[graft.operators.Corpus
+    * .composeHeavyHitters]] tail. */
+  def heavyHitterStream(spark: SparkSession, docsPath: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.{Corpus, TextOps}
+    import spark.implicits.newStringEncoder
+    val toks = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .select(explode(TextOps.tokens($"text")).as("token")).as[String]
+    val tokenCounts = countStream(spark, toks, "graft_hh_tok_")
+      .select($"key".as("token"), $"cnt")
+    // each token occurrence feeds one cell per sketch row; the cell id
+    // string "r:b" is the state key
+    val cells = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .select(Corpus.cmsRows.as("r"), $"token")
+      .select(concat($"r".cast(StringType), lit(":"),
+        Corpus.cmsBucket($"r", $"token").cast(StringType)).as("cell"))
+      .as[String]
+    val counters = countStream(spark, cells, "graft_hh_cms_")
+      .select(
+        split($"key", ":").getItem(0).cast(IntegerType).as("r"),
+        split($"key", ":").getItem(1).cast(LongType).as("b"),
+        $"cnt".as("c"))
+    Corpus.composeHeavyHitters(tokenCounts, counters)
+  }
+
+  /** q87 — streaming-vs-batch heavy-hitter parity: the fixture corpus
+    * drained one doc_id-ranged file per micro-batch through both
+    * counter states. Oracle = the batch q86 SQL. */
+  def heavyHittersViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = StreamingClean.trackedTempDir("graft-hh-in-") + "/docs"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    heavyHitterStream(spark, staged, maxFilesPerTrigger = Some(1))
   }
 }

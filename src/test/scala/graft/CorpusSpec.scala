@@ -684,6 +684,35 @@ class CorpusSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) === truth(r.getString(0))))
   }
 
+  test("q88 incremental scores == full recompute over the new snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Corpus.incrementalScores(spark, sf).collect()
+    val full = Corpus.repetitionStatsFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q88 carries unchanged rows forward VERBATIM and rescores only " +
+       "the dirty slice") {
+    val docs = docsFrame(1L -> "stable text one", 2L -> "stable text two",
+      3L -> "rewritten text")
+    // poison the stored scores: a sentinel n_lines no scorer would
+    // produce. Unchanged docs must keep it (proof of carry-forward,
+    // not recompute); the changed doc must lose it to a fresh score.
+    val prevScores = Corpus.repetitionStatsFrom(docs)
+      .withColumn("n_lines", lit(-77L))
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added"), (9L, "removed"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "stable text one", 2L -> "stable text two",
+      3L -> "rewritten text entirely new", 4L -> "brand new doc")
+    val out = Corpus.incrementalScoresOf(prevScores, curDocs, diff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === -77L && out(2L) === -77L, "unchanged rows recomputed")
+    assert(out(3L) === 1L && out(4L) === 1L, "dirty rows not rescored")
+    assert(!out.contains(9L), "removed doc survived")
+  }
+
   test("q86 heavy hitters: hand corpus — top-k cut and the estimate " +
        "of an uncollided token is exact") {
     val out = Corpus.heavyHittersFrom(

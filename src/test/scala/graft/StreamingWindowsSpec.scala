@@ -227,6 +227,59 @@ class StreamingNearDupSpec extends AnyFunSuite {
   }
 }
 
+class StreamingHeavyHitterSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def stageBatches(batches: Seq[Seq[(Long, String)]]): String = {
+    val inDir = TestTmp.dir("graft-hh-in-")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = TestTmp.dir("graft-hh-stage-").toString + "/p"
+      docsDf(rows).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(f"b$i%02d.parquet"))
+      ()
+    }
+    inDir.toString
+  }
+
+  test("streaming heavy hitters == batch q86 on the fixture corpus") {
+    val streamed = graft.streaming.StreamingCorpus
+      .heavyHittersViaStreaming(spark, sf).collect()
+    val batch = graft.operators.Corpus.heavyHitters(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("counter state accumulates across micro-batches: a token's count " +
+       "spans every batch that carried it") {
+    val rows = Seq(
+      Seq(1L -> "alpha alpha beta"),
+      Seq(2L -> "gamma delta"),
+      Seq(3L -> "alpha beta gamma"))
+    val streamed = graft.streaming.StreamingCorpus
+      .heavyHitterStream(spark, stageBatches(rows),
+        maxFilesPerTrigger = Some(1)).collect()
+    // alpha arrived in batches 1 and 3: only cross-batch state sums it
+    val byTok = streamed.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byTok("alpha")._1 === 3L)
+    assert(byTok.view.mapValues(_._1).toMap ===
+      Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L, "delta" -> 1L))
+    // tiny vocab into 4x1024 buckets: estimates exact, verdicts hold
+    byTok.values.foreach { case (cnt, est, ok) =>
+      assert(est === cnt && ok)
+    }
+    val batch = graft.operators.Corpus
+      .heavyHittersFrom(docsDf(rows.flatten)).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
+
 class PartitionedUpsertSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
