@@ -206,9 +206,14 @@ object Dedup {
   // MinHash under-recalls high-containment/low-Jaccard pairs).
   //
   // 100 TB shape: identical to q45 — the shared [[pairOverlap]]
-  // kernel (hot-shingle broadcast anti-join + doc-freq cutoff keeps
-  // the self-join linear in occurrences); the containment division is
-  // row-local on the pair aggregate.
+  // kernel (hot-shingle broadcast anti-join + doc-freq cutoff), and
+  // like q45 this is the GROUND-TRUTH BASELINE, not the hot path: the
+  // pair join is output-sensitive (ScaleStress at 10× clone
+  // amplification measures 17-24 s as every doc becomes a 10-family),
+  // so at scale either containment-verify the q47 LSH candidates
+  // (accepting banded MinHash's documented under-recall of
+  // high-containment/low-Jaccard subset pairs) or tighten the
+  // doc-freq cutoff knob.
   // ---------------------------------------------------------------
 
   val ContainmentThreshold = 0.8

@@ -84,6 +84,49 @@ object ScaleStress {
     time("q80 bpe pairs")(Corpus.bpePairStatsFrom(docs).count())
     time("q81 length quantiles")(Corpus.lengthQuantilesFrom(docs).count())
     time("q82 repeated spans")(Dedup.repeatedSpansFrom(docs).count())
+    time("q83 ppl buckets")(Corpus.perplexityBucketsFrom(docs).count())
+    time("q83 ppl buckets (sketch boundaries)")(
+      Corpus.perplexityBucketsSketch(docs).count())
+    // q84/q88 at 10×-of-10× (100× ≈ sf10, 500k docs): the diff is one
+    // full-outer join; the incremental rescore should cost ~the dirty
+    // fraction of the full rescore — THE receipt for incremental
+    // maintenance. Measured at 100× rather than 10× because at 50k
+    // docs the scorer runs in ~0.4 s and the incremental plan's extra
+    // join stages dominate their own saving; the crossover needs the
+    // scorer to be the cost.
+    val docs100 = docs
+      .withColumn("rep2", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("doc_id", $"doc_id" * reps + $"rep2")
+      .withColumn("text", concat($"text", lit(" s"), $"rep2"))
+      .drop("rep2")
+    val prevDocs = docs100.filter($"doc_id" % Corpus.SnapAddedMod
+      =!= Corpus.SnapAddedRes)
+    val curDocs = docs100.filter($"doc_id" % Corpus.SnapRemovedMod
+      =!= Corpus.SnapRemovedRes)
+    val diff = Corpus.snapshotDiffOf(
+      prevDocs.select($"doc_id",
+        md5(when($"doc_id" % Corpus.SnapChangedMod === Corpus.SnapChangedRes,
+          concat($"text", lit(":prev"))).otherwise($"text")
+          .cast(org.apache.spark.sql.types.BinaryType)).as("prev_digest")),
+      curDocs.select($"doc_id",
+        md5($"text".cast(org.apache.spark.sql.types.BinaryType))
+          .as("cur_digest"))).localCheckpoint(false)
+    time("q84 snapshot diff")(diff.count())
+    val prevScores = Corpus.repetitionStatsFrom(prevDocs)
+      .localCheckpoint(true) // the STORED table — not charged to q88
+    time("q88 full rescore (baseline)")(
+      Corpus.repetitionStatsFrom(curDocs).count())
+    time("q88 incremental (carry + dirty-slice rescore)")(
+      Corpus.incrementalScoresOf(prevScores, curDocs, diff).count())
+    // the work-reduction component in isolation: the scorer subtree
+    // over just the dirty slice vs the full corpus above
+    val dirtyIds = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    time("q88 dirty-slice rescore alone")(
+      Corpus.repetitionStatsFrom(
+        curDocs.join(broadcast(dirtyIds), Seq("doc_id"))).count())
+    time("q85 containment pairs")(Dedup.containmentPairsFrom(docs).count())
+    time("q86 heavy hitters + CMS")(Corpus.heavyHittersFrom(docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
     time("q66 frame sample")(
       graft.operators.Multimodal.frameSampleFrom(media).count())
