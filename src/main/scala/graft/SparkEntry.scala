@@ -108,6 +108,7 @@ object SparkEntry {
     "q86_heavy_hitters"     -> (Corpus.heavyHitters(_, _)),
     "q87_streaming_hh"      -> (graft.streaming.StreamingCorpus.heavyHittersViaStreaming(_, _)),
     "q88_incremental_scores" -> (Corpus.incrementalScores(_, _)),
+    "q89_incremental_dedup" -> (Dedup.incrementalKeepCorpus(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,6 +227,10 @@ object SparkEntry {
     // q88's oracle is the FULL RECOMPUTE over the new snapshot — a
     // hash match proves carry-forward ∪ rescore == rescore-everything.
     "q88_incremental_scores" -> Corpus.incrementalScoresSql,
+    // q89's oracle is the full batch q47->q62->q70 chain over the new
+    // snapshot: index maintenance (delta signing + deletions + bucket
+    // recovery) must land on the same kept corpus as rebuilding.
+    "q89_incremental_dedup" -> Dedup.incrementalKeepCorpusSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

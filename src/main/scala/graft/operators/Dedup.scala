@@ -71,10 +71,12 @@ object Dedup {
       |    CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) AS fp
       |  FROM shd)""".stripMargin
 
-  /** shingle CTE for the oracle (DuckDB 1-based list indexing). */
-  def shinglesCte(maxDocId: String = "9223372036854775807"): String =
+  /** shingle CTE for the oracle (DuckDB 1-based list indexing); `src`
+    * lets the q89 oracle run the chain over a snapshot subquery. */
+  def shinglesCte(maxDocId: String = "9223372036854775807",
+                  src: String = "documents"): String =
     s"""tok AS (
-       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM $src
        |  WHERE doc_id < $maxDocId),
        |shd AS (
        |  SELECT DISTINCT doc_id,
@@ -377,6 +379,25 @@ object Dedup {
               $"bnd.band_val".as("band_val"))
   }
 
+  /** Band-tagged under-guard candidate pairs — the q71 cand-log shape,
+    * and q89's stored-index component: one row per (band bucket, pair)
+    * for every healthy bucket. The band tag is what lets a LATER guard
+    * decision (a bucket crossing the cap after more docs arrive, or
+    * RE-crossing under it after deletions) be applied to pairs recorded
+    * earlier. */
+  private[graft] def bandCandidates(bands: DataFrame): DataFrame = {
+    val oversized = bands.groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
+      .select($"band_id", $"band_val")
+    val pruned = bands.join(broadcast(oversized),
+      Seq("band_id", "band_val"), "left_anti")
+    pruned.as("x").join(pruned.as("y"), Seq("band_id", "band_val"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"band_id", $"band_val",
+        $"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+  }
+
   /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
   def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
     // materialized once (lazy localCheckpoint): the self-join below
@@ -649,9 +670,14 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  lazy val dedupKeepCorpusSql: String =
+  lazy val dedupKeepCorpusSql: String = dedupKeepCorpusSqlFrom("documents")
+
+  /** The full q47→q62→q70 oracle chain over an arbitrary
+    * documents-shaped source subquery — q89's full-recompute oracle
+    * runs it over the current snapshot. */
+  def dedupKeepCorpusSqlFrom(src: String): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q),
+       |pairs AS (SELECT doc_a, doc_b FROM (${lshNearDupPairsSqlFrom(src)}) q),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(doc_id, lbl) AS (
@@ -660,14 +686,128 @@ object Dedup {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
        |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)
        |SELECT d.doc_id, length(d.text) AS n_chars
-       |FROM documents d
+       |FROM $src d
        |WHERE NOT EXISTS (SELECT 1 FROM cc
        |                  WHERE cc.doc_id = d.doc_id
        |                    AND cc.doc_id != cc.cluster_id)
        |ORDER BY d.doc_id""".stripMargin
 
-  val lshNearDupPairsSql: String =
-    s"""WITH ${shinglesCte()},
+  // ---------------------------------------------------------------
+  // q89 — incremental near-dup index maintenance: bring the LSH index
+  // and the kept corpus up to date with a new crawl by signing ONLY
+  // the q84 diff's added/changed documents, while removed/changed
+  // docs' rows LEAVE the stored index. The batch twin of q71's
+  // streaming state — plus the capability append-only streams never
+  // need: deletion. The corpus-scale costs (shingle, sign, band)
+  // are paid by the dirty slice alone; the carried index is three
+  // stored tables (fps, bands, band-tagged candidates).
+  //
+  // Deletions break q71's "occupancy only grows" monotonicity, which
+  // is where the band-tagged candidate log earns its keep a second
+  // time. Candidate completeness vs the batch-over-current-snapshot
+  // chain, bucket by bucket:
+  //   - a bucket NO dirty or delta doc touches has identical
+  //     membership in both indexes, so its prev guard verdict stands
+  //     and its recorded pairs carry (dirty-endpoint pairs can't
+  //     exist in it — a dirty doc's band rows make every bucket it
+  //     occupies "affected");
+  //   - an AFFECTED bucket (lost a dirty member / gained a delta one)
+  //     has its pairs REGENERATED from current membership under the
+  //     new-index guard — which covers both the delta-probe case
+  //     (new doc pairs with old state) and the RECOVERY case (a
+  //     bucket oversized before, under the cap after deletions, whose
+  //     pairs were never recorded);
+  //   - carried pairs in buckets the new index finds oversized are
+  //     dropped (the q71 drain guard).
+  // Verification, clustering, and materialization are the SHARED
+  // batch operators over the maintained state, so parity with the
+  // full recompute is structural — and the oracle IS the full
+  // q47→q62→q70 chain over the current snapshot.
+  //
+  // 100 TB shape: the premise of incremental maintenance is
+  // |dirty| ≪ |corpus|, so the dirty/delta id sets broadcast; the
+  // regenerated-pair join touches only affected buckets' rows; the
+  // index tables are append/delete-merged by their join keys under
+  // the warehouse layout (the Silver-sink discipline).
+  // ---------------------------------------------------------------
+
+  /** The stored LSH index of a snapshot: (fps, bands, band-tagged
+    * candidates), eagerly materialized — these are the tables a
+    * nightly run persists. */
+  def indexState(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fps = shingleFpsFrom(docs).localCheckpoint(true)
+    val bands = lshBands(fps).localCheckpoint(true)
+    val cand = bandCandidates(bands).localCheckpoint(true)
+    (fps, bands, cand)
+  }
+
+  def incrementalKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prevDocs = docs.filter(
+      $"doc_id" % Corpus.SnapAddedMod =!= Corpus.SnapAddedRes)
+    val curDocs = docs.filter(
+      $"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val (prevFps, prevBands, prevCand) = indexState(prevDocs)
+    incrementalKeepCorpusOf(prevFps, prevBands, prevCand, curDocs,
+      Corpus.snapshotDiff(spark, dir))
+  }
+
+  /** The general operator: maintain a stored index against `curDocs`
+    * given a q84-shaped `diff`, and materialize the kept corpus. */
+  def incrementalKeepCorpusOf(prevFps: DataFrame, prevBands: DataFrame,
+                              prevCand: DataFrame, curDocs: DataFrame,
+                              diff: DataFrame): DataFrame = {
+    val dirtyOut = diff.filter($"status".isin("removed", "changed"))
+      .select($"doc_id")
+    val deltaIds = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // sign ONLY the delta — the incremental saving lives here
+    val deltaFps = shingleFpsFrom(
+      curDocs.join(broadcast(deltaIds), Seq("doc_id")))
+      .localCheckpoint(false)
+    val deltaBands = lshBands(deltaFps).localCheckpoint(false)
+    val keptBands = prevBands.join(broadcast(dirtyOut),
+      Seq("doc_id"), "left_anti")
+    val allBands = keptBands.unionByName(deltaBands).localCheckpoint(false)
+    val oversized = allBands.groupBy($"band_id", $"band_val")
+      .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
+      .select($"band_id", $"band_val")
+    // affected buckets: every bucket a dirty doc left or a delta doc
+    // entered — the only places membership (hence pairs) changed
+    val affected = prevBands.join(broadcast(dirtyOut), Seq("doc_id"))
+      .select($"band_id", $"band_val")
+      .union(deltaBands.select($"band_id", $"band_val")).distinct()
+    val regenSrc = allBands
+      .join(broadcast(oversized), Seq("band_id", "band_val"), "left_anti")
+      .join(affected, Seq("band_id", "band_val"), "left_semi")
+    val regenPairs = regenSrc.as("x")
+      .join(regenSrc.as("y"), Seq("band_id", "band_val"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // carried pairs: clean endpoints, bucket healthy in the NEW index
+    val carried = prevCand
+      .join(broadcast(dirtyOut.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(dirtyOut.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_anti")
+      .join(broadcast(oversized), Seq("band_id", "band_val"), "left_anti")
+      .select($"doc_a", $"doc_b")
+    val cand = carried.union(regenPairs).distinct()
+    val allFps = prevFps.join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
+      .unionByName(deltaFps)
+    val verified = verifyCandidates(cand, allFps)
+    dedupKeepCorpusFrom(curDocs,
+      dedupClustersFrom(verified.select($"doc_a", $"doc_b")))
+  }
+
+  lazy val incrementalKeepCorpusSql: String = dedupKeepCorpusSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
+
+  val lshNearDupPairsSql: String = lshNearDupPairsSqlFrom("documents")
+
+  def lshNearDupPairsSqlFrom(src: String): String =
+    s"""WITH ${shinglesCte(src = src)},
        |$minhashCte,
        |bands AS (
        |  SELECT doc_id, CAST(seed // $BandSize AS INTEGER) AS band_id,

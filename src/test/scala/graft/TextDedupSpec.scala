@@ -533,6 +533,58 @@ class TextDedupSpec extends AnyFunSuite {
       "the gate separates the corpus (≈10% antipodal tail)")
   }
 
+  test("q89 incremental dedup == full rebuild over the new snapshot " +
+       "on the fixture") {
+    import spark.implicits._
+    val curDocs = Tables.documents(spark, sf).filter(
+      $"doc_id" % graft.operators.Corpus.SnapRemovedMod
+        =!= graft.operators.Corpus.SnapRemovedRes)
+    val incremental = Dedup.incrementalKeepCorpus(spark, sf).collect()
+    val full = Dedup.dedupKeepCorpusFrom(curDocs,
+      Dedup.dedupClustersFrom(
+        Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curDocs))
+          .select($"doc_a", $"doc_b"))).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q89 bucket recovery: deletions that pull an oversized bucket " +
+       "under the cap regenerate its never-recorded pairs") {
+    import spark.implicits._
+    // 66 byte-identical docs land in the same 4 band buckets, all at
+    // occupancy 66 > MaxBucketDocs: the prev index recorded NO pairs.
+    // Removing 3 brings the buckets to 63 <= cap — the full rebuild
+    // clusters all 63, so the incremental path must regenerate the
+    // pairs a pure carry-forward would never see.
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val prevDocs = (1L to 66L).map(_ -> clone)
+      .toDF("doc_id", "text")
+    val curDocs = (4L to 66L).map(_ -> clone).toDF("doc_id", "text")
+    val diff = ((1L to 3L).map(_ -> "removed") ++
+      (4L to 66L).map(_ -> "unchanged")).toDF("doc_id", "status")
+    val (fps, bands, cand) = Dedup.indexState(prevDocs)
+    assert(cand.isEmpty, "all prev buckets are oversized: no pairs stored")
+    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand,
+      curDocs, diff).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(4L), "the recovered bucket must cluster to one keeper")
+  }
+
+  test("q89 delta probe: an added doc pairs with stored state without " +
+       "re-signing the old corpus") {
+    import spark.implicits._
+    val original = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val prevDocs = Seq(5L -> original, 9L -> unrelated).toDF("doc_id", "text")
+    val curDocs = Seq(5L -> original, 9L -> unrelated, 30L -> nearDup)
+      .toDF("doc_id", "text")
+    val diff = Seq((5L, "unchanged"), (9L, "unchanged"), (30L, "added"))
+      .toDF("doc_id", "status")
+    val (fps, bands, cand) = Dedup.indexState(prevDocs)
+    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand,
+      curDocs, diff).collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(5L, 9L), "cluster {5,30} keeps 5; 9 untouched")
+  }
+
   test("q85 containment catches a subset pair whose Jaccard is far " +
        "below any dedup threshold") {
     import spark.implicits._
