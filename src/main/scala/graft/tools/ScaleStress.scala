@@ -125,6 +125,31 @@ object ScaleStress {
     time("q88 dirty-slice rescore alone")(
       Corpus.repetitionStatsFrom(
         curDocs.join(broadcast(dirtyIds), Seq("doc_id"))).count())
+    // q89 at 10×: full rebuild re-signs the whole corpus; incremental
+    // signs the ~18% dirty slice and carries the stored index
+    val prevD = docs.filter($"doc_id" % Corpus.SnapAddedMod
+      =!= Corpus.SnapAddedRes)
+    val curD = docs.filter($"doc_id" % Corpus.SnapRemovedMod
+      =!= Corpus.SnapRemovedRes)
+    val diffD = Corpus.snapshotDiffOf(
+      prevD.select($"doc_id",
+        md5(when($"doc_id" % Corpus.SnapChangedMod === Corpus.SnapChangedRes,
+          concat($"text", lit(":prev"))).otherwise($"text")
+          .cast(org.apache.spark.sql.types.BinaryType)).as("prev_digest")),
+      curD.select($"doc_id",
+        md5($"text".cast(org.apache.spark.sql.types.BinaryType))
+          .as("cur_digest"))).localCheckpoint(true)
+    var idx: (DataFrame, DataFrame, DataFrame) = null
+    time("q89 stored-index build (prev nightly run, not charged)") {
+      idx = Dedup.indexState(prevD)
+    }
+    time("q89 full rebuild (baseline)")(
+      Dedup.dedupKeepCorpusFrom(curD, Dedup.dedupClustersFrom(
+        Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curD)
+          .localCheckpoint(false)).select($"doc_a", $"doc_b"))).count())
+    time("q89 incremental (delta sign + index maintain)")(
+      Dedup.incrementalKeepCorpusOf(idx._1, idx._2, idx._3, curD, diffD)
+        .count())
     time("q85 containment pairs")(Dedup.containmentPairsFrom(docs).count())
     time("q86 heavy hitters + CMS")(Corpus.heavyHittersFrom(docs).count())
     val media = graft.operators.Multimodal.mediaTableFrom(docs)
