@@ -1112,34 +1112,29 @@ object Corpus {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     perplexityBucketsFrom(Tables.documents(spark, dir))
 
-  def perplexityBucketsFrom(docs: DataFrame): DataFrame = {
-    val scored = unigramLogProbFrom(docs)
-      .select($"doc_id", $"avg_logprob")
-      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
-    val bounds = scored.groupBy($"lang").agg(
+  def perplexityBucketsFrom(docs: DataFrame): DataFrame =
+    pplBucketize(docs, scored => scored.groupBy($"lang").agg(
       round(percentile($"avg_logprob", lit(PplTertileLo)), 6).as("b_lo"),
-      round(percentile($"avg_logprob", lit(PplTertileHi)), 6).as("b_hi"))
-    scored.join(broadcast(bounds), Seq("lang"))
-      .select($"doc_id", $"lang", $"avg_logprob",
-        when($"avg_logprob" >= $"b_hi", lit("head"))
-          .when($"avg_logprob" >= $"b_lo", lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
-      .orderBy($"doc_id")
-  }
+      round(percentile($"avg_logprob", lit(PplTertileHi)), 6).as("b_hi")))
 
   /** Production path: tertile boundaries from the mergeable
-    * percentile_approx sketch instead of the exact sort — the only
-    * line that changes at scale. */
-  def perplexityBucketsSketch(docs: DataFrame): DataFrame = {
-    val scored = unigramLogProbFrom(docs)
-      .select($"doc_id", $"avg_logprob")
-      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
-    val bounds = scored.groupBy($"lang").agg(
+    * percentile_approx sketch instead of the exact sort — the bounds
+    * aggregate is the only thing that changes at scale. */
+  def perplexityBucketsSketch(docs: DataFrame): DataFrame =
+    pplBucketize(docs, scored => scored.groupBy($"lang").agg(
       percentile_approx($"avg_logprob", lit(PplTertileLo),
         lit(QuantileAccuracy)).as("b_lo"),
       percentile_approx($"avg_logprob", lit(PplTertileHi),
-        lit(QuantileAccuracy)).as("b_hi"))
-    scored.join(broadcast(bounds), Seq("lang"))
+        lit(QuantileAccuracy)).as("b_hi")))
+
+  /** Shared q83 shape: score, aggregate per-lang (b_lo, b_hi) bounds
+    * via `boundsOf`, broadcast them back, bucket row-locally. */
+  private def pplBucketize(docs: DataFrame,
+                           boundsOf: DataFrame => DataFrame): DataFrame = {
+    val scored = unigramLogProbFrom(docs)
+      .select($"doc_id", $"avg_logprob")
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    scored.join(broadcast(boundsOf(scored)), Seq("lang"))
       .select($"doc_id", $"lang", $"avg_logprob",
         when($"avg_logprob" >= $"b_hi", lit("head"))
           .when($"avg_logprob" >= $"b_lo", lit("middle"))
@@ -1191,26 +1186,50 @@ object Corpus {
   val SnapRemovedMod = 19L; val SnapRemovedRes = 7L
   val SnapChangedMod = 13L; val SnapChangedRes = 5L
 
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val prev = docs.filter($"doc_id" % SnapAddedMod =!= SnapAddedRes)
-      .select($"doc_id",
-        md5(when($"doc_id" % SnapChangedMod === SnapChangedRes,
-              concat($"text", lit(":prev")))
-            .otherwise($"text").cast(BinaryType)).as("prev_digest"))
-    val cur = docs.filter($"doc_id" % SnapRemovedMod =!= SnapRemovedRes)
+  /** The derived "previous crawl": lacks the to-be-added docs.
+    * Unchanged docs have identical text in both snapshots, and every
+    * consumer recomputes changed docs from the current snapshot, so
+    * serving prev with CURRENT text is exact for all rows that survive
+    * a carry-forward — only the prev DIGEST is salted
+    * ([[snapshotPrevDigests]]). One home for the derivation, shared by
+    * q84/q88/q89 and ScaleStress. */
+  private[graft] def snapshotPrev(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" % SnapAddedMod =!= SnapAddedRes)
+
+  /** The derived "current crawl": lacks the removed docs. */
+  private[graft] def snapshotCur(docs: DataFrame): DataFrame =
+    docs.filter($"doc_id" % SnapRemovedMod =!= SnapRemovedRes)
+
+  private[graft] def snapshotPrevDigests(docs: DataFrame): DataFrame =
+    snapshotPrev(docs).select($"doc_id",
+      md5(when($"doc_id" % SnapChangedMod === SnapChangedRes,
+            concat($"text", lit(":prev")))
+          .otherwise($"text").cast(BinaryType)).as("prev_digest"))
+
+  private[graft] def snapshotCurDigests(docs: DataFrame): DataFrame =
+    snapshotCur(docs)
       .select($"doc_id", md5($"text".cast(BinaryType)).as("cur_digest"))
-    snapshotDiffOf(prev, cur)
-  }
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffDerived(Tables.documents(spark, dir))
+
+  /** q84 over any documents-shaped frame (the ScaleStress entry). */
+  private[graft] def snapshotDiffDerived(docs: DataFrame): DataFrame =
+    snapshotDiffOf(snapshotPrevDigests(docs), snapshotCurDigests(docs))
 
   /** The general operator: diff any two (doc_id, *_digest) snapshot
-    * frames. */
+    * frames. Presence is carried by explicit marker columns, NOT by
+    * digest nullness (a legitimately-NULL digest — null text under
+    * md5 — must not read as absence), and the digest compare is
+    * null-safe, mirroring the oracle's doc_id-presence + IS DISTINCT
+    * FROM formulation. */
   def snapshotDiffOf(prev: DataFrame, cur: DataFrame): DataFrame =
-    prev.join(cur, Seq("doc_id"), "full_outer")
+    prev.withColumn("in_prev", lit(true))
+      .join(cur.withColumn("in_cur", lit(true)), Seq("doc_id"), "full_outer")
       .select($"doc_id",
-        when($"prev_digest".isNull, lit("added"))
-          .when($"cur_digest".isNull, lit("removed"))
-          .when($"prev_digest" =!= $"cur_digest", lit("changed"))
+        when($"in_prev".isNull, lit("added"))
+          .when($"in_cur".isNull, lit("removed"))
+          .when(!($"prev_digest" <=> $"cur_digest"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         $"prev_digest", $"cur_digest")
       .orderBy($"doc_id")
@@ -1227,7 +1246,7 @@ object Corpus {
        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
        |  CASE WHEN p.doc_id IS NULL THEN 'added'
        |       WHEN c.doc_id IS NULL THEN 'removed'
-       |       WHEN prev_digest <> cur_digest THEN 'changed'
+       |       WHEN prev_digest IS DISTINCT FROM cur_digest THEN 'changed'
        |       ELSE 'unchanged' END AS status,
        |  prev_digest, cur_digest
        |FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
@@ -1259,15 +1278,10 @@ object Corpus {
 
   def incrementalScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // the q84 snapshots: prev lacks the added docs, cur lacks the
-    // removed. Unchanged docs have identical text in both, and the
-    // changed docs' prev-side scores are recomputed anyway, so scoring
-    // prev over current text is exact for every row that survives the
-    // carry-forward.
-    val prevDocs = docs.filter($"doc_id" % SnapAddedMod =!= SnapAddedRes)
-    val curDocs = docs.filter($"doc_id" % SnapRemovedMod =!= SnapRemovedRes)
-    incrementalScoresOf(repetitionStatsFrom(prevDocs), curDocs,
-      snapshotDiff(spark, dir))
+    // see snapshotPrev's note on why prev-with-current-text is exact
+    // for every row that survives the carry-forward
+    incrementalScoresOf(repetitionStatsFrom(snapshotPrev(docs)),
+      snapshotCur(docs), snapshotDiffDerived(docs))
   }
 
   /** The general operator: `prevScores` = the stored q73 output for

@@ -748,9 +748,13 @@ object Dedup {
     * is the maintenance, not the build. Invalidation = the
     * documents.parquet file inventory (the codebook caveat about mtime
     * granularity applies); checkpointed frames are session-bound, so
-    * the session's identity is folded into the fingerprint and a new
-    * session rebuilds. One live entry per dir — stale indexes are
-    * replaced, not accumulated. */
+    * the SparkContext's applicationId (unique per context — an
+    * identity hashCode could collide across a stop/start) is folded
+    * into the fingerprint and a new session rebuilds. One live entry
+    * per dir — a replaced entry's frames become unreachable and the
+    * ContextCleaner unpersists their checkpoint blocks on GC (the
+    * jaccardPairsOver discipline), so stale indexes don't accumulate
+    * storage. */
   private val indexes = scala.collection.concurrent.TrieMap
     .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
 
@@ -759,7 +763,7 @@ object Dedup {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
     val root = new java.io.File(s"$dir/documents.parquet")
-    (System.identityHashCode(spark).toString +:
+    (spark.sparkContext.applicationId +:
       walk(root).sortBy(_.getPath)
         .map(f => s"${f.getPath}:${f.lastModified}:${f.length}"))
       .mkString("\n")
@@ -767,23 +771,20 @@ object Dedup {
 
   def incrementalKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val prevDocs = docs.filter(
-      $"doc_id" % Corpus.SnapAddedMod =!= Corpus.SnapAddedRes)
-    val curDocs = docs.filter(
-      $"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
     val fp = docsFingerprint(spark, dir)
     // the diff is stored state too: q84's job publishes it when the
     // crawl lands, and every maintenance consumer reads that table
     val (prevFps, prevBands, prevCand, diff) = indexes.get(dir) match {
       case Some((`fp`, idx)) => idx
       case _ =>
-        val (a, b, c) = indexState(prevDocs)
+        val (a, b, c) = indexState(Corpus.snapshotPrev(docs))
         val idx = (a, b, c,
-          Corpus.snapshotDiff(spark, dir).localCheckpoint(true))
+          Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
         indexes.put(dir, (fp, idx))
         idx
     }
-    incrementalKeepCorpusOf(prevFps, prevBands, prevCand, curDocs, diff)
+    incrementalKeepCorpusOf(prevFps, prevBands, prevCand,
+      Corpus.snapshotCur(docs), diff)
   }
 
   /** The general operator: maintain a stored index against `curDocs`

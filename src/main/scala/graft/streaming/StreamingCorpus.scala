@@ -366,9 +366,10 @@ object StreamingCorpus {
     val tokenCounts = countStream(spark, toks, "graft_hh_tok_")
       .select($"key".as("token"), $"cnt")
     // each token occurrence feeds one cell per sketch row; the cell id
-    // string "r:b" is the state key
-    val cells = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
-      .select(explode(TextOps.tokens($"text")).as("token"))
+    // string "r:b" is the state key. Derived from the SAME token
+    // stream definition as the exact side (each started query still
+    // reads its own source instance) so the two sides cannot drift.
+    val cells = toks
       .select(Corpus.cmsRows.as("r"), $"token")
       .select(concat($"r".cast(StringType), lit(":"),
         Corpus.cmsBucket($"r", $"token").cast(StringType)).as("cell"))

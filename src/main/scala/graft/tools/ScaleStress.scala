@@ -99,18 +99,9 @@ object ScaleStress {
       .withColumn("doc_id", $"doc_id" * reps + $"rep2")
       .withColumn("text", concat($"text", lit(" s"), $"rep2"))
       .drop("rep2")
-    val prevDocs = docs100.filter($"doc_id" % Corpus.SnapAddedMod
-      =!= Corpus.SnapAddedRes)
-    val curDocs = docs100.filter($"doc_id" % Corpus.SnapRemovedMod
-      =!= Corpus.SnapRemovedRes)
-    val diff = Corpus.snapshotDiffOf(
-      prevDocs.select($"doc_id",
-        md5(when($"doc_id" % Corpus.SnapChangedMod === Corpus.SnapChangedRes,
-          concat($"text", lit(":prev"))).otherwise($"text")
-          .cast(org.apache.spark.sql.types.BinaryType)).as("prev_digest")),
-      curDocs.select($"doc_id",
-        md5($"text".cast(org.apache.spark.sql.types.BinaryType))
-          .as("cur_digest"))).localCheckpoint(false)
+    val prevDocs = Corpus.snapshotPrev(docs100)
+    val curDocs = Corpus.snapshotCur(docs100)
+    val diff = Corpus.snapshotDiffDerived(docs100).localCheckpoint(false)
     time("q84 snapshot diff")(diff.count())
     val prevScores = Corpus.repetitionStatsFrom(prevDocs)
       .localCheckpoint(true) // the STORED table — not charged to q88
@@ -127,18 +118,9 @@ object ScaleStress {
         curDocs.join(broadcast(dirtyIds), Seq("doc_id"))).count())
     // q89 at 10×: full rebuild re-signs the whole corpus; incremental
     // signs the ~18% dirty slice and carries the stored index
-    val prevD = docs.filter($"doc_id" % Corpus.SnapAddedMod
-      =!= Corpus.SnapAddedRes)
-    val curD = docs.filter($"doc_id" % Corpus.SnapRemovedMod
-      =!= Corpus.SnapRemovedRes)
-    val diffD = Corpus.snapshotDiffOf(
-      prevD.select($"doc_id",
-        md5(when($"doc_id" % Corpus.SnapChangedMod === Corpus.SnapChangedRes,
-          concat($"text", lit(":prev"))).otherwise($"text")
-          .cast(org.apache.spark.sql.types.BinaryType)).as("prev_digest")),
-      curD.select($"doc_id",
-        md5($"text".cast(org.apache.spark.sql.types.BinaryType))
-          .as("cur_digest"))).localCheckpoint(true)
+    val prevD = Corpus.snapshotPrev(docs)
+    val curD = Corpus.snapshotCur(docs)
+    val diffD = Corpus.snapshotDiffDerived(docs).localCheckpoint(true)
     var idx: (DataFrame, DataFrame, DataFrame) = null
     time("q89 stored-index build (prev nightly run, not charged)") {
       idx = Dedup.indexState(prevD)
