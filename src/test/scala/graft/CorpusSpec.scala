@@ -661,6 +661,21 @@ class CorpusSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("q84 snapshot diff: a NULL digest means an unknown digest, " +
+       "never an absent row") {
+    // presence is carried by marker columns: doc 1 exists in both
+    // snapshots with a null digest on one side (changed), doc 2 with
+    // null on BOTH (null-safely unchanged), doc 3 is genuinely absent
+    // from prev (added) even though its digest is null
+    val prev = Seq((1L, Some("a")), (2L, Option.empty[String]))
+      .toDF("doc_id", "prev_digest")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "cur_digest")
+    val out = Corpus.snapshotDiffOf(prev, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "changed", 2L -> "unchanged", 3L -> "added"))
+  }
+
   test("q86 heavy hitters: exact counts verified by hand, CMS never " +
        "underestimates, every fixture verdict holds") {
     val rows = Corpus.heavyHitters(spark, sf).collect()

@@ -258,6 +258,13 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay keyed:\n${p.take(3000)}")
   }
 
+  test("q88 incremental scores: the carry-forward is a broadcast " +
+       "anti-join — the stored table is never reshuffled") {
+    val p = plan("q88_incremental_scores")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"carried rows must map-side anti-join the dirty set:\n${p.take(3000)}")
+  }
+
   test("q86 heavy hitters: top-k is a TakeOrdered, the counter probe " +
        "broadcasts") {
     val p = plan("q86_heavy_hitters")
