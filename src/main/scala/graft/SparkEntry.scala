@@ -109,6 +109,7 @@ object SparkEntry {
     "q87_streaming_hh"      -> (graft.streaming.StreamingCorpus.heavyHittersViaStreaming(_, _)),
     "q88_incremental_scores" -> (Corpus.incrementalScores(_, _)),
     "q89_incremental_dedup" -> (Dedup.incrementalKeepCorpus(_, _)),
+    "q90_containment_lsh"   -> (Dedup.containmentOverLsh(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,6 +232,12 @@ object SparkEntry {
     // snapshot: index maintenance (delta signing + deletions + bucket
     // recovery) must land on the same kept corpus as rebuilding.
     "q89_incremental_dedup" -> Dedup.incrementalKeepCorpusSql,
+    // q90 = q85's containment kernel restricted to q47's LSH candidate
+    // set — the oracle applies the identical restriction, so the gate
+    // proves the bucketed path computes exact containment on exactly
+    // the candidate pairs (recall vs all-pairs q85 is measured in
+    // TextDedupSpec, not here).
+    "q90_containment_lsh"   -> Dedup.containmentOverLshSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

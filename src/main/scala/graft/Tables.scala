@@ -93,10 +93,17 @@ object Tables {
         // the NTZ→timestamp cast interprets the wall clock in the
         // session zone; anything but UTC would silently shift every
         // instant (the LongType branch fails loudly via require when
-        // its config is missing — be symmetric here)
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "events.ts read as TIMESTAMP_NTZ is cast in the session zone: " +
-            "build the session with spark.sql.session.timeZone=UTC")
+        // its config is missing — be symmetric here). Normalized via
+        // ZoneId so the equivalent spellings (Etc/UTC, GMT, +00:00)
+        // pass too, not just the literal "UTC".
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"events.ts read as TIMESTAMP_NTZ is cast in the session zone " +
+            s"(currently '$tz'): build the session with a UTC " +
+            "spark.sql.session.timeZone")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

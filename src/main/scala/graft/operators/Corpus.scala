@@ -1105,7 +1105,19 @@ object Corpus {
   // ---------------------------------------------------------------
 
   /** Tertile points as exact double literals; the SQL twins inline the
-    * same digits so both engines interpolate at the identical rank. */
+    * same digits so both engines interpolate at the identical rank.
+    *
+    * Tie-at-boundary caveat (ADVICE r8): both engines compute the
+    * interpolated tertile independently and ROUND(…,6); a last-ulp
+    * interpolation difference that straddles a rounding boundary — or
+    * a doc score landing EXACTLY on a rounded boundary — could flip
+    * that doc's bucket between engines. Scores are themselves rounded
+    * to 6dp (q74), so a boundary tie means `avg_logprob == b_lo/b_hi`
+    * exactly, which both engines classify identically (>=); the
+    * residual risk is only the last-ulp interpolation case, accepted
+    * for the oracle gate and absent from the production path
+    * ([[perplexityBucketsSketch]], whose boundaries are sketch-derived
+    * and not cross-engine-compared). */
   val PplTertileLo = 1.0 / 3
   val PplTertileHi = 2.0 / 3
 
@@ -1276,12 +1288,32 @@ object Corpus {
   // added/changed slice.
   // ---------------------------------------------------------------
 
+  /** Stored prev-snapshot score table + diff, memoized per corpus dir
+    * (ADVICE r8: the Dedup.indexes discipline) — production publishes
+    * the score table with the snapshot and every maintenance run LOADS
+    * it, so the named query's steady-state cost is the maintenance,
+    * not the stored table's build. Same invalidation rule
+    * ([[Dedup.docsFingerprint]]: file inventory + applicationId, since
+    * checkpointed frames are session-bound); one live entry per dir
+    * (a replaced entry's blocks free via the ContextCleaner). */
+  private val scoreState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame))]
+
   def incrementalScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
     // see snapshotPrev's note on why prev-with-current-text is exact
     // for every row that survives the carry-forward
-    incrementalScoresOf(repetitionStatsFrom(snapshotPrev(docs)),
-      snapshotCur(docs), snapshotDiffDerived(docs))
+    val (prevScores, diff) = scoreState.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val st = (
+          repetitionStatsFrom(snapshotPrev(docs)).localCheckpoint(true),
+          snapshotDiffDerived(docs).localCheckpoint(true))
+        scoreState.put(dir, (fp, st))
+        st
+    }
+    incrementalScoresOf(prevScores, snapshotCur(docs), diff)
   }
 
   /** The general operator: `prevScores` = the stored q73 output for

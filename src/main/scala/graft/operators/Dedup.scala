@@ -105,13 +105,10 @@ object Dedup {
     * d = 25, far under the cutoff: rows are unchanged at every sf. */
   val MaxShingleDocFreq = 256
 
-  /** All-pairs set Jaccard over any (doc_id, item) frame — the shared
-    * kernel behind the fp (q45) and string (audit/drift-spec) paths.
-    * Set sizes are computed AFTER the frequency cutoff (both engines),
-    * i.e. Jaccard over the kept-shingle universe. */
   /** The shared all-pairs overlap kernel behind q45 (Jaccard) and q85
     * (containment): (doc_a, doc_b, i, na, nb) for every co-occurring
-    * pair over the kept-item universe. */
+    * pair. Set sizes are computed AFTER the frequency cutoff (in both
+    * engines), i.e. overlap measures are over the kept-item universe. */
   private[operators] def pairOverlap(
       items: DataFrame, itemCol: String,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
@@ -212,10 +209,10 @@ object Dedup {
   // like q45 this is the GROUND-TRUTH BASELINE, not the hot path: the
   // pair join is output-sensitive (ScaleStress at 10× clone
   // amplification measures 17-24 s as every doc becomes a 10-family),
-  // so at scale either containment-verify the q47 LSH candidates
-  // (accepting banded MinHash's documented under-recall of
-  // high-containment/low-Jaccard subset pairs) or tighten the
-  // doc-freq cutoff knob.
+  // so at scale run q90 ([[containmentOverLsh]]) — the same
+  // containment kernel over q47's LSH candidates (accepting banded
+  // MinHash's documented under-recall of high-containment/low-Jaccard
+  // subset pairs) — or tighten the doc-freq cutoff knob.
   // ---------------------------------------------------------------
 
   val ContainmentThreshold = 0.8
@@ -418,15 +415,13 @@ object Dedup {
     verifyCandidates(cand, shf)
   }
 
-  /** Candidates-only Jaccard verification: true hashed-shingle Jaccard
-    * for each (doc_a, doc_b) candidate against the full (doc_id, fp)
-    * relation, kept at ≥ [[JaccardThreshold]]. Shared by the batch q47
-    * tail and the streaming q71 drain — the code being ONE function is
-    * what makes streaming-vs-batch verification parity structural
-    * rather than coincidental. Cost is linear in candidate fp
-    * occurrences (never all-pairs — that's the callers' contract). */
-  private[graft] def verifyCandidates(cand: DataFrame,
-                                      shf: DataFrame): DataFrame = {
+  /** Candidates-only overlap core: (doc_a, doc_b, i, na, nb) for each
+    * candidate pair against the full (doc_id, fp) relation — the
+    * [[pairOverlap]] quantities WITHOUT the all-pairs join; cost is
+    * linear in candidate fp occurrences (never all-pairs — that's the
+    * callers' contract). Shared by the Jaccard (q47/q71/q89) and
+    * containment (q90) verification tails. */
+  private def candidateOverlap(cand: DataFrame, shf: DataFrame): DataFrame = {
     val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(shf.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
@@ -437,10 +432,70 @@ object Dedup {
                  .withColumnRenamed("n", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
                  .withColumnRenamed("n", "nb"), Seq("doc_b"))
+  }
+
+  /** Candidates-only Jaccard verification: true hashed-shingle Jaccard
+    * for each (doc_a, doc_b) candidate against the full (doc_id, fp)
+    * relation, kept at ≥ [[JaccardThreshold]]. Shared by the batch q47
+    * tail and the streaming q71 drain — the code being ONE function is
+    * what makes streaming-vs-batch verification parity structural
+    * rather than coincidental. */
+  private[graft] def verifyCandidates(cand: DataFrame,
+                                      shf: DataFrame): DataFrame =
+    candidateOverlap(cand, shf)
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= JaccardThreshold)
       .orderBy($"doc_a", $"doc_b")
+
+  /** Candidates-only CONTAINMENT verification — q85's asymmetric
+    * measure over a candidate set instead of all pairs. */
+  private[graft] def verifyContainment(cand: DataFrame,
+                                       shf: DataFrame): DataFrame =
+    candidateOverlap(cand, shf)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / $"na").as("containment_a"),
+        ($"i" * lit(1.0) / $"nb").as("containment_b"))
+      .filter(greatest($"containment_a", $"containment_b")
+        >= ContainmentThreshold)
+      .orderBy($"doc_a", $"doc_b")
+
+  // ---------------------------------------------------------------
+  // q90 — containment over LSH candidates: the production-scale twin
+  // of q85 (VERDICT r8 item 1). Same containment kernel, but run over
+  // q47's banded-LSH candidate pairs instead of the all-pairs join —
+  // the bucketed shape that survives 100 TB (candidates ∝ same-bucket
+  // pairs, verification linear in candidate fp occurrences) where
+  // q85's exact baseline pays Σ occurrences².
+  //
+  // Documented recall trade, inherent to banded MinHash: a band match
+  // happens with probability ≈ J^BandSize, so a HIGH-containment /
+  // LOW-Jaccard pair (a short doc wholly inside a much longer one —
+  // exactly the quote-and-extend case containment exists for) can sit
+  // below the band threshold and never become a candidate. That gap is
+  // the LSH-ensemble literature's subject; q85 stays the ground truth,
+  // and TextDedupSpec measures q90's recall against it on the fixture
+  // (subset property + recall floor). A deployment wanting the missed
+  // tail partitions by length and runs the exact kernel within short-
+  // vs-long length bands, or adopts an LSH-ensemble index — both
+  // compose from the pieces here.
+  //
+  // Sizes (na/nb) are computed over the FULL fp relation (the q47
+  // verification universe); q85's baseline sizes are post-doc-freq-
+  // cutoff. On corpora with no hot shingles (every fixture sf) the two
+  // universes coincide, so q90 ⊆ q85 exactly — the spec pins it.
+  // ---------------------------------------------------------------
+
+  def containmentOverLsh(spark: SparkSession, dir: String): DataFrame =
+    // lazy localCheckpoint: shf feeds bands + both verification joins
+    // (the lshNearDupPairs discipline)
+    containmentOverLshFrom(shingleFps(spark, dir).localCheckpoint(false))
+
+  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
+  def containmentOverLshFrom(shf: DataFrame): DataFrame = {
+    val bands = lshBands(shf).localCheckpoint(false)
+    val cand = bandCandidates(bands).select($"doc_a", $"doc_b").distinct()
+    verifyContainment(cand, shf)
   }
 
   // ---------------------------------------------------------------
@@ -758,7 +813,9 @@ object Dedup {
   private val indexes = scala.collection.concurrent.TrieMap
     .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
 
-  private def docsFingerprint(spark: SparkSession, dir: String): String = {
+  /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
+    * codebook invalidation rule applied to documents.parquet). */
+  private[operators] def docsFingerprint(spark: SparkSession, dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else Seq(f)
@@ -841,7 +898,11 @@ object Dedup {
 
   val lshNearDupPairsSql: String = lshNearDupPairsSqlFrom("documents")
 
-  def lshNearDupPairsSqlFrom(src: String): String =
+  /** Shared oracle CTE chain of the LSH-candidate family (q47/q90):
+    * shingles → minhash → bands → guard-pruned buckets → candidate
+    * pairs → full-universe sizes → per-pair intersections. Each
+    * consumer appends its own measure/threshold tail. */
+  private def lshCandCtes(src: String): String =
     s"""WITH ${shinglesCte(src = src)},
        |$minhashCte,
        |bands AS (
@@ -864,12 +925,28 @@ object Dedup {
        |  FROM cand c
        |  JOIN fps a ON a.doc_id = c.doc_a
        |  JOIN fps b ON b.doc_id = c.doc_b AND b.fp = a.fp
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def lshNearDupPairsSqlFrom(src: String): String =
+    s"""${lshCandCtes(src)}
        |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
        |FROM inter
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q90 oracle: the q47 candidate CTE chain with q85's containment
+    * tail — containment restricted to the LSH-candidate set. */
+  val containmentOverLshSql: String =
+    s"""${lshCandCtes("documents")}
+       |SELECT doc_a, doc_b, i * 1.0 / sa.n AS containment_a,
+       |  i * 1.0 / sb.n AS containment_b
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n)
+       |  >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------

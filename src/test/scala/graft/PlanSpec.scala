@@ -258,6 +258,20 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay keyed:\n${p.take(3000)}")
   }
 
+  test("q90 containment over LSH: candidates come from the banded " +
+       "buckets — no all-pairs fp self-join anywhere") {
+    val p = plan("q90_containment_lsh")
+    assert(p.contains("band_val"),
+      s"candidate join must be keyed by band bucket:\n${p.take(3000)}")
+    // q85's all-pairs shape shows up as a join/aggregate partitioned
+    // on fp ALONE; in q90 fp only ever appears alongside doc_b in the
+    // verification join key
+    assert(!p.contains("hashpartitioning(fp"),
+      s"found an fp-keyed exchange — the all-pairs join shape:\n${p.take(3000)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"candidate and verification joins must stay keyed:\n${p.take(3000)}")
+  }
+
   test("q88 incremental scores: the carry-forward is a broadcast " +
        "anti-join — the stored table is never reshuffled") {
     val p = plan("q88_incremental_scores")

@@ -603,6 +603,50 @@ class TextDedupSpec extends AnyFunSuite {
       "q45 at its production threshold must NOT see the subset pair")
   }
 
+  test("q90 containment-over-LSH is a subset of exact q85 with " +
+       "identical scores; fixture recall measured") {
+    val exact = Dedup.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val lsh = Dedup.containmentOverLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // no hot shingles at fixture scale, so q85's post-cutoff size
+    // universe coincides with q90's full-universe sizes: every LSH
+    // pair must be an exact pair with byte-identical scores
+    lsh.foreach { case (pair, scores) =>
+      assert(exact.get(pair).contains(scores),
+        s"$pair not in exact q85 (or containment scores drifted)")
+    }
+    // the documented banded-MinHash under-recall (P[candidate] ≈
+    // J^BandSize): the fixture's containment pairs are clone families
+    // (high Jaccard), so recall is high here; the structural miss is
+    // pinned by the synthetic test below
+    assert(exact.nonEmpty, "fixture must produce containment pairs")
+    val recall = lsh.size.toDouble / exact.size
+    info(f"q90 recall vs exact q85: $recall%.3f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.8,
+      f"LSH containment recall $recall%.3f below the fixture floor")
+  }
+
+  test("q90 documented miss: the high-containment/low-Jaccard subset " +
+       "pair never becomes an LSH candidate") {
+    import spark.implicits._
+    // the q85 synthetic pair (containment 1.0, jaccard 0.2): band
+    // match probability ≈ 0.2^4 — deterministically no shared band
+    // under the frozen mix constants, so q90 cannot see what q85
+    // flags. THE trade the all-pairs ground truth exists to audit.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d e f g h i j k l"),
+      (3L, "unrelated text with no overlap at all")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairsFrom(docs).collect().length === 1)
+    val lsh = Dedup.containmentOverLshFrom(Dedup.shingleFpsFrom(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!lsh.contains((1L, 2L)),
+      "subset pair below the band threshold must be missed (documented)")
+  }
+
   test("q85 on the fixture: asymmetric scores consistent with q45's " +
        "symmetric view") {
     val cont = Dedup.containmentPairs(spark, sf).collect()
