@@ -47,6 +47,59 @@ object ScaleStress {
       .withColumn("text", concat($"text", lit(" r"), $"rep"))
       .drop("rep")
     println(s"docs rows: ${docs.count()}")
+    // opt-in EXCLUSIVE mode: q89 at 10× with a LOW (~1.9%) dirty
+    // fraction — the regime incremental maintenance exists for (the
+    // default 17/19/13 mods dirty ~18% of the corpus, the documented
+    // worst case under clone amplification). Interleaved A/B passes so
+    // co-load hits both sides symmetrically; the per-side MIN is the
+    // steady-state figure and the ratio of mins is the receipt. Runs
+    // only this measurement, then exits. Arg: "q89lowdirty".
+    if (args.contains("q89lowdirty")) {
+      val prevLd = docs.filter($"doc_id" % 170L =!= 3L)
+      val curLd = docs.filter($"doc_id" % 190L =!= 7L)
+      val prevDig = prevLd.select($"doc_id",
+        md5(when($"doc_id" % 130L === 5L, concat($"text", lit(":prev")))
+          .otherwise($"text").cast("binary")).as("prev_digest"))
+      val curDig = curLd.select($"doc_id",
+        md5($"text".cast("binary")).as("cur_digest"))
+      val diffLd = Corpus.snapshotDiffOf(prevDig, curDig)
+        .localCheckpoint(true)
+      diffLd.groupBy($"status").count().orderBy($"status").collect()
+        .foreach(r => println(s"  low-dirty diff ${r.get(0)}: ${r.get(1)}"))
+      var idxLd: (DataFrame, DataFrame, DataFrame) = null
+      time("q89 low-dirty stored-index build (not charged)") {
+        idxLd = Dedup.indexState(prevLd)
+      }
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(
+          Dedup.dedupKeepCorpusFrom(curLd, Dedup.dedupClustersFrom(
+            Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curLd)
+              .localCheckpoint(false)).select($"doc_a", $"doc_b"))).count())
+        val (ti, ni) = secs(
+          Dedup.incrementalKeepCorpusOf(idxLd._1, idxLd._2, idxLd._3,
+            curLd, diffLd).count())
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental kept-corpus diverged: $incrN vs full $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q89 low-dirty 10x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(rows $fullN)")
+      spark.stop()
+      return
+    }
+
     val shf = Dedup.shingleFpsFrom(docs).cache()
     time("shingle fps")(shf.count())
     val lshPairs = Dedup.lshNearDupPairsFrom(shf).cache()

@@ -19,6 +19,11 @@ object TimeQuery {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Bench's file-split posture so timing a query against the
+      // re-laid warehouse dir (/tmp/graft_wh_*) parallelizes the same
+      // way the committed bench numbers do
+      .config("spark.sql.files.maxPartitionBytes", "524288")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
