@@ -110,6 +110,8 @@ object SparkEntry {
     "q88_incremental_scores" -> (Corpus.incrementalScores(_, _)),
     "q89_incremental_dedup" -> (Dedup.incrementalKeepCorpus(_, _)),
     "q90_containment_lsh"   -> (Dedup.containmentOverLsh(_, _)),
+    "q91_incremental_ivf"   -> (VectorOps.incrementalIvfAssign(_, _)),
+    "q92_incremental_logprob" -> (Corpus.incrementalLogProb(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -238,6 +240,15 @@ object SparkEntry {
     // the candidate pairs (recall vs all-pairs q85 is measured in
     // TextDedupSpec, not here).
     "q90_containment_lsh"   -> Dedup.containmentOverLshSql,
+    // q91's oracle is the FULL q50 reassignment of the new snapshot
+    // against the frozen sample-fitted codebook — a hash match proves
+    // carry-forward ∪ reassign == reassign-everything (q88's proof
+    // shape lifted to the vector index).
+    "q91_incremental_ivf"   -> VectorOps.incrementalIvfAssignSql,
+    // q92's oracle is the FULL q74 recompute over the new snapshot:
+    // stored-tf maintenance + vocabulary deltas + rescore must equal
+    // rescoring everything from raw text.
+    "q92_incremental_logprob" -> Corpus.incrementalLogProbSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

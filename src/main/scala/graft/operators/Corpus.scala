@@ -676,11 +676,25 @@ object Corpus {
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame =
     unigramLogProbFrom(Tables.documents(spark, dir))
 
-  def unigramLogProbFrom(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+  /** The (doc_id, token, tf) term-frequency table — q74's expensive
+    * half (tokenize + explode + corpus-keyed aggregate), shared with
+    * the q92 incremental path, which maintains it as stored state. */
+  private[graft] def tfFrom(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+
+  /** The corpus vocabulary (token, cnt) as an aggregate of the tf
+    * table — counts merge by addition, the property q92's delta
+    * maintenance relies on. */
+  private[graft] def vocabFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+
+  /** q74's scoring tail over an explicit (tf, vocab) pair: per-token
+    * logprob (6dp, summed as DECIMAL — order-independent exact) joined
+    * back to the tf table and rolled up per document. Shared by the
+    * full recompute and the q92 rescore so the arithmetic cannot
+    * drift. */
+  private def scoreTf(tf: DataFrame, vocab: DataFrame): DataFrame = {
     val total = vocab.agg(sum($"cnt").as("total"))
     val scored = tf.join(vocab, Seq("token"))
       .crossJoin(broadcast(total))
@@ -695,9 +709,14 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
-  val unigramLogProbSql: String =
+  def unigramLogProbFrom(docs: DataFrame): DataFrame = {
+    val tf = tfFrom(docs)
+    scoreTf(tf, vocabFromTf(tf))
+  }
+
+  private[graft] def unigramLogProbSqlFrom(src: String): String =
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM $src),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
        |vocab AS (
        |  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
@@ -712,6 +731,8 @@ object Corpus {
        |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6) >= $MinAvgLogProb
        |    AS keep
        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val unigramLogProbSql: String = unigramLogProbSqlFrom("documents")
 
   // ---------------------------------------------------------------
   // q75 — mixture sampling: per-source sampling rates (the data-mixing
@@ -1427,4 +1448,129 @@ object Corpus {
        |   CAST(cms_est - cnt AS DOUBLE) <= CAST(n AS DOUBLE) * 2 / $CmsWidth)
        |    AS within_bound
        |FROM est CROSS JOIN tot ORDER BY cnt DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q92 — delta-maintained vocabulary + corpus-global rescore: the
+  // incremental story for the score q88 deliberately excluded. q74's
+  // logprob is CORPUS-GLOBAL — every added/removed document shifts the
+  // vocabulary counts, and a shifted vocabulary makes every stored
+  // score stale, so the q88 carry-forward is unsound here. But the
+  // expensive half of q74 is not the vocabulary: it is tokenizing the
+  // corpus and aggregating the (doc, token, tf) table. That table IS
+  // doc-local, so it maintains exactly like q88's scores — and the
+  // vocabulary is a mergeable aggregate OF it, so it maintains from
+  // the diff's token deltas alone:
+  //
+  //   tf'    = stored tf  − dirty docs' rows  ∪  tokenize(dirty slice)
+  //   vocab' = stored vocab + gained(fresh slice) − lost(dropped rows)
+  //   scores = rescore ALL docs — but from tf' (a compact keyed join),
+  //            never by re-tokenizing the corpus.
+  //
+  // The rescore-all is the honest consequence of a global model: the
+  // vocabulary changed, so every per-token logprob may have moved (at
+  // minimum through the total-count denominator), and this operator
+  // states that instead of carrying scores computed under a dead
+  // vocabulary. What the maintenance SAVES is the text pass: at
+  // 100 TB the tokenize+explode of raw text dwarfs the thin
+  // (doc_id, token, tf) join, so a 0.1% crawl pays 0.1% of the text
+  // cost plus one compact-table rescore. A deployment wanting to skip
+  // even the rescore gates it on [[vocabDriftStats]] (the q81/q86
+  // verdict discipline): within a drift bound, carry scores forward
+  // WITH the bound attached; past it, rescore — the policy knob, not
+  // this named query, which always rescores so its oracle (the FULL
+  // q74 recompute over the new snapshot) hash-matches.
+  //
+  // 100 TB shape: tokenization runs over only the added/changed
+  // slice; the stored tf carries forward under one broadcast
+  // anti-join; the vocab delta is two dirty-slice-sized aggregates
+  // merged into the stored vocab by token key; the rescore is q74's
+  // scoring join over tf' — the one unavoidable corpus-keyed join,
+  // with zero text processing.
+  // ---------------------------------------------------------------
+
+  /** Stored prev-snapshot (tf, vocab) + diff, memoized per corpus dir
+    * (the q88/q89/q91 discipline — production publishes tf and vocab
+    * with the snapshot; maintenance LOADS them). */
+  private val vocabState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame, DataFrame))]
+
+  def incrementalLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val (prevTf, prevVocab, diff) = vocabState.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val tf = tfFrom(snapshotPrev(docs)).localCheckpoint(true)
+        val st = (tf, vocabFromTf(tf).localCheckpoint(true),
+          snapshotDiffDerived(docs).localCheckpoint(true))
+        vocabState.put(dir, (fp, st))
+        st
+    }
+    incrementalLogProbOf(prevTf, prevVocab, snapshotCur(docs), diff)
+  }
+
+  /** The general operator: `prevTf` / `prevVocab` = the stored term
+    * frequencies and vocabulary of the previous snapshot, `curDocs` =
+    * the new snapshot, `diff` = a q84-shaped status frame. Note the
+    * lost-side delta reads the STORED tf rows of changed docs (their
+    * old text's counts), never the old text itself — the maintenance
+    * needs no access to the previous snapshot's documents. */
+  def incrementalLogProbOf(prevTf: DataFrame, prevVocab: DataFrame,
+                           curDocs: DataFrame, diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // The ONLY text processing in the whole maintenance pass — lazily
+    // checkpointed because two consumers read it (the tf union and
+    // the gained-side vocab delta) and the vocab is read twice again
+    // inside scoreTf: without the barrier the tokenize subtree is
+    // cloned into every consumer (measured: 3 Generate subtrees in
+    // the plan; the q89 deltaFps discipline).
+    val freshTf = tfFrom(curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false)
+    val newTf = prevTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(freshTf)
+    val newVocab = maintainedVocab(prevVocab,
+      lost = prevTf.join(broadcast(dirty), Seq("doc_id")),
+      gained = freshTf)
+      .localCheckpoint(false) // scoreTf reads it twice (total + join)
+    scoreTf(newTf, newVocab)
+  }
+
+  /** vocab' = vocab + Σ gained − Σ lost, dropping tokens whose count
+    * reaches zero (a token alive only in removed/changed docs leaves
+    * the vocabulary, exactly as a full recompute would drop it). */
+  private[graft] def maintainedVocab(prevVocab: DataFrame, lost: DataFrame,
+                                     gained: DataFrame): DataFrame =
+    prevVocab
+      .join(gained.groupBy($"token").agg(sum($"tf").as("d_plus")),
+        Seq("token"), "full_outer")
+      .join(lost.groupBy($"token").agg(sum($"tf").as("d_minus")),
+        Seq("token"), "full_outer")
+      .select($"token",
+        (coalesce($"cnt", lit(0L)) + coalesce($"d_plus", lit(0L))
+          - coalesce($"d_minus", lit(0L))).as("cnt"))
+      .filter($"cnt" > 0)
+
+  /** The drift verdict a carry-forward policy would gate on: how far
+    * the maintained vocabulary moved from the stored one — changed
+    * tokens (entered/left/count moved) and the L1 token-mass share of
+    * the movement. One row; both inputs are vocab-sized. */
+  def vocabDriftStats(prevVocab: DataFrame, newVocab: DataFrame): DataFrame =
+    prevVocab.select($"token", $"cnt".as("prev_cnt"))
+      .join(newVocab.select($"token", $"cnt".as("new_cnt")),
+        Seq("token"), "full_outer")
+      .select(
+        coalesce($"prev_cnt", lit(0L)).as("p"),
+        coalesce($"new_cnt", lit(0L)).as("n"))
+      .agg(
+        sum(when($"p" =!= $"n", 1L).otherwise(0L)).as("n_tokens_moved"),
+        round(sum(abs($"n" - $"p")).cast(DoubleType)
+          / sum(greatest($"p", $"n")), 6).as("l1_mass_share"))
+
+  /** q92's oracle: the FULL q74 recompute over the new snapshot — a
+    * hash match proves stored-tf maintenance + vocab deltas + rescore
+    * land byte-identically on rescore-everything-from-text. */
+  lazy val incrementalLogProbSql: String = unigramLogProbSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
 }

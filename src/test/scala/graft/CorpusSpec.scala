@@ -728,6 +728,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains(9L), "removed doc survived")
   }
 
+  test("q92 incremental logprob == full recompute over the new snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Corpus.incrementalLogProb(spark, sf).collect()
+    val full = Corpus.unigramLogProbFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q92 reads unchanged docs from the STORED tf table — never " +
+       "re-tokenizes them") {
+    // poison the stored tf: doc 1's token count is inflated to 5
+    // (its text says 1). If the maintenance re-tokenized unchanged
+    // docs the poison would vanish; reading the stored table, doc 1's
+    // n_tokens must reflect the poisoned count.
+    val prevDocs = docsFrame(1L -> "alpha beta", 2L -> "beta gamma")
+    val prevTf = Corpus.tfFrom(prevDocs)
+      .withColumn("tf", when($"doc_id" === 1L && $"token" === "alpha", 5L)
+        .otherwise($"tf"))
+    val prevVocab = Corpus.vocabFromTf(prevTf)
+    val diff = Seq((1L, "unchanged"), (2L, "changed"), (4L, "added"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "alpha beta",
+      2L -> "gamma gamma delta", 4L -> "epsilon")
+    val out = Corpus.incrementalLogProbOf(prevTf, prevVocab, curDocs, diff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 6L, "unchanged doc was re-tokenized (poison lost)")
+    assert(out(2L) === 3L && out(4L) === 1L, "dirty docs not re-tokenized")
+  }
+
+  test("q92 vocabulary deltas: counts move, dead tokens leave, new " +
+       "tokens enter — and the drift verdict sees all of it") {
+    val prevVocab = Seq(("alpha", 3L), ("beta", 2L), ("gone", 1L))
+      .toDF("token", "cnt")
+    // 'gone' lived only in a removed doc; 'beta' loses one of two;
+    // 'fresh' enters with the new slice
+    val lost = Seq((9L, "gone", 1L), (3L, "beta", 1L))
+      .toDF("doc_id", "token", "tf")
+    val gained = Seq((3L, "alpha", 2L), (4L, "fresh", 1L))
+      .toDF("doc_id", "token", "tf")
+    val v = Corpus.maintainedVocab(prevVocab, lost, gained)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("alpha" -> 5L, "beta" -> 1L, "fresh" -> 1L))
+    val drift = Corpus.vocabDriftStats(prevVocab,
+      Corpus.maintainedVocab(prevVocab, lost, gained)).collect().head
+    assert(drift.getLong(0) === 4L,
+      "alpha, beta, gone, fresh all moved")
+    assert(drift.getDouble(1) > 0.0 && drift.getDouble(1) <= 1.0)
+  }
+
   test("q86 heavy hitters: hand corpus — top-k cut and the estimate " +
        "of an uncollided token is exact") {
     val out = Corpus.heavyHittersFrom(

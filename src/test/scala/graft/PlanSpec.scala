@@ -279,6 +279,33 @@ class PlanSpec extends AnyFunSuite {
       s"carried rows must map-side anti-join the dirty set:\n${p.take(3000)}")
   }
 
+  test("q91 incremental IVF: the carry-forward is a broadcast " +
+       "anti-join and the dirty slice a broadcast semi — the stored " +
+       "assignment table is never reshuffled") {
+    val p = plan("q91_incremental_ivf")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"carried rows must map-side anti-join the dirty set:\n${p.take(3000)}")
+    // the only nested-loop join allowed is the broadcast codebook
+    // cross on the assign side; the corpus must never cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
+
+  test("q92 incremental logprob: the stored tf carries under a " +
+       "broadcast anti-join and only the dirty slice is tokenized") {
+    val p = plan("q92_incremental_logprob")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored tf must map-side anti-join the dirty set:\n${p.take(3000)}")
+    // tokenization (Generate explode) runs exactly once, inside the
+    // checkpointed dirty-slice tf — the maintenance plan itself reads
+    // only RDD scans of stored/delta state, never raw text (the
+    // poison spec in CorpusSpec proves the gating; this pins that no
+    // full-corpus tokenize leaked back into the maintenance DAG)
+    val generates = "Generate explode".r.findAllIn(p).size
+    assert(generates === 0,
+      s"found $generates tokenize subtrees above the checkpoint barrier:\n${p.take(3000)}")
+  }
+
   test("q86 heavy hitters: top-k is a TakeOrdered, the counter probe " +
        "broadcasts") {
     val p = plan("q86_heavy_hitters")

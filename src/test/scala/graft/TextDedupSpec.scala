@@ -585,6 +585,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept === Seq(5L, 9L), "cluster {5,30} keeps 5; 9 untouched")
   }
 
+  test("q91 incremental IVF == full reassignment of the new snapshot " +
+       "against the frozen sample codebook") {
+    val incremental = VectorOps.incrementalIvfAssign(spark, sf).collect()
+    val full = VectorOps.fullIvfAssignSample(spark, sf).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q91 carries unchanged assignments forward VERBATIM and " +
+       "reassigns only the dirty slice") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val codebook = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cv")
+    // poison the stored assignments with a sentinel cell_id no
+    // codebook contains: unchanged vectors must keep it (proof of
+    // carry-forward, not reassignment); the changed vector must lose
+    // it to a fresh argmin against the real codebook.
+    val prevAssign = Seq((1L, -77L, 0.0), (2L, -77L, 0.0),
+      (3L, 0L, 0.0), (9L, 1L, 0.0)).toDF("vec_id", "cell_id", "dist2")
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "added"), (9L, "removed")).toDF("vec_id", "status")
+    val curVecs = VectorOps.vecsFrom(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding"))
+    val out = VectorOps
+      .incrementalIvfAssignOf(prevAssign, curVecs, diff, codebook)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === -77L && out(2L) === -77L, "unchanged rows reassigned")
+    assert(out(3L) === 1L && out(4L) === 1L, "dirty rows not reassigned")
+    assert(!out.contains(9L), "removed vector survived")
+  }
+
+  test("q91 codebook stability: the training sample — and so the " +
+       "frozen codebook — is identical in both snapshots") {
+    val all = VectorOps.vecsFrom(Tables.embeddings(spark, sf))
+    val fromPrev = VectorOps.vecSnapshotSample(
+      VectorOps.vecSnapshotPrev(all)).collect().map(_.getLong(0)).toSeq
+    val fromCur = VectorOps.vecSnapshotSample(
+      VectorOps.vecSnapshotCur(all)).collect().map(_.getLong(0)).toSeq
+    val direct = VectorOps.vecSnapshotSample(all)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromPrev === direct && fromCur === direct,
+      "sample must be untouched by the diff in either direction")
+    assert(direct.nonEmpty)
+  }
+
   test("q85 containment catches a subset pair whose Jaccard is far " +
        "below any dedup threshold") {
     import spark.implicits._
