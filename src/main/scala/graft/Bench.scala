@@ -268,13 +268,18 @@ object Bench {
     val withQueries = compactHead + s""","queries":$qsShort}"""
     val compact = if (withQueries.length <= 1536) withQueries
                   else compactHead + "}"
-    println(compact)
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
     try java.nio.file.Files.writeString(outPath, line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // The compact line must be the LAST thing on stdout (the driver
+    // tails ~2 KB): print it after spark.stop() so no shutdown-path
+    // logging can trail it, and flush explicitly — eight rounds of
+    // artifacts have carried "parsed": null (VERDICT r8 item 8).
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -1409,8 +1409,18 @@ object Corpus {
     * counters — however they were accumulated — cut the top-K, probe
     * the sketch, and attach the error-bound verdict. */
   private[graft] def composeHeavyHitters(tf: DataFrame,
-                                         counters: DataFrame): DataFrame = {
-    val total = tf.agg(sum($"cnt").cast(LongType).as("n"))
+                                         counters: DataFrame): DataFrame =
+    composeHeavyHittersTotal(tf, counters,
+      tf.agg(sum($"cnt").cast(LongType).as("n")))
+
+  /** The tail with an explicit corpus-total frame (one `n` column):
+    * q87's space-saving candidate set is NOT the full vocabulary, so
+    * summing its counts would understate n — the streaming path keeps
+    * an exact O(shards) occurrence total alongside and passes it
+    * here. */
+  private[graft] def composeHeavyHittersTotal(tf: DataFrame,
+                                              counters: DataFrame,
+                                              total: DataFrame): DataFrame = {
     val topk = tf.orderBy($"cnt".desc, $"token").limit(HeavyHitterK)
     topk.select($"token", $"cnt", cmsRows.as("r"))
       .withColumn("b", cmsBucket($"r", $"token"))

@@ -294,26 +294,130 @@ object StreamingCorpus {
   }
 
   // ---------------------------------------------------------------
-  // q87 — streaming heavy hitters: the q86 count-min sketch maintained
-  // as STREAMING STATE. The CMS exists precisely for this shape —
-  // counters merge by addition, so per-(row, bucket) state accumulates
-  // micro-batch by micro-batch into exactly the table the batch
-  // aggregate builds, and its size is depth × width (4 × 1024 rows)
-  // NO MATTER the stream length or vocabulary: the bounded-memory
-  // frequency summary of an unbounded token stream. The exact
-  // per-token counter state alongside it is vocabulary-bounded (the
-  // q68 state-growth regime) and exists to cut the top-K and attest
-  // the sketch; a 100 TB deployment that cannot afford vocab-sized
-  // state drops that side and keeps the CMS + a fixed-size top-K
-  // candidate heap (space-saving), trading the exactness this query's
-  // oracle proves for O(K) memory.
+  // q87 — streaming heavy hitters under BOUNDED state: the q86 output
+  // recovered from two fixed-size streaming summaries (VERDICT r8
+  // item 5 — no vocabulary-sized state anywhere).
   //
-  // Both counters are order-independent sums, so the drained result is
-  // byte-identical to the batch q86 — the oracle IS the batch SQL
-  // (q68/q71's parity discipline applied to sketches).
+  //   (1) the count-min sketch as additive per-(row, bucket) state —
+  //       depth × width (4 × 1024) counters NO MATTER the stream
+  //       length or vocabulary; supplies the estimate column.
+  //   (2) a SPACE-SAVING candidate set (Metwally et al. 2005,
+  //       "Efficient computation of frequent and top-k elements in
+  //       data streams"): tokens shard by hash into SsShards groups,
+  //       each holding at most SsCapacity (token, cnt, err) counters —
+  //       an arriving token already tracked increments its counter;
+  //       an untracked token takes over the shard's minimum counter,
+  //       inheriting its count as the overestimate error. State is
+  //       O(shards × capacity) + one exact occurrence total per shard,
+  //       independent of vocabulary; supplies the exact top-K cut.
+  //
+  // Space-saving guarantees (per shard over its token substream of N
+  // occurrences): every tracked count OVERestimates by at most its
+  // recorded err ≤ N/capacity, and any token with true count >
+  // N/capacity is guaranteed tracked — so the top-K cut is exact
+  // whenever the K-th count clears the error floor, and err == 0
+  // certifies a count as exact. On the fixture corpora the vocabulary
+  // fits the candidate set outright (nothing evicts, every err is 0,
+  // the spec pins it), which is what lets the oracle stay the batch
+  // q86 SQL — the same drained-state-equals-batch parity q68/q71
+  // prove, now THROUGH a bounded summary. On an adversarial stream
+  // whose tail crowds out the head, the cut degrades gracefully: counts
+  // stay within the documented ε = 1/capacity bound per shard, and a
+  // nonzero err column flags every approximate row. Sharding by token
+  // hash keeps the guarantee: each token lives in exactly one shard,
+  // so cross-shard merge never mixes counters of one token.
   // ---------------------------------------------------------------
 
   case class KeyCount(key: String, cnt: Long)
+
+  /** Space-saving posture: 16 shards × 256 counters = 4,096 tracked
+    * candidates and a per-shard error floor of N_shard/256 — sized so
+    * K = 50 top tokens survive with slack on any remotely Zipfian
+    * stream, while total state stays fixed at roughly the CMS's own
+    * footprint. */
+  val SsShards = 16
+  val SsCapacity = 256
+
+  case class SsEntry(token: String, cnt: Long, err: Long)
+  case class SsShardState(shard: Int, version: Long, total: Long,
+                          entries: Seq[SsEntry])
+
+  /** One space-saving step over a batch of (token, occurrences)
+    * increments — pure, so the spec can drive it past capacity
+    * directly. Folding a token's whole batch count in one step is
+    * equivalent to arriving one occurrence at a time: after the first
+    * arrival the token is tracked, and subsequent occurrences only
+    * increment. Batch order is pinned (sorted by token) and eviction
+    * ties break by token, so replays and retries are deterministic. */
+  private[graft] def spaceSavingFold(
+      entries: Map[String, (Long, Long)],
+      batch: Seq[(String, Long)],
+      cap: Int): Map[String, (Long, Long)] =
+    batch.sortBy(_._1).foldLeft(entries) { case (m, (tok, c)) =>
+      m.get(tok) match {
+        case Some((cnt, err)) => m.updated(tok, (cnt + c, err))
+        case None if m.size < cap => m.updated(tok, (c, 0L))
+        case None =>
+          val (evTok, (evCnt, _)) =
+            m.minBy { case (t, (cnt, _)) => (cnt, t) }
+          (m - evTok).updated(tok, (evCnt + c, evCnt))
+      }
+    }
+
+  /** Drain a stream of string keys through sharded space-saving state
+    * and return the final candidate table (token, cnt, err) plus the
+    * exact occurrence total — O(SsShards × SsCapacity) state however
+    * long the stream runs. The changelog folds by max version per
+    * shard (versions only grow; the state store itself is
+    * exactly-once, so a replayed emission is a duplicate row, not a
+    * double count). */
+  private def spaceSavingStream(spark: SparkSession, keys: Dataset[String],
+                                prefix: String): (DataFrame, DataFrame) = {
+    import spark.implicits.newProductEncoder
+    val updater = (shard: Int, rows: Iterator[String],
+                   state: GroupState[SsShardState]) => {
+      val counts = rows.toSeq.groupBy(identity)
+        .view.mapValues(_.size.toLong).toSeq
+      val prev = state.getOption
+      val m0 = prev.map(_.entries.map(e => e.token -> (e.cnt, e.err)).toMap)
+        .getOrElse(Map.empty[String, (Long, Long)])
+      val m1 = spaceSavingFold(m0, counts, SsCapacity)
+      val next = SsShardState(shard,
+        prev.map(_.version).getOrElse(0L) + 1L,
+        prev.map(_.total).getOrElse(0L) + counts.map(_._2).sum,
+        m1.toSeq.sortBy(_._1).map { case (t, (c, e)) => SsEntry(t, c, e) })
+      state.update(next)
+      Iterator(next)
+    }
+    val changelog = keys
+      .groupByKey(k => Math.floorMod(k.hashCode, SsShards))(
+        spark.implicits.newIntEncoder)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updater)
+    val name = prefix + sinkSeq.incrementAndGet()
+    val checkpoint = StreamingClean.trackedTempDir("graft-ss-ckpt-")
+    val q = changelog.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"version".desc)
+    val finalState = spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    val candidates = finalState
+      .select(explode($"entries").as("e"))
+      .select($"e.token".as("token"), $"e.cnt".as("cnt"),
+        $"e.err".as("err"))
+    val total = finalState
+      .agg(sum($"total").cast(LongType).as("n"))
+    (candidates, total)
+  }
 
   /** Drain a stream of string keys through per-key additive count
     * state and return the final (key, cnt) table. The changelog folds
@@ -353,22 +457,27 @@ object StreamingCorpus {
     result
   }
 
-  /** Drain `docsPath` through both stateful counters and compose the
-    * q86 output: exact top-K from the token state, estimates from the
-    * CMS state, via the shared [[graft.operators.Corpus
-    * .composeHeavyHitters]] tail. */
+  /** Drain `docsPath` through both bounded summaries and compose the
+    * q86 output: the top-K cut from the space-saving candidate set,
+    * estimates from the CMS state, the exact stream length from the
+    * per-shard totals — via the shared [[graft.operators.Corpus
+    * .composeHeavyHittersTotal]] tail. The candidate `err` column is
+    * dropped at the boundary: the named query's oracle is the batch
+    * q86 schema, and on any stream where the top-K survives with
+    * err = 0 (spec-pinned for the fixtures) the output is
+    * byte-identical to it. */
   def heavyHitterStream(spark: SparkSession, docsPath: String,
                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import graft.operators.{Corpus, TextOps}
     import spark.implicits.newStringEncoder
     val toks = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
       .select(explode(TextOps.tokens($"text")).as("token")).as[String]
-    val tokenCounts = countStream(spark, toks, "graft_hh_tok_")
-      .select($"key".as("token"), $"cnt")
+    val (candidates, total) =
+      spaceSavingStream(spark, toks, "graft_hh_ss_")
     // each token occurrence feeds one cell per sketch row; the cell id
     // string "r:b" is the state key. Derived from the SAME token
-    // stream definition as the exact side (each started query still
-    // reads its own source instance) so the two sides cannot drift.
+    // stream definition as the candidate side (each started query
+    // still reads its own source instance) so the two cannot drift.
     val cells = toks
       .select(Corpus.cmsRows.as("r"), $"token")
       .select(concat($"r".cast(StringType), lit(":"),
@@ -379,7 +488,20 @@ object StreamingCorpus {
         split($"key", ":").getItem(0).cast(IntegerType).as("r"),
         split($"key", ":").getItem(1).cast(LongType).as("b"),
         $"cnt".as("c"))
-    Corpus.composeHeavyHitters(tokenCounts, counters)
+    Corpus.composeHeavyHittersTotal(
+      candidates.select($"token", $"cnt"), counters, total)
+  }
+
+  /** The drained space-saving state itself, for audits and the spec:
+    * (token, cnt, err) candidates + the exact occurrence total. */
+  private[graft] def heavyHitterCandidates(
+      spark: SparkSession, docsPath: String,
+      maxFilesPerTrigger: Option[Int] = None): (DataFrame, DataFrame) = {
+    import graft.operators.TextOps
+    import spark.implicits.newStringEncoder
+    val toks = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .select(explode(TextOps.tokens($"text")).as("token")).as[String]
+    spaceSavingStream(spark, toks, "graft_hh_ss_")
   }
 
   /** q87 — streaming-vs-batch heavy-hitter parity: the fixture corpus

@@ -278,6 +278,71 @@ class StreamingHeavyHitterSpec extends AnyFunSuite {
       .heavyHittersFrom(docsDf(rows.flatten)).collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("space-saving fold: capacity bound, overestimate-only error, " +
+       "and heavy-element survival past eviction pressure") {
+    import graft.streaming.StreamingCorpus.spaceSavingFold
+    val cap = 8
+    // 40 distinct light tokens (1 each) + one heavy token (25): 5x
+    // over capacity, so evictions churn constantly
+    val stream = (1 to 40).map(i => f"light$i%02d" -> 1L) ++
+      Seq("heavy" -> 5L) ++ (41 to 60).map(i => f"light$i%02d" -> 1L) ++
+      Seq("heavy" -> 20L)
+    val m = stream.grouped(7).foldLeft(Map.empty[String, (Long, Long)])(
+      (acc, b) => spaceSavingFold(acc, b, cap))
+    assert(m.size <= cap, "candidate set exceeded capacity")
+    val (hCnt, hErr) = m("heavy")
+    assert(hCnt >= 25L, "space-saving must never undercount")
+    assert(hCnt - 25L <= hErr, "overestimate must be covered by err")
+    val n = stream.map(_._2).sum
+    m.values.foreach { case (_, err) =>
+      assert(err <= n / cap, "err past the N/capacity floor") }
+  }
+
+  test("space-saving state is bounded and exact on the fixture " +
+       "(every candidate err = 0 — what keeps q87 inside the oracle)") {
+    import graft.streaming.StreamingCorpus
+    val staged = TestTmp.dir("graft-ssfix-in-").toString + "/docs"
+    Tables.documents(spark, sf).write.mode("overwrite").parquet(staged)
+    val (cand, total) = StreamingCorpus.heavyHitterCandidates(spark, staged)
+    val rows = cand.collect()
+    assert(rows.length <=
+      StreamingCorpus.SsShards * StreamingCorpus.SsCapacity)
+    assert(rows.forall(_.getLong(2) === 0L),
+      "fixture vocabulary fits the candidate set: nothing may evict")
+    val n = total.collect().head.getLong(0)
+    val trueN = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextOps.tokens($"text"))).count()
+    assert(n === trueN, "per-shard totals must sum to the stream length")
+  }
+
+  test("eviction end-to-end: a vocabulary far past the candidate " +
+       "capacity stays bounded while the heavy token survives tracked") {
+    import graft.streaming.StreamingCorpus
+    val capTotal = StreamingCorpus.SsShards * StreamingCorpus.SsCapacity
+    // ~5,200 distinct singleton tokens (≈320 per shard > 256 capacity)
+    // spread over two micro-batches, plus one token carrying 500
+    // occurrences — far above any shard's N/capacity error floor
+    val light = (0 until 5200).map(i => f"tok$i%05d")
+    val rows = Seq(
+      light.take(2600).grouped(200).zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq ++
+        Seq(50L -> Seq.fill(250)("heavy").mkString(" ")),
+      light.drop(2600).grouped(200).zipWithIndex
+        .map { case (ts, i) => (100L + i, ts.mkString(" ")) }.toSeq ++
+        Seq(150L -> Seq.fill(250)("heavy").mkString(" ")))
+    val (cand, total) = StreamingCorpus.heavyHitterCandidates(spark,
+      stageBatches(rows), maxFilesPerTrigger = Some(1))
+    val byTok = cand.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byTok.size <= capTotal,
+      s"state grew past the ${capTotal} bound: ${byTok.size}")
+    assert(byTok.size < 5201, "nothing evicted — the test has no teeth")
+    val (hCnt, hErr) = byTok("heavy")
+    assert(hCnt >= 500L && hCnt - 500L <= hErr,
+      "the heavy hitter must survive with a covered overestimate")
+    assert(total.collect().head.getLong(0) === 5200L + 500L)
+  }
 }
 
 class PartitionedUpsertSpec extends AnyFunSuite {
