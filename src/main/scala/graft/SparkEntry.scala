@@ -112,6 +112,8 @@ object SparkEntry {
     "q90_containment_lsh"   -> (Dedup.containmentOverLsh(_, _)),
     "q91_incremental_ivf"   -> (VectorOps.incrementalIvfAssign(_, _)),
     "q92_incremental_logprob" -> (Corpus.incrementalLogProb(_, _)),
+    "q93_semantic_dedup"    -> (VectorOps.semanticKeepCorpus(_, _)),
+    "q94_incremental_hh"    -> (Corpus.incrementalHeavyHitters(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,6 +251,14 @@ object SparkEntry {
     // stored-tf maintenance + vocabulary deltas + rescore must equal
     // rescoring everything from raw text.
     "q92_incremental_logprob" -> Corpus.incrementalLogProbSql,
+    // q93 = the q70 kept-corpus chain on the embedding side (SemDeDup):
+    // the oracle builds its pairs from the SAME q69 IVF SQL, so the
+    // gate proves pairs→components→keep end to end.
+    "q93_semantic_dedup"    -> VectorOps.semanticKeepCorpusSql,
+    // q94's oracle is the FULL q86 recompute over the new snapshot —
+    // maintained vocabulary AND maintained CMS counters must land
+    // byte-identically on rebuild-from-scratch, estimates included.
+    "q94_incremental_hh"    -> Corpus.incrementalHeavyHittersSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

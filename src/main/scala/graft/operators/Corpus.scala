@@ -1395,13 +1395,19 @@ object Corpus {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     heavyHittersFrom(Tables.documents(spark, dir))
 
+  /** The (r, b, c) CMS counter table from a (token, cnt) frame —
+    * shared by the batch build (q86) and the q94 stored-counter
+    * build, so maintained counters can only ever be compared against
+    * the exact same construction. */
+  private[graft] def cmsCountersFrom(tf: DataFrame): DataFrame =
+    tf.select($"token", $"cnt", cmsRows.as("r"))
+      .select($"r", cmsBucket($"r", $"token").as("b"), $"cnt")
+      .groupBy($"r", $"b").agg(sum($"cnt").cast(LongType).as("c"))
+
   def heavyHittersFrom(docs: DataFrame): DataFrame = {
     val tf = docs.select(explode(TextOps.tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-    val counters = tf.select($"token", $"cnt", cmsRows.as("r"))
-      .select($"r", cmsBucket($"r", $"token").as("b"), $"cnt")
-      .groupBy($"r", $"b").agg(sum($"cnt").cast(LongType).as("c"))
-    composeHeavyHitters(tf, counters)
+    composeHeavyHitters(tf, cmsCountersFrom(tf))
   }
 
   /** The output tail shared by the batch (q86) and streaming (q87)
@@ -1434,9 +1440,13 @@ object Corpus {
       .orderBy($"cnt".desc, $"token")
   }
 
-  val heavyHittersSql: String =
+  val heavyHittersSql: String = heavyHittersSqlFrom("documents")
+
+  /** The q86 oracle over an arbitrary documents-shaped source — q94's
+    * full-recompute oracle runs it over the current snapshot. */
+  def heavyHittersSqlFrom(src: String): String =
     s"""WITH tok AS (
-       |  SELECT unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |  SELECT unnest(${TextOps.tokensSql}) AS token FROM $src),
        |tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
        |       FROM tok GROUP BY 1),
        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM tf),
@@ -1498,25 +1508,35 @@ object Corpus {
   // with zero text processing.
   // ---------------------------------------------------------------
 
-  /** Stored prev-snapshot (tf, vocab) + diff, memoized per corpus dir
-    * (the q88/q89/q91 discipline — production publishes tf and vocab
-    * with the snapshot; maintenance LOADS them). */
+  /** Stored prev-snapshot (tf, vocab, CMS counters) + diff, memoized
+    * per corpus dir (the q88/q89/q91 discipline — production
+    * publishes these with the snapshot; maintenance LOADS them).
+    * Shared by q92 (tf + vocab) and q94 (vocab + counters): one
+    * stored-state home per corpus, not one per consumer. */
   private val vocabState = scala.collection.concurrent.TrieMap
-    .empty[String, (String, (DataFrame, DataFrame, DataFrame))]
+    .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
 
-  def incrementalLogProb(spark: SparkSession, dir: String): DataFrame = {
+  private def tfState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val fp = Dedup.docsFingerprint(spark, dir)
-    val (prevTf, prevVocab, diff) = vocabState.get(dir) match {
+    vocabState.get(dir) match {
       case Some((`fp`, st)) => st
       case _ =>
         val tf = tfFrom(snapshotPrev(docs)).localCheckpoint(true)
-        val st = (tf, vocabFromTf(tf).localCheckpoint(true),
+        val vocab = vocabFromTf(tf).localCheckpoint(true)
+        val st = (tf, vocab,
+          cmsCountersFrom(vocab).localCheckpoint(true),
           snapshotDiffDerived(docs).localCheckpoint(true))
         vocabState.put(dir, (fp, st))
         st
     }
-    incrementalLogProbOf(prevTf, prevVocab, snapshotCur(docs), diff)
+  }
+
+  def incrementalLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, prevVocab, _, diff) = tfState(spark, dir)
+    incrementalLogProbOf(prevTf, prevVocab,
+      snapshotCur(Tables.documents(spark, dir)), diff)
   }
 
   /** The general operator: `prevTf` / `prevVocab` = the stored term
@@ -1582,5 +1602,77 @@ object Corpus {
     * hash match proves stored-tf maintenance + vocab deltas + rescore
     * land byte-identically on rescore-everything-from-text. */
   lazy val incrementalLogProbSql: String = unigramLogProbSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
+  // q94 — incremental heavy hitters: bring the q86 output (exact
+  // top-K + CMS attestation) up to date with a crawl diff without
+  // touching unchanged text. Both stored summaries maintain from the
+  // same token deltas q92 derives:
+  //   - the vocabulary by signed count merge (q92's maintainedVocab);
+  //   - the CMS counters by BUCKETED signed merge — CMS cells are
+  //     sums over their tokens, so they subtract as cleanly as they
+  //     add (the turnstile-stream property of the sketch: deletions
+  //     are just negative updates), and a cell whose mass reaches
+  //     zero leaves the table exactly as the batch build would omit
+  //     it.
+  // The oracle is the FULL q86 recompute over the new snapshot: a
+  // hash match proves counter maintenance lands byte-identically on
+  // rebuild-from-scratch — estimates included, not just the exact
+  // side (q86's engine-neutral-hash discipline carried through the
+  // incremental path).
+  //
+  // 100 TB shape: tokenization touches only the dirty slice (the
+  // shared delta pass); the vocab merge is token-keyed; the counter
+  // merge is sketch-sized (≤ depth × width rows per side); top-K is
+  // a TakeOrdered. The one deliberately vocab-sized piece is the
+  // stored vocabulary itself — needed for the EXACT top-K cut the
+  // oracle gate attests; the state-bounded alternative is q87's
+  // space-saving candidate set.
+  // ---------------------------------------------------------------
+
+  def incrementalHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, prevVocab, prevCounters, diff) = tfState(spark, dir)
+    incrementalHeavyHittersOf(prevVocab, prevCounters, prevTf,
+      snapshotCur(Tables.documents(spark, dir)), diff)
+  }
+
+  /** The general operator: stored vocabulary + stored CMS counters +
+    * stored tf (for the lost-side deltas) against a new snapshot and
+    * its q84 diff. */
+  def incrementalHeavyHittersOf(prevVocab: DataFrame,
+                                prevCounters: DataFrame,
+                                prevTf: DataFrame, curDocs: DataFrame,
+                                diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    val freshTf = tfFrom(curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false) // read by the vocab merge AND the deltas
+    val lost = prevTf.join(broadcast(dirty), Seq("doc_id"))
+      .localCheckpoint(false)
+    val newVocab = maintainedVocab(prevVocab, lost = lost, gained = freshTf)
+      .localCheckpoint(false) // read by topk, probe, and the total
+    // net per-token movement, then folded through the SAME bucket
+    // hash the stored counters were built with
+    val deltas = freshTf.groupBy($"token").agg(sum($"tf").as("d"))
+      .unionByName(lost.groupBy($"token").agg((-sum($"tf")).as("d")))
+      .groupBy($"token").agg(sum($"d").as("d"))
+      .filter($"d" =!= 0)
+    val deltaCells = deltas.select($"token", $"d", cmsRows.as("r"))
+      .select($"r", cmsBucket($"r", $"token").as("b"), $"d")
+      .groupBy($"r", $"b").agg(sum($"d").as("dc"))
+    val newCounters = prevCounters
+      .join(deltaCells, Seq("r", "b"), "full_outer")
+      .select($"r", $"b",
+        (coalesce($"c", lit(0L)) + coalesce($"dc", lit(0L)))
+          .cast(LongType).as("c"))
+      .filter($"c" > 0)
+    composeHeavyHittersTotal(newVocab.select($"token", $"cnt"),
+      newCounters, newVocab.agg(sum($"cnt").cast(LongType).as("n")))
+  }
+
+  /** q94's oracle: the FULL q86 recompute over the new snapshot. */
+  lazy val incrementalHeavyHittersSql: String = heavyHittersSqlFrom(
     s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
 }

@@ -301,7 +301,7 @@ object VectorOps {
     * read-path of the IVF index whose write-path is q50. At 100 TB the
     * corpus is laid out partitioned by cell_id, so a probe touches
     * `probes/cells` of the data; recall vs the exact q49 baseline is
-    * measured in VectorSpec. All arithmetic is the same deterministic
+    * measured in TextDedupSpec. All arithmetic is the same deterministic
     * kernel chain, so the result is oracle-checkable. */
   val NumProbes = 2
 
@@ -309,7 +309,7 @@ object VectorOps {
     ivfTopKProbes(spark, dir, NumProbes)
 
   /** q54 with an explicit probe count — the recall-vs-cost knob every
-    * IVF deployment tunes; VectorSweepSpec measures the curve for
+    * IVF deployment tunes; TextDedupSpec measures the curve for
     * probes 1..4 against the exact q49 baseline (table in SCALE.md). */
   def ivfTopKProbes(spark: SparkSession, dir: String,
                     numProbes: Int): DataFrame = {
@@ -485,7 +485,7 @@ object VectorOps {
     * recall-sensitive user tunes this instead of editing source).
     * Candidates grow ~linearly in probes (each vector lands in
     * `probes` cells), so cost scales smoothly; the recall curve vs the
-    * exact q51 baseline is measured in VectorSweepSpec (table in
+    * exact q51 baseline is measured in TextDedupSpec (table in
     * SCALE.md). The NAMED q69 stays at [[NearDupProbes]] = 2 so its
     * oracle hash is unchanged. */
   def ivfNearDupPairsProbes(all: DataFrame,
@@ -743,6 +743,13 @@ object VectorOps {
     carried.unionByName(fresh).orderBy($"vec_id")
   }
 
+  /** The (vec_id, cell_id, dist2) assignment over any (vec_id, v,
+    * nrm) frame against an explicit codebook — the ScaleStress/spec
+    * entry to the shared argmin kernel. */
+  private[graft] def assignCellsThin(all: DataFrame,
+                                     codebook: DataFrame): DataFrame =
+    assignCells(all, codebook).select($"vec_id", $"cell_id", $"dist2")
+
   /** The rebuild path q91 is measured against: a full q50 reassign of
     * the CURRENT snapshot against the frozen sample codebook (spec
     * equality + the ScaleStress A/B). */
@@ -754,6 +761,66 @@ object VectorOps {
       .select($"vec_id", $"cell_id", $"dist2")
       .orderBy($"vec_id")
   }
+
+  // ---------------------------------------------------------------
+  // q93 — semantic dedup, the kept-corpus materialization on the
+  // EMBEDDING side (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-
+  // efficient learning at web-scale through semantic deduplication"):
+  // documents whose embeddings are near-identical are semantic
+  // duplicates even when their text differs too much for MinHash —
+  // paraphrases, templated rewrites, translations embedded into one
+  // space. The pipeline is the q70 shape with the similarity kernel
+  // swapped: IVF cell-blocked cosine pairs (q69 — candidates are
+  // linear in N, never all-pairs) → connected components (q62's
+  // two-tier CC, shared verbatim) → keep one representative (min
+  // vec_id) per group, everything else on the drop list.
+  //
+  // 100 TB shape: inherits q69's linear candidate bound and q62's
+  // O(log n) rounds; the final keep is one broadcast anti-join of the
+  // corpus against the drop list (bounded by the near-dup rate), zero
+  // corpus shuffle — identical posture to q70. Recall is q69's
+  // (cell-blocked, measured 0.86 vs the exact baseline at 2 probes;
+  // the probe knob trades it against cost), which the oracle mirrors
+  // by building its pairs from the SAME IVF SQL.
+  // ---------------------------------------------------------------
+
+  def semanticKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    semanticKeepCorpusFrom(Tables.embeddings(spark, dir),
+      ivfNearDupPairs(spark, dir))
+
+  /** Kept rows of `embeddings` given a (vec_a, vec_b) near-dup pair
+    * frame; emits (vec_id, label) — thin, the q70 convention. */
+  def semanticKeepCorpusFrom(embeddings: DataFrame,
+                             pairs: DataFrame): DataFrame = {
+    val clusters = Dedup.dedupClustersFrom(
+        pairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      .select($"doc_id".as("vec_id"), $"cluster_id")
+    val dropList = clusters
+      .filter($"vec_id" =!= $"cluster_id") // keepers label themselves
+      .select($"vec_id")
+    embeddings.join(broadcast(dropList), Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the q69 pair SQL → recursive min-label reachability →
+    * NOT EXISTS drop-list keep (the q62/q70 oracle chain with the
+    * text kernel swapped for the IVF cosine one). */
+  lazy val semanticKeepCorpusSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT vec_a, vec_b FROM ($ivfNearDupPairsSql) q),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(vec_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id),
+       |cc AS (SELECT vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY vec_id)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |WHERE NOT EXISTS (SELECT 1 FROM cc
+       |                  WHERE cc.vec_id = e.vec_id
+       |                    AND cc.vec_id != cc.cluster_id)
+       |ORDER BY e.vec_id""".stripMargin
 
   lazy val incrementalIvfAssignSql: String = {
     val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"

@@ -100,6 +100,65 @@ object ScaleStress {
       return
     }
 
+    // opt-in EXCLUSIVE mode: q91 at 50× vectors (100k, ~850 cells) —
+    // the regime where the assignment pass is the cost (at the named
+    // query's 2k vectors one broadcast-argmin pass is ~0.2 s and the
+    // carry join's stage floor matches it). Interleaved A/B passes,
+    // per-side min, ratio of mins — the q89lowdirty protocol. Arg:
+    // "q91deep".
+    if (args.contains("q91deep")) {
+      graft.functions.VectorExpressions.register(spark)
+      val mul = reps * 5
+      val corpus = graft.Tables.embeddings(spark, dir)
+        .withColumn("rep", explode(sequence(lit(0), lit(mul - 1))))
+        .withColumn("vec_id", $"vec_id" * mul + $"rep")
+        .drop("rep")
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("graft_l2norm(v)"))
+        .localCheckpoint(true)
+      println(s"embeddings rows (deep): ${corpus.count()}")
+      var cb: DataFrame = null
+      time("q91deep sample codebook fit (offline, not charged)") {
+        cb = VectorOps.fittedCentroids(
+          VectorOps.vecSnapshotSample(corpus).localCheckpoint(false))
+          .localCheckpoint(true)
+        println(s"  cells: ${cb.count()}")
+      }
+      var prevAssign: DataFrame = null
+      time("q91deep stored assignment build (not charged)") {
+        prevAssign = VectorOps.assignCellsThin(
+          VectorOps.vecSnapshotPrev(corpus), cb).localCheckpoint(true)
+      }
+      val diff = VectorOps.vecSnapshotDiff(corpus).localCheckpoint(true)
+      diff.groupBy($"status").count().orderBy($"status").collect()
+        .foreach(r => println(s"  diff ${r.get(0)}: ${r.get(1)}"))
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      val cur = VectorOps.vecSnapshotCur(corpus)
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(VectorOps.assignCellsThin(cur, cb).count())
+        val (ti, ni) = secs(VectorOps.incrementalIvfAssignOf(
+          prevAssign, cur, diff, cb).count())
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental assignment diverged: $incrN vs full $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q91 deep ${mul}x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(rows $fullN)")
+      spark.stop()
+      return
+    }
+
     val shf = Dedup.shingleFpsFrom(docs).cache()
     time("shingle fps")(shf.count())
     val lshPairs = Dedup.lshNearDupPairsFrom(shf).cache()
@@ -169,6 +228,17 @@ object ScaleStress {
     time("q88 dirty-slice rescore alone")(
       Corpus.repetitionStatsFrom(
         curDocs.join(broadcast(dirtyIds), Seq("doc_id"))).count())
+    // q92 at the same 100×: the stored tf carries; tokenization runs
+    // over only the dirty slice, the rescore over the compact tf —
+    // the saving is the corpus TEXT pass, not the scoring join
+    val prevTf92 = Corpus.tfFrom(prevDocs)
+      .localCheckpoint(true) // the STORED table — not charged to q92
+    val prevVocab92 = Corpus.vocabFromTf(prevTf92).localCheckpoint(true)
+    time("q92 full rescore from text (baseline)")(
+      Corpus.unigramLogProbFrom(curDocs).count())
+    time("q92 incremental (stored tf + vocab deltas + rescore)")(
+      Corpus.incrementalLogProbOf(prevTf92, prevVocab92, curDocs, diff)
+        .count())
     // q89 at 10×: full rebuild re-signs the whole corpus; incremental
     // signs the ~18% dirty slice and carries the stored index
     val prevD = Corpus.snapshotPrev(docs)
@@ -242,6 +312,27 @@ object ScaleStress {
     time("q69 ivf near-dup pairs (cell-blocked, fitted codebook)") {
       println(s"  pairs: ${VectorOps.ivfNearDupPairsFrom(corpus, cb).count()}")
     }
+    // q91 at 10×: the stored assignment table carries under a
+    // broadcast anti-join; only the ~18% dirty slice reassigns
+    // against the frozen sample codebook
+    var cb91: DataFrame = null
+    time("q91 sample codebook fit (offline write-path, not charged)") {
+      cb91 = VectorOps.fittedCentroids(
+        VectorOps.vecSnapshotSample(corpus).localCheckpoint(false))
+        .localCheckpoint(true)
+    }
+    var prevAssign91: DataFrame = null
+    time("q91 stored assignment build (prev nightly run, not charged)") {
+      prevAssign91 = VectorOps.assignCellsThin(
+        VectorOps.vecSnapshotPrev(corpus), cb91).localCheckpoint(true)
+    }
+    val diff91 = VectorOps.vecSnapshotDiff(corpus).localCheckpoint(true)
+    time("q91 full reassign (baseline)")(
+      VectorOps.assignCellsThin(VectorOps.vecSnapshotCur(corpus), cb91)
+        .count())
+    time("q91 incremental (carry + dirty reassign)")(
+      VectorOps.incrementalIvfAssignOf(prevAssign91,
+        VectorOps.vecSnapshotCur(corpus), diff91, cb91).count())
     spark.stop()
   }
 }

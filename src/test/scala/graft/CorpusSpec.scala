@@ -777,6 +777,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(drift.getDouble(1) > 0.0 && drift.getDouble(1) <= 1.0)
   }
 
+  test("q94 incremental heavy hitters == full recompute over the new " +
+       "snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Corpus.incrementalHeavyHitters(spark, sf).collect()
+    val full = Corpus.heavyHittersFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q94 counter maintenance: a removed doc's tokens drain their " +
+       "CMS cells to zero and leave the table — maintained state " +
+       "equals rebuild, estimates included") {
+    val prevDocs = docsFrame(1L -> "alpha beta", 2L -> "gamma")
+    val prevTf = Corpus.tfFrom(prevDocs)
+    val prevVocab = Corpus.vocabFromTf(prevTf)
+    val prevCounters = Corpus.cmsCountersFrom(prevVocab)
+    val diff = Seq((1L, "unchanged"), (2L, "removed"), (3L, "added"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "alpha beta", 3L -> "delta")
+    val out = Corpus.incrementalHeavyHittersOf(prevVocab, prevCounters,
+      prevTf, curDocs, diff).collect()
+    val byTok = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTok === Map("alpha" -> 1L, "beta" -> 1L, "delta" -> 1L),
+      "gamma must leave the vocabulary with its doc")
+    // tiny vocab into 4x1024 cells: estimates exact, verdicts hold
+    out.foreach(r => {
+      assert(r.getLong(2) === r.getLong(1)); assert(r.getBoolean(3)) })
+    assert(out.toSeq === Corpus.heavyHittersFrom(curDocs).collect().toSeq,
+      "maintained counters diverged from the batch build")
+  }
+
   test("q86 heavy hitters: hand corpus — top-k cut and the estimate " +
        "of an uncollided token is exact") {
     val out = Corpus.heavyHittersFrom(

@@ -306,6 +306,26 @@ class PlanSpec extends AnyFunSuite {
       s"found $generates tokenize subtrees above the checkpoint barrier:\n${p.take(3000)}")
   }
 
+  test("q93 semantic dedup: the drop list broadcasts — the corpus " +
+       "never reshuffles for the keep") {
+    val p = plan("q93_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"keep must be a map-side anti-join of the drop list:\n${p.take(3000)}")
+  }
+
+  test("q94 incremental heavy hitters: top-k stays a TakeOrdered and " +
+       "the maintained counters broadcast to the probe") {
+    val p = plan("q94_incremental_hh")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-k cut must never be a global sort:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the maintained counter table must broadcast:\n${p.take(3000)}")
+    // the sketch-row explode ([0,1,2,3]) is expected; TEXT tokenize
+    // (explode(split ...)) must stay behind the delta checkpoint
+    assert("Generate explode\\(split".r.findAllIn(p).isEmpty,
+      s"tokenize leaked above the delta checkpoint:\n${p.take(3000)}")
+  }
+
   test("q86 heavy hitters: top-k is a TakeOrdered, the counter probe " +
        "broadcasts") {
     val p = plan("q86_heavy_hitters")

@@ -632,6 +632,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("q93 semantic dedup keeps exactly one representative (min " +
+       "vec_id) per q69 component — union-find ground truth") {
+    val pairs = VectorOps.ivfNearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val drop = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(v => find(v) != v).toSet
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = VectorOps.semanticKeepCorpus(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === (all -- drop).toSeq.sorted)
+    assert(drop.nonEmpty, "fixture has no semantic dups — test is vacuous")
+  }
+
+  test("q93 hand graph: chained pairs collapse to the min, isolated " +
+       "vectors survive untouched") {
+    import spark.implicits._
+    val emb = Seq((1L, "x"), (2L, "x"), (5L, "y"), (7L, "z"), (8L, "z"),
+      (9L, "w")).toDF("vec_id", "label")
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("vec_a", "vec_b")
+    val kept = VectorOps.semanticKeepCorpusFrom(emb, pairs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(kept === Seq((1L, "x"), (7L, "z"), (9L, "w")))
+  }
+
   test("q85 containment catches a subset pair whose Jaccard is far " +
        "below any dedup threshold") {
     import spark.implicits._
