@@ -114,6 +114,7 @@ object SparkEntry {
     "q92_incremental_logprob" -> (Corpus.incrementalLogProb(_, _)),
     "q93_semantic_dedup"    -> (VectorOps.semanticKeepCorpus(_, _)),
     "q94_incremental_hh"    -> (Corpus.incrementalHeavyHitters(_, _)),
+    "q95_incremental_semdedup" -> (VectorOps.incrementalSemanticKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -259,6 +260,10 @@ object SparkEntry {
     // maintained vocabulary AND maintained CMS counters must land
     // byte-identically on rebuild-from-scratch, estimates included.
     "q94_incremental_hh"    -> Corpus.incrementalHeavyHittersSql,
+    // q95's oracle is the FULL q93 chain over the new snapshot against
+    // the frozen sample codebook: maintained cell index + carried
+    // pairs must land on the identical kept corpus as rebuilding.
+    "q95_incremental_semdedup" -> VectorOps.incrementalSemanticKeepSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

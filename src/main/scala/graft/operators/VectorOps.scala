@@ -691,19 +691,27 @@ object VectorOps {
       .select($"doc_id".as("vec_id"), $"status")
   }
 
-  /** Stored index state memoized per corpus dir (the q88/q89
-    * discipline): production publishes the codebook + assignment table
-    * with the snapshot and every maintenance run LOADS them, so the
-    * named query's steady-state cost is the maintenance, not the
-    * stored index's build. Invalidation = embeddings file inventory +
-    * applicationId (checkpointed frames are session-bound). */
-  private val ivfState = scala.collection.concurrent.TrieMap
-    .empty[String, (String, (Array[(Long, Seq[Double])], DataFrame, DataFrame))]
+  /** Stored vector-index state memoized per corpus dir (the
+    * q88/q89/tfState discipline): production publishes the frozen
+    * sample codebook, the q50 assignment table, the q69 N-probe
+    * assignment + verified pair tables, and the diff with the
+    * snapshot; every maintenance run LOADS them, so the named queries
+    * (q91, q95) measure maintenance, not the stored index's build.
+    * One home for all vector stored state, shared by both consumers.
+    * Invalidation = embeddings file inventory + applicationId
+    * (checkpointed frames are session-bound). */
+  private val vecState = scala.collection.concurrent.TrieMap.empty[String,
+    (String, (Array[(Long, Seq[Double])], DataFrame, DataFrame, DataFrame,
+      DataFrame))]
 
-  def incrementalIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+  /** (sample codebook rows, prev q50 assignment, prev q69 N-probe
+    * assignment, prev verified pairs, diff). */
+  private def vecIndexState(spark: SparkSession, dir: String)
+      : (Array[(Long, Seq[Double])], DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
     val all = vecs(spark, dir)
     val fp = corpusFingerprint(dir) + "\n" + spark.sparkContext.applicationId
-    val (cbRows, prevAssign, diff) = ivfState.get(dir) match {
+    vecState.get(dir) match {
       case Some((`fp`, st)) => st
       case _ =>
         val sample = vecSnapshotSample(all).cache()
@@ -713,16 +721,26 @@ object VectorOps {
           finally sample.unpersist()
         val codebook = spark.createDataFrame(cb.toIndexedSeq)
           .toDF("centroid_id", "cv")
+        val prev = vecSnapshotPrev(all).localCheckpoint(false)
         val st = (cb,
-          assignCells(vecSnapshotPrev(all), codebook)
+          assignCells(prev, codebook)
             .select($"vec_id", $"cell_id", $"dist2").localCheckpoint(true),
+          assignCellsProbes(prev, cb, NearDupProbes)
+            .select($"vec_id", $"cell_id").localCheckpoint(true),
+          ivfNearDupPairsProbes(prev, cb, NearDupProbes)
+            .select($"vec_a", $"vec_b").localCheckpoint(true),
           vecSnapshotDiff(all).localCheckpoint(true))
-        ivfState.put(dir, (fp, st))
+        vecState.put(dir, (fp, st))
         st
     }
+  }
+
+  def incrementalIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val (cbRows, prevAssign, _, _, diff) = vecIndexState(spark, dir)
     val codebook = spark.createDataFrame(cbRows.toIndexedSeq)
       .toDF("centroid_id", "cv")
-    incrementalIvfAssignOf(prevAssign, vecSnapshotCur(all), diff, codebook)
+    incrementalIvfAssignOf(prevAssign, vecSnapshotCur(vecs(spark, dir)),
+      diff, codebook)
   }
 
   /** The general operator: `prevAssign` = the stored q50 output for
@@ -821,6 +839,170 @@ object VectorOps {
        |                  WHERE cc.vec_id = e.vec_id
        |                    AND cc.vec_id != cc.cluster_id)
        |ORDER BY e.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q95 — incremental semantic-dedup maintenance: q89's stored-index
+  // discipline on the VECTOR side. The stored state is the q93
+  // pipeline's intermediates — the N-probe cell assignment table and
+  // the verified pair set, both against the q91 frozen sample
+  // codebook — maintained against a vector-snapshot diff:
+  //   - assign ONLY added/changed vectors (the corpus-scale cost);
+  //   - cells a dirty vector left or a delta vector entered are
+  //     AFFECTED: their candidate pairs regenerate from current
+  //     membership and re-verify with the exact cosine kernel;
+  //   - pairs with both endpoints clean CARRY without re-verification
+  //     (vectors unchanged ⇒ cosine unchanged ⇒ the stored verdict
+  //     stands), pairs with a dirty endpoint die with it.
+  // Simpler than q89 in one structural way: IVF cells have no
+  // occupancy guard (cell size is bounded ~100·probes by the
+  // every-100th seeding), so there is no oversized-bucket recovery
+  // case — affected-cell regeneration covers every membership change.
+  //
+  // The oracle is the FULL q93 chain over the new snapshot against
+  // the same frozen codebook: maintenance must land on the identical
+  // kept corpus as rebuilding pairs from scratch.
+  //
+  // 100 TB shape: the delta assign is dirty-slice × broadcast
+  // codebook; affected cells are dirty-sized (≈ probes × |dirty|) and
+  // broadcast into a semi-join; regeneration touches only those
+  // cells' members; the carry side is two broadcast anti-joins over
+  // the thin stored pair table. A diff dirtying most of the corpus is
+  // the documented rebuild trigger, as everywhere in this family.
+  // ---------------------------------------------------------------
+
+  def incrementalSemanticKeep(spark: SparkSession, dir: String): DataFrame = {
+    val (cbRows, _, prevAssignN, prevPairs, diff) = vecIndexState(spark, dir)
+    incrementalSemanticKeepOf(prevAssignN, prevPairs,
+      vecSnapshotCur(Tables.embeddings(spark, dir)), diff, cbRows)
+  }
+
+  /** The general operator: `prevAssignN` = the stored N-probe
+    * (vec_id, cell_id) table, `prevPairs` = the stored verified
+    * (vec_a, vec_b) set, `curEmb` = the new snapshot as an
+    * embeddings-shaped frame, `diff` = a q84-shaped status frame
+    * keyed by vec_id, `codebook` = the frozen sample codebook. */
+  def incrementalSemanticKeepOf(prevAssignN: DataFrame, prevPairs: DataFrame,
+                                curEmb: DataFrame, diff: DataFrame,
+                                codebook: Array[(Long, Seq[Double])])
+      : DataFrame =
+    semanticKeepCorpusFrom(curEmb,
+      incrementalSemanticPairs(prevAssignN, prevPairs, vecsFrom(curEmb),
+        diff, codebook))
+
+  /** The pair-maintenance core of q95 (everything before components +
+    * keep) — split out so its plan shape is pinnable: the downstream
+    * CC's iterative checkpoints truncate the named query's visible
+    * plan. */
+  private[graft] def incrementalSemanticPairs(
+      prevAssignN: DataFrame, prevPairs: DataFrame, curVecsIn: DataFrame,
+      diff: DataFrame, codebook: Array[(Long, Seq[Double])]): DataFrame = {
+    val curVecs = curVecsIn.localCheckpoint(false)
+    val dirtyOut = diff.filter($"status".isin("removed", "changed"))
+      .select($"vec_id")
+    val deltaIds = diff.filter($"status".isin("added", "changed"))
+      .select($"vec_id")
+    // assign ONLY the delta — the incremental saving lives here
+    val deltaAssign = assignCellsProbes(
+        curVecs.join(broadcast(deltaIds), Seq("vec_id")),
+        codebook, NearDupProbes)
+      .select($"vec_id", $"cell_id")
+      .localCheckpoint(false) // read by the union AND the affected set
+    val keptAssign = prevAssignN
+      .join(broadcast(dirtyOut), Seq("vec_id"), "left_anti")
+    val allAssign = keptAssign.unionByName(deltaAssign)
+      .localCheckpoint(false) // both sides of the regen self-join
+    // affected cells: every cell a dirty vector left or a delta
+    // vector entered — dirty-sized (≈ probes × |dirty|) by premise
+    val affected = prevAssignN.join(broadcast(dirtyOut), Seq("vec_id"))
+      .select($"cell_id")
+      .union(deltaAssign.select($"cell_id"))
+    val regenSrc = allAssign
+      .join(broadcast(affected), Seq("cell_id"), "left_semi")
+    val regenCand = regenSrc.as("x").join(regenSrc.as("y"), Seq("cell_id"))
+      .filter($"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    val verified = regenCand
+      .join(curVecs.select($"vec_id".as("vec_a"), $"v".as("va"),
+        $"nrm".as("na")), Seq("vec_a"))
+      .join(curVecs.select($"vec_id".as("vec_b"), $"v".as("vb"),
+        $"nrm".as("nb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b",
+        round(dot("va", "vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= CosineDupThreshold)
+      .select($"vec_a", $"vec_b")
+    // clean-endpoint pairs carry: cosine depends only on the two
+    // vectors, both unchanged, so the stored verification stands
+    val carried = prevPairs
+      .join(broadcast(dirtyOut.withColumnRenamed("vec_id", "vec_a")),
+        Seq("vec_a"), "left_anti")
+      .join(broadcast(dirtyOut.withColumnRenamed("vec_id", "vec_b")),
+        Seq("vec_b"), "left_anti")
+      .select($"vec_a", $"vec_b") // using-column joins reorder columns
+    carried.union(verified).distinct()
+  }
+
+  /** The rebuild path q95 is measured against: the full q93 chain
+    * over the CURRENT snapshot against the frozen sample codebook. */
+  private[graft] def fullSemanticKeepSample(spark: SparkSession,
+                                            dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cb = fittedCentroids(vecSnapshotSample(all).localCheckpoint(false))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val curEmb = vecSnapshotCur(Tables.embeddings(spark, dir))
+    semanticKeepCorpusFrom(curEmb,
+      ivfNearDupPairsProbes(vecSnapshotCur(all), cb, NearDupProbes))
+  }
+
+  /** q95's oracle: the FULL q93 chain over the new snapshot with the
+    * fit restricted to the stable sample — pairs, components, and
+    * keep all recomputed from scratch. */
+  lazy val incrementalSemanticKeepSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH RECURSIVE
+       |$vecsCte,
+       |stable AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapAddedMod} <> ${Corpus.SnapAddedRes}
+       |    AND vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}
+       |    AND vec_id % ${Corpus.SnapChangedMod} <> ${Corpus.SnapChangedRes}),
+       |${fitCtesFrom("stable")},
+       |cur AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}),
+       |assigned_n AS (
+       |  SELECT vec_id, centroid_id AS cell_id FROM (
+       |    SELECT a.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ROUND($d2, 6) ASC, c.centroid_id ASC) AS rn
+       |    FROM cur a CROSS JOIN cents c)
+       |  WHERE rn <= $NearDupProbes),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM assigned_n x JOIN assigned_n y
+       |    ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c
+       |  JOIN cur a ON a.vec_id = c.vec_a
+       |  JOIN cur b ON b.vec_id = c.vec_b
+       |  WHERE ROUND(${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+       |        >= $CosineDupThreshold),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(vec_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.vec_id),
+       |cc AS (SELECT vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY vec_id)
+       |SELECT e.vec_id, e.label
+       |FROM (SELECT * FROM embeddings
+       |      WHERE vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}) e
+       |WHERE NOT EXISTS (SELECT 1 FROM cc
+       |                  WHERE cc.vec_id = e.vec_id
+       |                    AND cc.vec_id != cc.cluster_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
 
   lazy val incrementalIvfAssignSql: String = {
     val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"

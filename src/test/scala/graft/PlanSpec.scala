@@ -326,6 +326,36 @@ class PlanSpec extends AnyFunSuite {
       s"tokenize leaked above the delta checkpoint:\n${p.take(3000)}")
   }
 
+  test("q95 incremental semantic dedup: dirty sets and affected cells " +
+       "broadcast — stored tables never reshuffle") {
+    // the named query's visible plan is truncated by the CC stage's
+    // iterative checkpoints, so pin the pair-maintenance core (the
+    // part with the scale-relevant joins) directly
+    import spark.implicits._
+    import graft.operators.VectorOps
+    // checkpoint the stored-state frames: as pure LocalRelations the
+    // optimizer would pre-evaluate the carry anti-joins driver-side
+    // (ConvertToLocalRelation) and the pin would see nothing
+    val cb = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val prevAssignN = Seq((1L, 0L), (8L, 1L)).toDF("vec_id", "cell_id")
+      .localCheckpoint(true)
+    val prevPairs = Seq((1L, 8L)).toDF("vec_a", "vec_b")
+      .localCheckpoint(true)
+    val diff = Seq((1L, "unchanged"), (8L, "unchanged"), (30L, "added"))
+      .toDF("vec_id", "status").localCheckpoint(true)
+    val curVecs = VectorOps.vecsFrom(Seq(
+      (1L, Seq(1.0f, 0.0f)), (8L, Seq(0.0f, 1.0f)), (30L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding"))
+    val p = VectorOps.incrementalSemanticPairs(prevAssignN, prevPairs,
+      curVecs, diff, cb).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"pair carry must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"),
+      s"regen must be gated by the broadcast affected-cell set:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing may cartesian in the maintenance plan:\n${p.take(3000)}")
+  }
+
   test("q86 heavy hitters: top-k is a TakeOrdered, the counter probe " +
        "broadcasts") {
     val p = plan("q86_heavy_hitters")

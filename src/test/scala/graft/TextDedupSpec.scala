@@ -666,6 +666,66 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept === Seq((1L, "x"), (7L, "z"), (9L, "w")))
   }
 
+  test("q95 incremental semantic dedup == full rebuild over the new " +
+       "snapshot against the frozen sample codebook") {
+    val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
+    val full = VectorOps.fullSemanticKeepSample(spark, sf).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q95 maintenance mechanics: removed endpoint kills its pair, " +
+       "a delta vector probes stored cells, clean pairs carry") {
+    import spark.implicits._
+    // codebook: 3 unit-ish cells; every vector probes its 2 nearest
+    val cb = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.7, 0.7)))
+    // prev corpus: {1,2} near-dups around c0; {8,9} near-dups around
+    // c1. N-probe assignments computed by hand for this codebook.
+    val prevAssignN = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 2L),
+      (8L, 1L), (8L, 2L), (9L, 1L), (9L, 2L))
+      .toDF("vec_id", "cell_id")
+    val prevPairs = Seq((1L, 2L), (8L, 9L)).toDF("vec_a", "vec_b")
+    // new crawl: 9 removed, 30 added near c1 (a near-dup of 8)
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (8L, "unchanged"),
+      (9L, "removed"), (30L, "added")).toDF("vec_id", "status")
+    val curEmb = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.98f, 0.02f), "a"),
+      (8L, Seq(0.02f, 0.98f), "b"), (30L, Seq(0.03f, 0.97f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val kept = VectorOps.incrementalSemanticKeepOf(prevAssignN, prevPairs,
+      curEmb, diff, cb).collect().map(_.getLong(0)).toSeq
+    // (8,9) dies with 9; 30 probes c1/c2, regenerates pair (8,30) →
+    // cluster {8,30} keeps 8; carried (1,2) keeps 1
+    assert(kept === Seq(1L, 8L))
+  }
+
+  test("q95 carries clean-endpoint pairs VERBATIM — a sentinel pair " +
+       "no rebuild would verify survives maintenance") {
+    import spark.implicits._
+    val cb = Array((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.7, 0.7)))
+    val prevAssignN = Seq((1L, 0L), (1L, 2L), (8L, 1L), (8L, 2L))
+      .toDF("vec_id", "cell_id")
+    // poison: (1,8) are nearly orthogonal (cos ≈ 0.04) — no verify
+    // pass would produce this pair. Both endpoints clean, so the
+    // carry must trust the stored state and keep it.
+    val prevPairs = Seq((1L, 8L)).toDF("vec_a", "vec_b")
+    val diff = Seq((1L, "unchanged"), (8L, "unchanged"), (30L, "added"))
+      .toDF("vec_id", "status")
+    // 30 points AWAY from both (all its regen candidates fail the
+    // cosine verify), so the only pair that can exist is the carried
+    // sentinel — a re-verifying carry would keep 8, a verbatim carry
+    // drops it
+    val curEmb = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (8L, Seq(0.02f, 0.98f), "b"),
+      (30L, Seq(-1.0f, 0.0f), "c")).toDF("vec_id", "embedding", "label")
+    val kept = VectorOps.incrementalSemanticKeepOf(prevAssignN, prevPairs,
+      curEmb, diff, cb).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(8L),
+      "the poisoned stored pair was re-verified instead of carried")
+    assert(kept === Set(1L, 30L))
+  }
+
   test("q85 containment catches a subset pair whose Jaccard is far " +
        "below any dedup threshold") {
     import spark.implicits._
