@@ -115,6 +115,7 @@ object SparkEntry {
     "q93_semantic_dedup"    -> (VectorOps.semanticKeepCorpus(_, _)),
     "q94_incremental_hh"    -> (Corpus.incrementalHeavyHitters(_, _)),
     "q95_incremental_semdedup" -> (VectorOps.incrementalSemanticKeep(_, _)),
+    "q96_snapshot_drift"    -> (Corpus.snapshotDriftReport(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -264,6 +265,7 @@ object SparkEntry {
     // the frozen sample codebook: maintained cell index + carried
     // pairs must land on the identical kept corpus as rebuilding.
     "q95_incremental_semdedup" -> VectorOps.incrementalSemanticKeepSql,
+    "q96_snapshot_drift"    -> Corpus.snapshotDriftReportSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1675,4 +1675,119 @@ object Corpus {
   /** q94's oracle: the FULL q86 recompute over the new snapshot. */
   lazy val incrementalHeavyHittersSql: String = heavyHittersSqlFrom(
     s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
+  // q96 — snapshot drift report: the per-source ops view a crawl
+  // refresh publishes alongside the q84 diff — how much each source
+  // grew, shrank, and churned between snapshots. This is the dataset
+  // card's provenance table AND the sizing input for the whole
+  // incremental family (q88/q89/q91/q92/q94/q95 all assume a small
+  // dirty fraction; churn_frac IS that fraction, per source), and the
+  // gate a pipeline checks before choosing maintenance over the
+  // documented rebuild trigger.
+  //
+  // Invariant by construction (and spec-pinned): docs_cur = docs_prev
+  // + added − removed per source — 'changed' moves content, never
+  // cardinality.
+  //
+  // 100 TB shape: three source-keyed aggregates (map-side combined;
+  // source cardinality is bounded — domains/registries, never
+  // corpus-sized) + small outer joins over the source dimension; the
+  // status attribution joins the doc_id-thin diff to the corpus once.
+  // ---------------------------------------------------------------
+
+  /** Churn gate: a source whose dirty fraction exceeds this belongs
+    * on the rebuild path, not the incremental one. */
+  val MaxChurnFrac = 0.5
+
+  def snapshotDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    snapshotDriftReportOf(
+      snapshotPrev(docs).select($"doc_id", $"source", $"n_chars"),
+      snapshotCur(docs).select($"doc_id", $"source", $"n_chars"),
+      snapshotDiffDerived(docs),
+      docs.select($"doc_id", $"source"))
+  }
+
+  /** The general operator: both snapshots as (doc_id, source,
+    * n_chars), a q84-shaped diff, and a (doc_id, source) attribution
+    * frame covering every doc_id the diff mentions (the union of both
+    * snapshots — a removed doc's source comes from prev). */
+  def snapshotDriftReportOf(prev: DataFrame, cur: DataFrame,
+                            diff: DataFrame, attribution: DataFrame)
+      : DataFrame = {
+    val p = prev.groupBy($"source").agg(
+      count(lit(1)).as("docs_prev"),
+      sum($"n_chars").cast(LongType).as("chars_prev"))
+    val c = cur.groupBy($"source").agg(
+      count(lit(1)).as("docs_cur"),
+      sum($"n_chars").cast(LongType).as("chars_cur"))
+    val s = diff.join(attribution, Seq("doc_id"))
+      .groupBy($"source").agg(
+        sum(when($"status" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"status" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"status" === "changed", 1L).otherwise(0L)).as("n_changed"))
+    p.join(c, Seq("source"), "full_outer")
+      .join(s, Seq("source"), "full_outer")
+      .select($"source",
+        coalesce($"docs_prev", lit(0L)).as("docs_prev"),
+        coalesce($"docs_cur", lit(0L)).as("docs_cur"),
+        coalesce($"n_added", lit(0L)).as("n_added"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"),
+        coalesce($"n_changed", lit(0L)).as("n_changed"),
+        coalesce($"chars_prev", lit(0L)).as("chars_prev"),
+        coalesce($"chars_cur", lit(0L)).as("chars_cur"))
+      .withColumn("churn_frac",
+        round(($"n_added" + $"n_removed" + $"n_changed").cast(DoubleType)
+          / greatest($"docs_prev", lit(1L)), 6))
+      .withColumn("char_drift",
+        round(abs($"chars_cur" - $"chars_prev").cast(DoubleType)
+          / greatest($"chars_prev", lit(1L)), 6))
+      .withColumn("incremental_ok", $"churn_frac" <= MaxChurnFrac)
+      .orderBy($"source")
+  }
+
+  val snapshotDriftReportSql: String =
+    s"""WITH prev AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |  WHERE doc_id % $SnapAddedMod <> $SnapAddedRes),
+       |cur AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |  WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes),
+       |diff AS (SELECT doc_id, status FROM ($snapshotDiffSql) q),
+       |p AS (SELECT source, COUNT(*) AS docs_prev,
+       |        CAST(SUM(n_chars) AS BIGINT) AS chars_prev
+       |      FROM prev GROUP BY source),
+       |c AS (SELECT source, COUNT(*) AS docs_cur,
+       |        CAST(SUM(n_chars) AS BIGINT) AS chars_cur
+       |      FROM cur GROUP BY source),
+       |s AS (
+       |  SELECT d.source,
+       |    CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_added,
+       |    CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_changed
+       |  FROM diff JOIN documents d USING (doc_id) GROUP BY d.source),
+       |base AS (
+       |  SELECT source,
+       |    COALESCE(docs_prev, 0) AS docs_prev,
+       |    COALESCE(docs_cur, 0) AS docs_cur,
+       |    COALESCE(n_added, 0) AS n_added,
+       |    COALESCE(n_removed, 0) AS n_removed,
+       |    COALESCE(n_changed, 0) AS n_changed,
+       |    COALESCE(chars_prev, 0) AS chars_prev,
+       |    COALESCE(chars_cur, 0) AS chars_cur
+       |  FROM p FULL OUTER JOIN c USING (source)
+       |         FULL OUTER JOIN s USING (source))
+       |SELECT *,
+       |  ROUND(CAST(n_added + n_removed + n_changed AS DOUBLE)
+       |        / GREATEST(docs_prev, 1), 6) AS churn_frac,
+       |  ROUND(CAST(ABS(chars_cur - chars_prev) AS DOUBLE)
+       |        / GREATEST(chars_prev, 1), 6) AS char_drift,
+       |  ROUND(CAST(n_added + n_removed + n_changed AS DOUBLE)
+       |        / GREATEST(docs_prev, 1), 6) <= $MaxChurnFrac
+       |    AS incremental_ok
+       |FROM base ORDER BY source""".stripMargin
 }

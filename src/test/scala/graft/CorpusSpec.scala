@@ -808,6 +808,50 @@ class CorpusSpec extends AnyFunSuite {
       "maintained counters diverged from the batch build")
   }
 
+  test("q96 drift report: cardinality invariant holds per source and " +
+       "the fixture totals reconcile with the q84 diff") {
+    val rows = Corpus.snapshotDriftReport(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val get = (n: String) => r.getLong(r.fieldIndex(n))
+      assert(get("docs_cur") ===
+        get("docs_prev") + get("n_added") - get("n_removed"),
+        s"cardinality broke for source ${r.getString(0)}")
+    }
+    val statuses = Corpus.snapshotDiff(spark, sf)
+      .groupBy($"status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def tot(n: String) = rows.map(r => r.getLong(r.fieldIndex(n))).sum
+    assert(tot("n_added") === statuses.getOrElse("added", 0L))
+    assert(tot("n_removed") === statuses.getOrElse("removed", 0L))
+    assert(tot("n_changed") === statuses.getOrElse("changed", 0L))
+  }
+
+  test("q96 drift arithmetic: a hand diff with a vanished and a " +
+       "brand-new source, churn past the incremental gate") {
+    val prev = Seq((1L, "web", 10L), (2L, "web", 20L), (9L, "old", 5L))
+      .toDF("doc_id", "source", "n_chars")
+    val cur = Seq((1L, "web", 10L), (3L, "web", 30L), (4L, "new", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val diff = Seq((1L, "unchanged"), (2L, "removed"), (3L, "added"),
+      (4L, "added"), (9L, "removed")).toDF("doc_id", "status")
+    val attribution = Seq((1L, "web"), (2L, "web"), (3L, "web"),
+      (4L, "new"), (9L, "old")).toDF("doc_id", "source")
+    val out = Corpus.snapshotDriftReportOf(prev, cur, diff, attribution)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // 'old' vanished: churn 1/1, not incremental-eligible
+    assert(out("old").getLong(out("old").fieldIndex("docs_cur")) === 0L)
+    assert(!out("old").getBoolean(out("old").fieldIndex("incremental_ok")))
+    // 'new' appeared: prev 0 docs, churn divides by the 1-floor
+    assert(out("new").getDouble(out("new").fieldIndex("churn_frac")) === 1.0)
+    // 'web': 1 added + 1 removed over 2 prev docs = 1.0 churn, chars
+    // 30 -> 40 = 0.333333 drift
+    val web = out("web")
+    assert(web.getDouble(web.fieldIndex("churn_frac")) === 1.0)
+    assert(web.getDouble(web.fieldIndex("char_drift")) === 0.333333)
+    assert(!web.getBoolean(web.fieldIndex("incremental_ok")))
+  }
+
   test("q86 heavy hitters: hand corpus — top-k cut and the estimate " +
        "of an uncollided token is exact") {
     val out = Corpus.heavyHittersFrom(
