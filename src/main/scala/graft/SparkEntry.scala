@@ -116,6 +116,10 @@ object SparkEntry {
     "q94_incremental_hh"    -> (Corpus.incrementalHeavyHitters(_, _)),
     "q95_incremental_semdedup" -> (VectorOps.incrementalSemanticKeep(_, _)),
     "q96_snapshot_drift"    -> (Corpus.snapshotDriftReport(_, _)),
+    "q97_ann_recall"        -> (VectorOps.annRecall(_, _)),
+    "q98_train_order"       -> (Corpus.trainOrder(_, _)),
+    "q99_cross_source_dups" -> (Dedup.crossSourceDups(_, _)),
+    "q100_epoch_plan"       -> (Corpus.epochPlan(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +270,14 @@ object SparkEntry {
     // pairs must land on the identical kept corpus as rebuilding.
     "q95_incremental_semdedup" -> VectorOps.incrementalSemanticKeepSql,
     "q96_snapshot_drift"    -> Corpus.snapshotDriftReportSql,
+    // q97's oracle reuses the q49 + q54 statements verbatim as derived
+    // tables — the recall audit is only as trustworthy as its inputs.
+    "q97_ann_recall"        -> VectorOps.annRecallSql,
+    "q98_train_order"       -> Corpus.trainOrderSql,
+    // q99's oracle is the q47 chain joined back to documents for the
+    // endpoint sources.
+    "q99_cross_source_dups" -> Dedup.crossSourceDupsSql,
+    "q100_epoch_plan"       -> Corpus.epochPlanSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1790,4 +1790,124 @@ object Corpus {
        |        / GREATEST(docs_prev, 1), 6) <= $MaxChurnFrac
        |    AS incremental_ok
        |FROM base ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q98 — deterministic training-order manifest: the epoch-shuffle
+  // every trainer needs, as data. rand()-shuffles are irreproducible
+  // and single-sort global shuffles don't scale; instead each doc is
+  // hash-routed to one of [[NumOrderShards]] shards (salted md5,
+  // independent of the q58 split hash so order and split stay
+  // uncorrelated) and ordered WITHIN its shard by the same hash —
+  // a pseudo-random permutation that any engine, any run, and any
+  // re-execution reproduces bit-identically.
+  //
+  // 100 TB shape: ONE hash exchange (the shard key is also the
+  // window partition key, so the window reuses the exchange), then
+  // per-shard sorts of corpus/shards rows — no global sort anywhere;
+  // production writes each shard's manifest with
+  // sortWithinPartitions. The trailing ORDER BY is the oracle gate's
+  // determinism convention, not the production plan.
+  // ---------------------------------------------------------------
+
+  val NumOrderShards = 8
+
+  /** Salted order hash — 'ord:' decorrelates it from [[bucketCol]]'s
+    * unsalted md5 so a doc's training position is independent of its
+    * train/val/test split. */
+  private[graft] def orderHashCol: Column =
+    md5(concat(lit("ord:"), $"doc_id".cast(StringType)).cast(BinaryType))
+
+  private val orderHashSql = "md5('ord:' || CAST(doc_id AS VARCHAR))"
+
+  def trainOrder(spark: SparkSession, dir: String): DataFrame =
+    trainOrderFrom(Tables.documents(spark, dir))
+
+  def trainOrderFrom(docs: DataFrame): DataFrame =
+    trainOrderCore(docs).orderBy($"shard_id", $"pos")
+
+  /** The manifest without the gate's trailing global sort — q100
+    * stacks its running-sum window directly on this so the plan stays
+    * one exchange (shard hash) end to end. */
+  private def trainOrderCore(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"shard_id")
+      .orderBy($"ord_hash".asc, $"doc_id".asc)
+    docs
+      .select($"doc_id",
+        size(TextOps.tokens($"text")).cast(LongType).as("n_tokens"),
+        orderHashCol.as("ord_hash"))
+      .withColumn("shard_id",
+        expr("CAST(conv(substring(ord_hash, 1, 8), 16, 10) AS BIGINT)")
+          % NumOrderShards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select($"shard_id", $"pos", $"doc_id", $"n_tokens")
+  }
+
+  val trainOrderSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(len(${TextOps.tokensSql}) AS BIGINT) AS n_tokens,
+       |    $orderHashSql AS ord_hash,
+       |    CAST('0x' || substring($orderHashSql, 1, 8) AS BIGINT)
+       |      % $NumOrderShards AS shard_id
+       |  FROM documents)
+       |SELECT shard_id, CAST(ROW_NUMBER() OVER (PARTITION BY shard_id
+       |    ORDER BY ord_hash ASC, doc_id ASC) AS BIGINT) AS pos,
+       |  doc_id, n_tokens
+       |FROM h ORDER BY shard_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q100 — token-budget epoch plan: how much of each q98 shard an
+  // epoch with a fixed per-shard token budget actually consumes.
+  // Trainers provision epochs in tokens, not docs; the plan is the
+  // running token sum over the q98 order, cut at the budget — docs
+  // whose cumulative count fits are in this epoch, the tail carries
+  // to the next. Reported per shard so budget skew across shards
+  // (bad hash, pathological doc lengths) is visible at a glance.
+  //
+  // 100 TB shape: q98's single exchange + per-shard running-sum
+  // window (same partition key — no second shuffle), then a
+  // shards-sized aggregate. Nothing global anywhere.
+  // ---------------------------------------------------------------
+
+  val TokenBudgetPerShard = 1000L
+
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlanFrom(Tables.documents(spark, dir))
+
+  def epochPlanFrom(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"shard_id")
+      .orderBy($"pos".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trainOrderCore(docs)
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("kept", $"cum_tokens" <= TokenBudgetPerShard)
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum($"n_tokens").as("tokens_total"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("tokens_kept"))
+      .select($"shard_id", $"n_docs", $"n_kept", $"tokens_total",
+        $"tokens_kept",
+        round($"tokens_kept" * lit(1.0) / lit(TokenBudgetPerShard), 6)
+          .as("budget_fill"))
+      .orderBy($"shard_id")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH ord AS (SELECT * FROM ($trainOrderSql) q),
+       |cum AS (
+       |  SELECT shard_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY shard_id ORDER BY pos ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      <= $TokenBudgetPerShard AS kept,
+       |    n_tokens AS nt
+       |  FROM ord)
+       |SELECT shard_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+       |    AS tokens_kept,
+       |  ROUND(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1.0
+       |    / $TokenBudgetPerShard, 6) AS budget_fill
+       |FROM cum GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

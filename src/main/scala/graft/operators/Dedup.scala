@@ -1353,4 +1353,54 @@ object Dedup {
        |  string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
        |    AS simhash
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q99 — cross-source duplication matrix: q47's verified near-dup
+  // pairs rolled up by the SOURCES of their endpoints. The curation
+  // question behind it: is a source duplicating another (a crawl
+  // re-scraping a corpus already ingested, a mirror site), or only
+  // itself (boilerplate)? Off-diagonal mass means deduplicating
+  // sources independently would miss most pairs — the evidence that
+  // dedup must run corpus-wide, and the first artifact reviewed when
+  // a new source is onboarded.
+  //
+  // 100 TB shape: the pair table is near-dup-rate-sized (tiny vs the
+  // corpus), so it broadcasts into the two source lookups — the
+  // corpus-scale cost is q47 itself, already bucketed. The matrix is
+  // sources² rows at most.
+  // ---------------------------------------------------------------
+
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    crossSourceDupsFrom(Tables.documents(spark, dir),
+      lshNearDupPairs(spark, dir))
+
+  /** Matrix over any documents-shaped frame and (doc_a, doc_b, *)
+    * pair frame; pair sources are normalized (least, greatest) so a
+    * (web, wiki) and a (wiki, web) pair land in one cell. */
+  def crossSourceDupsFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select($"doc_id", $"source")
+    // the pair side broadcasts at each lookup (near-dup-rate-sized);
+    // the documents scan streams — never the other way around
+    val withA = src.select($"doc_id".as("doc_a"), $"source".as("sa"))
+      .join(broadcast(pairs.select($"doc_a", $"doc_b")), Seq("doc_a"))
+    src.select($"doc_id".as("doc_b"), $"source".as("sb"))
+      .join(broadcast(withA), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  /** q99 oracle: the q47 statement verbatim as a derived table, its
+    * endpoints joined back to documents for sources. */
+  lazy val crossSourceDupsSql: String =
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q)
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |  GREATEST(da.source, db.source) AS source_b,
+       |  COUNT(*) AS n_pairs
+       |FROM pr
+       |JOIN documents da ON da.doc_id = pr.doc_a
+       |JOIN documents db ON db.doc_id = pr.doc_b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

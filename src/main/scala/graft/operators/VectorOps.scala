@@ -1025,4 +1025,49 @@ object VectorOps {
        |  FROM scored)
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q97 — ANN recall audit: per-query recall@k of the IVF probe
+  // search (q54) against the exact brute-force baseline (q49). Every
+  // ANN deployment ships this eval next to the index — recall is THE
+  // quality axis the probe count trades against, and a silent recall
+  // regression (skewed cells after ingest, a stale codebook) is
+  // invisible without it. TextDedupSpec measures the full probe
+  // curve; this query is the production-shaped audit artifact: one
+  // row per query vector with hit counts and recall@k.
+  //
+  // 100 TB shape: both sides are top-k frames (queries × k rows —
+  // tiny), so the join/aggregate here is driver-scale regardless of
+  // corpus size; the cost is the two searches themselves, each
+  // already shaped for scale (q49 broadcast probe / q54 cell-pruned
+  // scan). Recall evaluated on a query SAMPLE, as in practice.
+  // ---------------------------------------------------------------
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(spark, dir).select($"query_id", $"neighbor_id")
+    val approx = ivfTopK(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum($"hit"), lit(0L)).as("n_hit"))
+      .select($"query_id", $"n_exact", $"n_hit",
+        round($"n_hit" * lit(1.0) / $"n_exact", 6).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  /** q97 oracle: the q49 and q54 statements verbatim as derived
+    * tables (nested WITH), joined and reduced to per-query recall —
+    * the eval is only as trustworthy as its two inputs, so it reuses
+    * their oracle text rather than restating the chains. */
+  lazy val annRecallSql: String =
+    s"""WITH exact_k AS (SELECT query_id, neighbor_id FROM ($cosineTopKSql) e),
+       |approx_k AS (SELECT query_id, neighbor_id FROM ($ivfTopKSql) a)
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       |  ROUND(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |    / COUNT(*), 6) AS recall
+       |FROM exact_k e LEFT JOIN approx_k a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 }

@@ -862,4 +862,53 @@ class CorpusSpec extends AnyFunSuite {
     // min over rows recovers the exact count
     out.foreach(r => assert(r.getLong(2) === r.getLong(1)))
   }
+
+  test("q98 train order: a permutation — every doc exactly once, " +
+       "contiguous positions per shard, reproducible") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.trainOrder(spark, sf).collect()
+    assert(out.length === docs.count())
+    assert(out.map(_.getLong(2)).distinct.length === out.length)
+    assert(out.forall { r =>
+      val s = r.getLong(0); s >= 0 && s < Corpus.NumOrderShards })
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    // the manifest's entire point: bit-identical on re-execution
+    val again = Corpus.trainOrder(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("q98 train order is decorrelated from the q58 split: every " +
+       "shard carries docs of more than one split") {
+    val split = Corpus.splitAssign(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val byShard = Corpus.trainOrder(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    // an unsalted order hash would make shard membership a function
+    // of the split bucket; the salt makes each shard a split mixture
+    assert(byShard.values.forall(
+      _.map(r => split(r.getLong(2))).distinct.length > 1))
+  }
+
+  test("q100 epoch plan: per-shard counts equal the prefix of the " +
+       "q98 order under the token budget") {
+    val ord = Corpus.trainOrder(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    val plan = Corpus.epochPlan(spark, sf).collect()
+    assert(plan.map(_.getLong(0)).toSet === ord.keySet)
+    plan.foreach { r =>
+      val rows = ord(r.getLong(0)).sortBy(_.getLong(1))
+      val toks = rows.map(_.getLong(3))
+      val cum = toks.scanLeft(0L)(_ + _).tail
+      val kept = cum.count(_ <= Corpus.TokenBudgetPerShard)
+      assert(r.getLong(1) === rows.length.toLong)           // n_docs
+      assert(r.getLong(2) === kept.toLong)                  // n_kept
+      assert(r.getLong(3) === toks.sum)                     // tokens_total
+      assert(r.getLong(4) === toks.take(kept).sum)          // tokens_kept
+      assert(r.getLong(4) <= Corpus.TokenBudgetPerShard)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -812,4 +812,49 @@ class TextDedupSpec extends AnyFunSuite {
           s"$pair derived jaccard $j missing from q45")
     }
   }
+
+  test("q97 ann recall: per-query rows reproduce the set-arithmetic " +
+       "recall of q54 against q49") {
+    val exact = VectorOps.cosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = VectorOps.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(ivf.contains).toLong)
+    }.toMap
+    val out = VectorOps.annRecall(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet === expected.keySet)
+    out.foreach { r =>
+      val (nExact, nHit) = expected(r.getLong(0))
+      assert(r.getLong(1) === nExact)
+      assert(r.getLong(2) === nHit)
+      assert(math.abs(r.getDouble(3) - nHit.toDouble / nExact) < 1e-6)
+    }
+  }
+
+  test("q99 cross-source matrix: pair mass conserved vs q47 and " +
+       "cells are (least, greatest)-normalized") {
+    val nPairs = Dedup.lshNearDupPairs(spark, sf).count()
+    val out = Dedup.crossSourceDups(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum === nPairs)
+    out.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    // the normalization means no (b, a) twin of an (a, b) cell
+    assert(out.map(r => (r.getString(0), r.getString(1)))
+      .distinct.length === out.length)
+  }
+
+  test("q99 on a hand corpus: a cross-source near-dup lands in the " +
+       "off-diagonal cell") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", "wiki"),
+      (3L, "totally unrelated content nothing shared here at all", "web"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.crossSourceDupsFrom(docs, pairs).collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getString(1), out.head.getLong(2))
+      === ("web", "wiki", 1L))
+  }
 }
