@@ -442,11 +442,18 @@ object Dedup {
     * rather than coincidental. */
   private[graft] def verifyCandidates(cand: DataFrame,
                                       shf: DataFrame): DataFrame =
+    verifyCandidatesUnsorted(cand, shf).orderBy($"doc_a", $"doc_b")
+
+  /** [[verifyCandidates]] without the presentation sort — for callers
+    * that immediately aggregate or cluster the pairs (q89's
+    * maintenance): a range-exchange sort costs an extra sampling job
+    * per materialization and its order is destroyed downstream. */
+  private[graft] def verifyCandidatesUnsorted(cand: DataFrame,
+                                              shf: DataFrame): DataFrame =
     candidateOverlap(cand, shf)
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= JaccardThreshold)
-      .orderBy($"doc_a", $"doc_b")
 
   /** Candidates-only CONTAINMENT verification — q85's asymmetric
     * measure over a candidate set instead of all pairs. */
@@ -548,10 +555,17 @@ object Dedup {
   /** Connected components over any (doc_a, doc_b) pair frame; returns
     * (doc_id, cluster_id, cluster_size) for every doc in a pair. */
   def dedupClustersFrom(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // materialize the pair set BEFORE symmetrizing: the union
+    // references `pairs` twice, and a deep pair plan (the LSH verify
+    // chain, q89's maintenance) gets its broadcast subqueries built
+    // once per reference — measured ~1.6 s of serial broadcast jobs on
+    // the maintenance plan before this barrier existed. One eager
+    // checkpoint runs them once; every edge consumer then reads a leaf.
+    val p = pairs.select($"doc_a", $"doc_b").localCheckpoint(true)
+    val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .localCheckpoint(false) // every round re-reads the edge set; lazy
-                              // so building the plan stays job-free
+                              // so its job folds into the seed's
     // Each round references `labels` twice (propagation + identity), so
     // WITHOUT lineage truncation the logical plan doubles per round and
     // Catalyst re-analysis goes exponential long before execution does.
@@ -564,7 +578,8 @@ object Dedup {
     // min-neighbor) is one aggregate over the symmetrized edges — the
     // same rows the identity-seed loop produces after its first
     // join+aggregate round, so one full round of join/checkpoint/
-    // checksum is saved (per-round latency is the whole cost here)
+    // checksum is saved (per-round latency is the whole cost here).
+    //
     var labels = edges.groupBy($"src".as("doc_id"))
       .agg(min($"dst").as("mn"))
       .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
@@ -754,8 +769,9 @@ object Dedup {
   // docs' rows LEAVE the stored index. The batch twin of q71's
   // streaming state — plus the capability append-only streams never
   // need: deletion. The corpus-scale costs (shingle, sign, band)
-  // are paid by the dirty slice alone; the carried index is three
-  // stored tables (fps, bands, band-tagged candidates).
+  // are paid by the dirty slice alone; the carried index is four
+  // stored tables (fps, bands, band-tagged candidates, verified
+  // pass-pairs).
   //
   // Deletions break q71's "occupancy only grows" monotonicity, which
   // is where the band-tagged candidate log earns its keep a second
@@ -774,10 +790,15 @@ object Dedup {
   //     pairs were never recorded);
   //   - carried pairs in buckets the new index finds oversized are
   //     dropped (the q71 drain guard).
-  // Verification, clustering, and materialization are the SHARED
-  // batch operators over the maintained state, so parity with the
-  // full recompute is structural — and the oracle IS the full
-  // q47→q62→q70 chain over the current snapshot.
+  // Verification splits along the same carry line: a carried pair's
+  // endpoints both have unchanged fp sets, so its STORED verdict is
+  // the pair's verdict in the new index (pass-pairs carry, absent
+  // pairs re-fail); only regenerated pairs pay the verification join,
+  // against an fps slice pre-restricted to their endpoints.
+  // Clustering and materialization are the SHARED batch operators
+  // over the maintained state, so parity with the full recompute is
+  // structural — and the oracle IS the full q47→q62→q70 chain over
+  // the current snapshot.
   //
   // 100 TB shape: the premise of incremental maintenance is
   // |dirty| ≪ |corpus|, so the dirty/delta id sets broadcast; the
@@ -787,13 +808,21 @@ object Dedup {
   // ---------------------------------------------------------------
 
   /** The stored LSH index of a snapshot: (fps, bands, band-tagged
-    * candidates), eagerly materialized — these are the tables a
-    * nightly run persists. */
-  def indexState(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    * candidates, verified pass-pairs), eagerly materialized — these
+    * are the tables a nightly run persists. Storing the VERDICTS
+    * (not just the candidates) is what keeps maintenance off the
+    * full fps relation: a clean-endpoint pair's Jaccard cannot have
+    * changed, so its stored verdict is reused and only fresh
+    * (affected-bucket) pairs pay the verification join. */
+  def indexState(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val fps = shingleFpsFrom(docs).localCheckpoint(true)
     val bands = lshBands(fps).localCheckpoint(true)
     val cand = bandCandidates(bands).localCheckpoint(true)
-    (fps, bands, cand)
+    val verified = verifyCandidates(
+      cand.select($"doc_a", $"doc_b").distinct(), fps)
+      .localCheckpoint(true)
+    (fps, bands, cand, verified)
   }
 
   /** Stored prev-snapshot indexes memoized per corpus dir — the
@@ -811,7 +840,8 @@ object Dedup {
     * jaccardPairsOver discipline), so stale indexes don't accumulate
     * storage. */
   private val indexes = scala.collection.concurrent.TrieMap
-    .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
+    .empty[String,
+      (String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame))]
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
     * codebook invalidation rule applied to documents.parquet). */
@@ -831,39 +861,55 @@ object Dedup {
     val fp = docsFingerprint(spark, dir)
     // the diff is stored state too: q84's job publishes it when the
     // crawl lands, and every maintenance consumer reads that table
-    val (prevFps, prevBands, prevCand, diff) = indexes.get(dir) match {
-      case Some((`fp`, idx)) => idx
-      case _ =>
-        val (a, b, c) = indexState(Corpus.snapshotPrev(docs))
-        val idx = (a, b, c,
-          Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
-        indexes.put(dir, (fp, idx))
-        idx
-    }
-    incrementalKeepCorpusOf(prevFps, prevBands, prevCand,
+    val (prevFps, prevBands, prevCand, prevVerified, diff) =
+      indexes.get(dir) match {
+        case Some((`fp`, idx)) => idx
+        case _ =>
+          val (a, b, c, v) = indexState(Corpus.snapshotPrev(docs))
+          val idx = (a, b, c, v,
+            Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
+          indexes.put(dir, (fp, idx))
+          idx
+      }
+    incrementalKeepCorpusOf(prevFps, prevBands, prevCand, prevVerified,
       Corpus.snapshotCur(docs), diff)
   }
 
   /** The general operator: maintain a stored index against `curDocs`
-    * given a q84-shaped `diff`, and materialize the kept corpus. */
+    * given a q84-shaped `diff`, and materialize the kept corpus.
+    * `prevVerified` = the stored verified pass-pairs of the prev
+    * snapshot ([[indexState]]'s 4th table). */
   def incrementalKeepCorpusOf(prevFps: DataFrame, prevBands: DataFrame,
-                              prevCand: DataFrame, curDocs: DataFrame,
+                              prevCand: DataFrame, prevVerified: DataFrame,
+                              curDocs: DataFrame,
                               diff: DataFrame): DataFrame = {
+    // the two id sets are broadcast six times below; checkpointing
+    // them once makes every broadcast build read a materialized leaf
+    // instead of re-filtering the diff in its own job
     val dirtyOut = diff.filter($"status".isin("removed", "changed"))
-      .select($"doc_id")
+      .select($"doc_id").localCheckpoint(true)
     val deltaIds = diff.filter($"status".isin("added", "changed"))
-      .select($"doc_id")
+      .select($"doc_id").localCheckpoint(true)
     // sign ONLY the delta — the incremental saving lives here. The
-    // signing pass keeps its (lazy) checkpoint: the fp set feeds both
-    // the banding and the verification join, and re-running the
-    // shingle Generator over the dirty slice twice measured slower
-    // than the one materialization. deltaBands' checkpoint is dropped
+    // signing pass keeps its checkpoint: the fp set feeds both the
+    // banding and the verification join, and re-running the shingle
+    // Generator over the dirty slice twice measured slower than the
+    // one materialization. deltaBands' checkpoint is dropped
     // (VERDICT r8 item 2): both its consumers re-read the checkpointed
     // deltaFps, so recomputing the banding aggregate is cheaper than
     // another barrier's scheduler stages.
+    //
+    // The maintenance barriers are EAGER (localCheckpoint(true)), not
+    // lazy: the chain's guard sets (oversized, affected, endpoints)
+    // are broadcast, and a broadcast subtree is built in its OWN job
+    // BEFORE the main job materializes any lazy checkpoint it hangs
+    // off — with lazy barriers each broadcast re-computed the
+    // delta-sign/band-union chain from scratch (measured: the same
+    // maintenance ran 3.4 s lazy vs 1.7 s eager at sf0.1, every extra
+    // second pure recomputation under the broadcast jobs).
     val deltaFps = shingleFpsFrom(
       curDocs.join(broadcast(deltaIds), Seq("doc_id")))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val deltaBands = lshBands(deltaFps)
     val keptBands = prevBands.join(broadcast(dirtyOut),
       Seq("doc_id"), "left_anti")
@@ -871,7 +917,7 @@ object Dedup {
     // the affected-bucket filter AND a self-join — uncheckpointed, the
     // self-join alone recomputes the whole union twice (measured 2.6×
     // slower end-to-end when this barrier was dropped)
-    val allBands = keptBands.unionByName(deltaBands).localCheckpoint(false)
+    val allBands = keptBands.unionByName(deltaBands).localCheckpoint(true)
     val oversized = allBands.groupBy($"band_id", $"band_val")
       .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
       .select($"band_id", $"band_val")
@@ -901,12 +947,38 @@ object Dedup {
         Seq("doc_b"), "left_anti")
       .join(broadcast(oversized), Seq("band_id", "band_val"), "left_anti")
       .select($"doc_a", $"doc_b")
-    val cand = carried.union(regenPairs).distinct()
+      .distinct()
+      .localCheckpoint(true) // read by the verdict join AND the
+                             // fresh-pair anti-join below
+    // carried VERDICTS stand: both endpoints' fp sets are unchanged,
+    // so a carried pair's stored Jaccard (and its pass/fail) is the
+    // pair's Jaccard in the new index — no re-verification. Pairs
+    // absent from the stored pass set were verified-FAIL at index
+    // build and fail identically now.
+    val carriedVerified = carried
+      .join(broadcast(prevVerified.select($"doc_a", $"doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
+    // only pairs born in an affected bucket are verification-fresh —
+    // a regenerated clean-clean pair that was already a stored
+    // candidate keeps its stored verdict via `carried` instead
+    val freshPairs = regenPairs.distinct()
+      .join(carried, Seq("doc_a", "doc_b"), "left_anti")
+      .localCheckpoint(true) // endpoint set + verification both read it,
+                             // and the endpoint set is broadcast
+    // the verification join is the one place the full fps relation
+    // could leak back in: restrict it to the fresh pairs' endpoints
+    // first (dirty-sized by premise), so maintenance cost tracks the
+    // affected slice, never the corpus
+    val endpoints = freshPairs.select($"doc_a".as("doc_id"))
+      .union(freshPairs.select($"doc_b".as("doc_id")))
     val allFps = prevFps.join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
       .unionByName(deltaFps)
-    val verified = verifyCandidates(cand, allFps)
-    dedupKeepCorpusFrom(curDocs,
-      dedupClustersFrom(verified.select($"doc_a", $"doc_b")))
+    val fpsNeeded = allFps.join(broadcast(endpoints), Seq("doc_id"),
+      "left_semi")
+    val verified = carriedVerified
+      .unionByName(verifyCandidatesUnsorted(freshPairs, fpsNeeded)
+        .select($"doc_a", $"doc_b"))
+    dedupKeepCorpusFrom(curDocs, dedupClustersFrom(verified))
   }
 
   lazy val incrementalKeepCorpusSql: String = dedupKeepCorpusSqlFrom(

@@ -66,7 +66,7 @@ object ScaleStress {
         .localCheckpoint(true)
       diffLd.groupBy($"status").count().orderBy($"status").collect()
         .foreach(r => println(s"  low-dirty diff ${r.get(0)}: ${r.get(1)}"))
-      var idxLd: (DataFrame, DataFrame, DataFrame) = null
+      var idxLd: (DataFrame, DataFrame, DataFrame, DataFrame) = null
       time("q89 low-dirty stored-index build (not charged)") {
         idxLd = Dedup.indexState(prevLd)
       }
@@ -85,7 +85,7 @@ object ScaleStress {
               .localCheckpoint(false)).select($"doc_a", $"doc_b"))).count())
         val (ti, ni) = secs(
           Dedup.incrementalKeepCorpusOf(idxLd._1, idxLd._2, idxLd._3,
-            curLd, diffLd).count())
+            idxLd._4, curLd, diffLd).count())
         fulls += tf; incrs += ti; fullN = nf; incrN = ni
         println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
       }
@@ -244,7 +244,7 @@ object ScaleStress {
     val prevD = Corpus.snapshotPrev(docs)
     val curD = Corpus.snapshotCur(docs)
     val diffD = Corpus.snapshotDiffDerived(docs).localCheckpoint(true)
-    var idx: (DataFrame, DataFrame, DataFrame) = null
+    var idx: (DataFrame, DataFrame, DataFrame, DataFrame) = null
     time("q89 stored-index build (prev nightly run, not charged)") {
       idx = Dedup.indexState(prevD)
     }
@@ -253,7 +253,8 @@ object ScaleStress {
         Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curD)
           .localCheckpoint(false)).select($"doc_a", $"doc_b"))).count())
     time("q89 incremental (delta sign + index maintain)")(
-      Dedup.incrementalKeepCorpusOf(idx._1, idx._2, idx._3, curD, diffD)
+      Dedup.incrementalKeepCorpusOf(idx._1, idx._2, idx._3, idx._4,
+        curD, diffD)
         .count())
     time("q85 containment pairs")(Dedup.containmentPairsFrom(docs).count())
     time("q86 heavy hitters + CMS")(Corpus.heavyHittersFrom(docs).count())

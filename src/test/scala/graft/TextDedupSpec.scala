@@ -561,9 +561,9 @@ class TextDedupSpec extends AnyFunSuite {
     val curDocs = (4L to 66L).map(_ -> clone).toDF("doc_id", "text")
     val diff = ((1L to 3L).map(_ -> "removed") ++
       (4L to 66L).map(_ -> "unchanged")).toDF("doc_id", "status")
-    val (fps, bands, cand) = Dedup.indexState(prevDocs)
+    val (fps, bands, cand, verified) = Dedup.indexState(prevDocs)
     assert(cand.isEmpty, "all prev buckets are oversized: no pairs stored")
-    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand,
+    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand, verified,
       curDocs, diff).collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(4L), "the recovered bucket must cluster to one keeper")
   }
@@ -579,8 +579,8 @@ class TextDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val diff = Seq((5L, "unchanged"), (9L, "unchanged"), (30L, "added"))
       .toDF("doc_id", "status")
-    val (fps, bands, cand) = Dedup.indexState(prevDocs)
-    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand,
+    val (fps, bands, cand, verified) = Dedup.indexState(prevDocs)
+    val kept = Dedup.incrementalKeepCorpusOf(fps, bands, cand, verified,
       curDocs, diff).collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(5L, 9L), "cluster {5,30} keeps 5; 9 untouched")
   }
