@@ -867,36 +867,49 @@ object Corpus {
     trainingCorpusFrom(spark, Tables.documents(spark, dir))
 
   def trainingCorpusFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
-    // each stage's verdict is a doc_id-thin frame; lazily checkpoint
-    // them so the final join tree plans over seven LogicalRDD leaves
-    // instead of one enormous composed lineage (measured: Catalyst on
-    // the fused tree cost more than executing the stages themselves)
-    def thin(df: DataFrame): DataFrame = df.localCheckpoint(false)
-    val clusters = Dedup.dedupClustersFrom(
-      Dedup.lshNearDupPairsFrom(
-        Dedup.shingleFpsFrom(docs).localCheckpoint(false))
-        .select($"doc_a", $"doc_b"))
-    val keepers = thin(
-      Dedup.dedupKeepCorpusFrom(docs, clusters).select($"doc_id"))
-    val repKeep = thin(repetitionStatsFrom(docs)
+    // Each stage's verdict is a doc_id-thin frame, eagerly
+    // checkpointed so the final join tree plans over seven LogicalRDD
+    // leaves instead of one enormous composed lineage (measured:
+    // Catalyst on the fused tree cost more than executing the stages
+    // themselves). The seven stages are INDEPENDENT — same input,
+    // disjoint verdicts — so they materialize CONCURRENTLY: each
+    // stage's shuffles are sized at spark.sql.shuffle.partitions
+    // (a fraction of the cluster), and serial submission would leave
+    // the rest idle. Concurrent actions on one SparkSession are the
+    // standard fair-scheduler pattern; results are deterministic
+    // because the stages share nothing but the immutable input.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def thin(df: => DataFrame): Future[DataFrame] =
+      Future(df.localCheckpoint(true))
+    val keepersF = thin {
+      val clusters = Dedup.dedupClustersFrom(
+        Dedup.lshNearDupPairsFrom(
+          Dedup.shingleFpsFrom(docs).localCheckpoint(false))
+          .select($"doc_a", $"doc_b"))
+      Dedup.dedupKeepCorpusFrom(docs, clusters).select($"doc_id")
+    }
+    val repKeepF = thin(repetitionStatsFrom(docs)
       .filter($"keep").select($"doc_id"))
-    val lpKeep = thin(unigramLogProbFrom(docs)
+    val lpKeepF = thin(unigramLogProbFrom(docs)
       .filter($"keep").select($"doc_id"))
-    val contaminated = thin(decontaminateFrom(docs)
+    val contaminatedF = thin(decontaminateFrom(docs)
       .filter($"contamination" >= DecontamMaxRate).select($"doc_id"))
-    val sampled = thin(mixtureSampleFrom(docs, MixtureRates,
+    val sampledF = thin(mixtureSampleFrom(docs, MixtureRates,
       MixtureDefaultRate).filter($"sampled").select($"doc_id", $"source"))
-    val splits = thin(splitAssignFrom(docs).select($"doc_id", $"split"))
-    val chunkStats = thin(chunkDocsFrom(docs).groupBy($"doc_id")
+    val splitsF = thin(splitAssignFrom(docs).select($"doc_id", $"split"))
+    val chunkStatsF = thin(chunkDocsFrom(docs).groupBy($"doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("n_tokens")))
+    def get(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)
     docs.select($"doc_id").filter($"doc_id" >= BenchmarkMaxDocId)
-      .join(keepers, Seq("doc_id"))
-      .join(repKeep, Seq("doc_id"))
-      .join(lpKeep, Seq("doc_id"))
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(sampled, Seq("doc_id"))
-      .join(splits, Seq("doc_id"))
-      .join(chunkStats, Seq("doc_id"))
+      .join(get(keepersF), Seq("doc_id"))
+      .join(get(repKeepF), Seq("doc_id"))
+      .join(get(lpKeepF), Seq("doc_id"))
+      .join(get(contaminatedF), Seq("doc_id"), "left_anti")
+      .join(get(sampledF), Seq("doc_id"))
+      .join(get(splitsF), Seq("doc_id"))
+      .join(get(chunkStatsF), Seq("doc_id"))
       .select($"doc_id", $"source", $"split", $"n_chunks", $"n_tokens")
       .orderBy($"doc_id")
   }
