@@ -364,4 +364,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the 4x1024 counter table must broadcast to the probe:\n${p.take(3000)}")
   }
+
+  test("q98 train order: one shard-hash exchange feeds the position " +
+       "window — no global sort before the gate ORDER BY") {
+    val p = plan("q98_train_order")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1,
+      s"the shard key must be the only hash shuffle:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(shard_id"),
+      s"window must partition by shard_id:\n${p.take(3000)}")
+  }
+
+  test("q100 epoch plan: position window, running sum, and the " +
+       "per-shard aggregate all reuse the one shard-hash exchange") {
+    val p = plan("q100_epoch_plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges === 1,
+      s"stacked windows + aggregate share the shard partitioning:\n${p.take(3000)}")
+  }
+
+  test("q99 cross-source matrix: the pair side broadcasts into both " +
+       "source lookups — the documents scan is never reshuffled") {
+    val p = plan("q99_cross_source_dups")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair lookups must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must stream, not sort-merge:\n${p.take(3000)}")
+  }
 }
