@@ -897,20 +897,28 @@ object VectorOps {
       prevAssignN: DataFrame, prevPairs: DataFrame, curVecsIn: DataFrame,
       diff: DataFrame, codebook: Array[(Long, Seq[Double])]): DataFrame = {
     val curVecs = curVecsIn.localCheckpoint(false)
+    // id sets checkpoint once for their several broadcasts; the
+    // maintenance barriers are EAGER (the q89 discipline: a broadcast
+    // subtree is built in its own job before any lazy checkpoint it
+    // hangs off is materialized, so a lazy barrier under a broadcast
+    // consumer is a recomputation). Here the delta-assign subtree is
+    // a cheap row-local pass, so the change is parity-of-shape rather
+    // than a measured win — the cost model stays honest if the
+    // codebook or probe count ever grows.
     val dirtyOut = diff.filter($"status".isin("removed", "changed"))
-      .select($"vec_id")
+      .select($"vec_id").localCheckpoint(true)
     val deltaIds = diff.filter($"status".isin("added", "changed"))
-      .select($"vec_id")
+      .select($"vec_id").localCheckpoint(true)
     // assign ONLY the delta — the incremental saving lives here
     val deltaAssign = assignCellsProbes(
         curVecs.join(broadcast(deltaIds), Seq("vec_id")),
         codebook, NearDupProbes)
       .select($"vec_id", $"cell_id")
-      .localCheckpoint(false) // read by the union AND the affected set
+      .localCheckpoint(true) // read by the union AND the affected set
     val keptAssign = prevAssignN
       .join(broadcast(dirtyOut), Seq("vec_id"), "left_anti")
     val allAssign = keptAssign.unionByName(deltaAssign)
-      .localCheckpoint(false) // both sides of the regen self-join
+      .localCheckpoint(true) // both sides of the regen self-join
     // affected cells: every cell a dirty vector left or a delta
     // vector entered — dirty-sized (≈ probes × |dirty|) by premise
     val affected = prevAssignN.join(broadcast(dirtyOut), Seq("vec_id"))
