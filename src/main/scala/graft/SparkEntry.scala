@@ -120,6 +120,8 @@ object SparkEntry {
     "q98_train_order"       -> (Corpus.trainOrder(_, _)),
     "q99_cross_source_dups" -> (Dedup.crossSourceDups(_, _)),
     "q100_epoch_plan"       -> (Corpus.epochPlan(_, _)),
+    "q101_incremental_corpus" -> (Corpus.incrementalTrainingCorpus(_, _)),
+    "q102_incremental_decontam" -> (Corpus.incrementalDecontam(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -278,6 +280,12 @@ object SparkEntry {
     // endpoint sources.
     "q99_cross_source_dups" -> Dedup.crossSourceDupsSql,
     "q100_epoch_plan"       -> Corpus.epochPlanSql,
+    // q101's oracle is the FULL q76 chain over the new snapshot —
+    // the composed incremental build must land byte-identically on
+    // rebuilding the whole corpus from scratch.
+    "q101_incremental_corpus" -> Corpus.incrementalTrainingCorpusSql,
+    // q102's oracle is the FULL q59 recompute over the new snapshot.
+    "q102_incremental_decontam" -> Corpus.incrementalDecontamSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -69,10 +69,12 @@ object Corpus {
       .select($"doc_id", $"bucket", splitCol($"bucket").as("split"))
       .orderBy($"doc_id")
 
-  val splitAssignSql: String =
+  val splitAssignSql: String = splitAssignSqlFrom("documents")
+
+  def splitAssignSqlFrom(src: String): String =
     s"""SELECT doc_id, $bucketSql AS bucket,
        |$splitCaseSql AS split
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM $src ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q59 — benchmark decontamination: flag corpus documents sharing
@@ -112,10 +114,10 @@ object Corpus {
 
   /** k-word-gram CTE chain for the oracle; mirrors Dedup.shinglesCte
     * at k = [[DecontamK]] with the same fp derivation. */
-  private def ngramCte(k: Int): String = {
+  private def ngramCte(k: Int, src: String = "documents"): String = {
     val concat = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""tok AS (
-       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM $src),
        |shd AS (
        |  SELECT DISTINCT doc_id,
        |    unnest(list_transform(generate_series(1, len(toks) - ${k - 1}),
@@ -127,8 +129,10 @@ object Corpus {
        |  FROM shd)""".stripMargin
   }
 
-  val decontaminateSql: String =
-    s"""WITH ${ngramCte(DecontamK)},
+  val decontaminateSql: String = decontaminateSqlFrom("documents")
+
+  def decontaminateSqlFrom(src: String): String =
+    s"""WITH ${ngramCte(DecontamK, src)},
        |bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id < $BenchmarkMaxDocId),
        |corp AS (SELECT doc_id, fp FROM fps WHERE doc_id >= $BenchmarkMaxDocId),
        |tot AS (SELECT doc_id, COUNT(*) AS total_ngrams FROM corp GROUP BY doc_id),
@@ -578,9 +582,11 @@ object Corpus {
         array_join($"chunk_toks", " ").as("chunk_text"))
       .orderBy($"doc_id", $"chunk_idx")
 
-  val chunkDocsSql: String =
+  val chunkDocsSql: String = chunkDocsSqlFrom("documents")
+
+  def chunkDocsSqlFrom(src: String): String =
     s"""WITH tok AS (
-       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM documents),
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM $src),
        |st AS (
        |  SELECT doc_id, toks,
        |    CASE WHEN len(toks) <= $ChunkTokens THEN 0
@@ -776,7 +782,9 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
-  val mixtureSampleSql: String = {
+  val mixtureSampleSql: String = mixtureSampleSqlFrom("documents")
+
+  def mixtureSampleSqlFrom(src: String): String = {
     val cases = MixtureRates.map { case (s, r) =>
       s"WHEN '$s' THEN CAST($r AS DOUBLE)"
     }.mkString("\n|    ")
@@ -788,7 +796,7 @@ object Corpus {
        |    (CASE source
        |    $cases
        |    ELSE CAST($MixtureDefaultRate AS DOUBLE) END) * 100 AS sampled
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |FROM $src ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -914,20 +922,25 @@ object Corpus {
       .orderBy($"doc_id")
   }
 
-  lazy val trainingCorpusSql: String =
+  lazy val trainingCorpusSql: String = trainingCorpusSqlFrom("documents")
+
+  /** The full q76 chain over an arbitrary documents-shaped source
+    * subquery — q101's full-recompute oracle runs it over the current
+    * snapshot. */
+  def trainingCorpusSqlFrom(src: String): String =
     s"""WITH base AS (
-       |  SELECT doc_id, source FROM documents
+       |  SELECT doc_id, source FROM $src
        |  WHERE doc_id >= $BenchmarkMaxDocId),
-       |keep_dedup AS (SELECT doc_id FROM (${Dedup.dedupKeepCorpusSql}) k),
-       |keep_rep AS (SELECT doc_id FROM ($repetitionStatsSql) r WHERE keep),
-       |keep_lp AS (SELECT doc_id FROM ($unigramLogProbSql) l WHERE keep),
-       |contam AS (SELECT doc_id FROM ($decontaminateSql) c
+       |keep_dedup AS (SELECT doc_id FROM (${Dedup.dedupKeepCorpusSqlFrom(src)}) k),
+       |keep_rep AS (SELECT doc_id FROM (${repetitionStatsSqlFrom(src)}) r WHERE keep),
+       |keep_lp AS (SELECT doc_id FROM (${unigramLogProbSqlFrom(src)}) l WHERE keep),
+       |contam AS (SELECT doc_id FROM (${decontaminateSqlFrom(src)}) c
        |           WHERE contamination >= $DecontamMaxRate),
-       |samp AS (SELECT doc_id FROM ($mixtureSampleSql) s WHERE sampled),
-       |spl AS (SELECT doc_id, split FROM ($splitAssignSql) p),
+       |samp AS (SELECT doc_id FROM (${mixtureSampleSqlFrom(src)}) s WHERE sampled),
+       |spl AS (SELECT doc_id, split FROM (${splitAssignSqlFrom(src)}) p),
        |ch AS (SELECT doc_id, COUNT(*) AS n_chunks,
        |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-       |       FROM ($chunkDocsSql) g GROUP BY 1)
+       |       FROM (${chunkDocsSqlFrom(src)}) g GROUP BY 1)
        |SELECT b.doc_id, b.source, spl.split, ch.n_chunks, ch.n_tokens
        |FROM base b
        |JOIN keep_dedup USING (doc_id)
@@ -1923,4 +1936,227 @@ object Corpus {
        |  ROUND(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1.0
        |    / $TokenBudgetPerShard, 6) AS budget_fill
        |FROM cum GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q102 — incremental benchmark decontamination: maintain the q59
+  // verdict table against a snapshot diff. Two independent sides:
+  //
+  //   Bench side — the eval suite is TINY by definition, so its
+  //   current n-gram set is recomputed outright from the new
+  //   snapshot's bench slice; what matters is its DELTA against the
+  //   stored bench set (fps that entered / left), which drives the
+  //   clean-doc adjustment below.
+  //
+  //   Corpus side — a clean document's n-gram set is unchanged, so
+  //   its stored (shared, total) counts stay valid except for the
+  //   bench delta: shared' = shared + |fps ∩ benchAdded|
+  //   − |fps ∩ benchDropped| (exact: added is disjoint from, dropped
+  //   a subset of, the stored bench set). Only added/changed corpus
+  //   docs re-shingle, scored against the current bench set.
+  //
+  // The oracle is the FULL q59 recompute over the current snapshot:
+  // a hash match proves carry+adjust ∪ rescore == rescore-everything.
+  //
+  // 100 TB shape: the stored corpus fp table is scanned once for the
+  // bench-delta adjustment (a broadcast join against an eval-suite-
+  // sized delta — zero corpus shuffle, and skippable entirely when
+  // the bench delta is empty, the common nightly case); the shingle
+  // pass runs over the dirty slice alone.
+  // ---------------------------------------------------------------
+
+  /** (doc_id, fp) — distinct k-gram fingerprints, the q59 derivation. */
+  private def decontamFps(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.select($"doc_id",
+      expr(s"graft_shingle_fps(text, $DecontamK)").as("fp"))
+  }
+
+  /** Stored prev-snapshot decontamination state, memoized per corpus
+    * dir (the Dedup.indexes discipline): corpus fp table, per-doc
+    * (shared, total) counts — zeros INCLUDED so every corpus doc
+    * carries — the bench fp set, and the diff. */
+  private val decontamState = scala.collection.concurrent.TrieMap
+    .empty[String,
+      (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
+
+  def incrementalDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val (prevFps, prevCounts, prevBench, diff) =
+      decontamState.get(dir) match {
+        case Some((`fp`, st)) => st
+        case _ =>
+          val (corpus, counts, bench) =
+            decontamStateFrom(snapshotPrev(docs))
+          val st = (corpus, counts, bench,
+            snapshotDiffDerived(docs).localCheckpoint(true))
+          decontamState.put(dir, (fp, st))
+          st
+      }
+    incrementalDecontamOf(prevFps, prevCounts, prevBench,
+      snapshotCur(docs), diff)
+  }
+
+  /** The stored tables a snapshot publish writes: corpus fp table,
+    * per-doc (shared, total) counts with zeros, bench fp set. */
+  private[graft] def decontamStateFrom(prevDocs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val all = decontamFps(prevDocs)
+    val corpus = all.filter($"doc_id" >= BenchmarkMaxDocId)
+      .localCheckpoint(true)
+    val bench = all.filter($"doc_id" < BenchmarkMaxDocId)
+      .select($"fp").distinct().localCheckpoint(true)
+    val totals = corpus.groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_ngrams"))
+    val shared = corpus.join(broadcast(bench), Seq("fp"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("shared_ngrams"))
+    val counts = totals.join(shared, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"shared_ngrams", lit(0L)).as("shared_ngrams"),
+        $"total_ngrams")
+      .localCheckpoint(true)
+    (corpus, counts, bench)
+  }
+
+  /** The general operator: `prevFps` = stored corpus (doc_id, fp),
+    * `prevCounts` = stored per-doc (shared, total) with zeros,
+    * `prevBench` = stored bench fp set, against a q84-shaped diff. */
+  def incrementalDecontamOf(prevFps: DataFrame, prevCounts: DataFrame,
+                            prevBench: DataFrame, curDocs: DataFrame,
+                            diff: DataFrame): DataFrame = {
+    val dirtyOut = diff.filter($"status".isin("removed", "changed"))
+      .select($"doc_id").localCheckpoint(true)
+    val deltaIds = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id").localCheckpoint(true)
+    // bench side: recomputed outright (eval-suite-sized)
+    val benchCur = decontamFps(
+      curDocs.filter($"doc_id" < BenchmarkMaxDocId))
+      .select($"fp").distinct().localCheckpoint(true)
+    val benchDelta = benchCur.join(prevBench, Seq("fp"), "left_anti")
+      .withColumn("sign", lit(1L))
+      .unionByName(prevBench.join(benchCur, Seq("fp"), "left_anti")
+        .withColumn("sign", lit(-1L)))
+      .localCheckpoint(true)
+    // clean docs: stored counts, shared adjusted by the bench delta
+    val dShared = prevFps.join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
+      .join(broadcast(benchDelta), Seq("fp"))
+      .groupBy($"doc_id").agg(sum($"sign").as("d_shared"))
+    val carried = prevCounts
+      .join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
+      .join(broadcast(dShared), Seq("doc_id"), "left")
+      .select($"doc_id",
+        ($"shared_ngrams" + coalesce($"d_shared", lit(0L)))
+          .as("shared_ngrams"),
+        $"total_ngrams")
+    // dirty docs: re-shingle the slice, score against the cur bench
+    val freshFps = decontamFps(
+      curDocs.join(broadcast(deltaIds), Seq("doc_id"))
+        .filter($"doc_id" >= BenchmarkMaxDocId))
+      .localCheckpoint(true)
+    val fresh = freshFps.groupBy($"doc_id")
+      .agg(count(lit(1)).as("total_ngrams"))
+      .join(freshFps.join(broadcast(benchCur), Seq("fp"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("shared_ngrams")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"shared_ngrams", lit(0L)).as("shared_ngrams"),
+        $"total_ngrams")
+    carried.unionByName(fresh)
+      .filter($"shared_ngrams" >= 1) // q59 reports contaminated docs only
+      .select($"doc_id", $"shared_ngrams", $"total_ngrams",
+        round($"shared_ngrams" * lit(1.0) / $"total_ngrams", 6)
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val incrementalDecontamSql: String = decontaminateSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod" +
+      s" <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
+  // q101 — incremental training-corpus maintenance: the q76 composed
+  // build brought up to date with a snapshot diff by COMPOSING the
+  // stored-state family instead of recomputing the corpus:
+  //   dedup keep      -> q89 (stored LSH index + verified pairs)
+  //   repetition keep -> q88 (stored score table, doc-local carry)
+  //   logprob keep    -> q92 (stored tf + delta vocabulary, rescore)
+  //   decontamination -> q102 (stored counts + bench delta)
+  //   chunk stats     -> stored per-doc aggregate, q88's carry shape
+  //   sampling/splits -> pure doc-local hashes, recomputed row-local
+  // Every piece is individually oracle-proven equal to its full
+  // recompute; the composition is the same join tree as q76 over the
+  // new snapshot's base, so q101's oracle is simply the FULL q76
+  // chain over the current snapshot.
+  //
+  // 100 TB shape: each stage is dirty-slice + stored-table-carry (the
+  // per-family receipts in SCALE.md); the join tree is q76's, over
+  // doc_id-thin checkpointed leaves, materialized concurrently.
+  // ---------------------------------------------------------------
+
+  /** Stored prev-snapshot per-doc chunk aggregate + diff (q88's carry
+    * discipline for the doc-local chunk stats). */
+  private val chunkState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame))]
+
+  private def chunkAggFrom(docs: DataFrame): DataFrame =
+    chunkDocsFrom(docs).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_tokens").as("n_tokens"))
+
+  def incrementalChunkStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val (prevChunk, diff) = chunkState.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val st = (chunkAggFrom(snapshotPrev(docs)).localCheckpoint(true),
+          snapshotDiffDerived(docs).localCheckpoint(true))
+        chunkState.put(dir, (fp, st))
+        st
+    }
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val fresh = chunkAggFrom(snapshotCur(docs).join(
+      broadcast(diff.filter($"status".isin("added", "changed"))
+        .select($"doc_id")), Seq("doc_id")))
+    prevChunk.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  def incrementalTrainingCorpus(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cur = snapshotCur(Tables.documents(spark, dir))
+    // q76's concurrent-stage discipline; each stage is the maintained
+    // (not recomputed) table
+    def thin(df: => DataFrame): Future[DataFrame] =
+      Future(df.localCheckpoint(true))
+    val keepersF = thin(Dedup.incrementalKeepCorpus(spark, dir)
+      .select($"doc_id"))
+    val repKeepF = thin(incrementalScores(spark, dir)
+      .filter($"keep").select($"doc_id"))
+    val lpKeepF = thin(incrementalLogProb(spark, dir)
+      .filter($"keep").select($"doc_id"))
+    val contaminatedF = thin(incrementalDecontam(spark, dir)
+      .filter($"contamination" >= DecontamMaxRate).select($"doc_id"))
+    val sampledF = thin(mixtureSampleFrom(cur, MixtureRates,
+      MixtureDefaultRate).filter($"sampled").select($"doc_id", $"source"))
+    val splitsF = thin(splitAssignFrom(cur).select($"doc_id", $"split"))
+    val chunkStatsF = thin(incrementalChunkStats(spark, dir))
+    def get(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)
+    cur.select($"doc_id").filter($"doc_id" >= BenchmarkMaxDocId)
+      .join(get(keepersF), Seq("doc_id"))
+      .join(get(repKeepF), Seq("doc_id"))
+      .join(get(lpKeepF), Seq("doc_id"))
+      .join(get(contaminatedF), Seq("doc_id"), "left_anti")
+      .join(get(sampledF), Seq("doc_id"))
+      .join(get(splitsF), Seq("doc_id"))
+      .join(get(chunkStatsF), Seq("doc_id"))
+      .select($"doc_id", $"source", $"split", $"n_chunks", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  lazy val incrementalTrainingCorpusSql: String = trainingCorpusSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod" +
+      s" <> $SnapRemovedRes)")
 }

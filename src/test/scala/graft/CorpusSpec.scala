@@ -863,6 +863,58 @@ class CorpusSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) === r.getLong(1)))
   }
 
+  test("q102 incremental decontamination == full recompute over the " +
+       "new snapshot") {
+    val inc = Corpus.incrementalDecontam(spark, sf).collect()
+    val full = Corpus.decontaminateFrom(
+      Corpus.snapshotCur(Tables.documents(spark, sf))).collect()
+    assert(inc.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+  }
+
+  test("q102 hand mechanics: bench-delta adjusts carried docs, dirty " +
+       "docs re-shingle, verdicts match the full recompute") {
+    val benchA = "alpha beta gamma delta epsilon"
+    val benchB = "zeta eta theta iota kappa"
+    val prevDocs = Seq(
+      1L -> benchA, 2L -> benchB,
+      20L -> s"$benchA one two three four five",
+      21L -> s"$benchB six seven eight nine ten",
+      22L -> "completely unrelated words with no overlap at all here")
+      .toDF("doc_id", "text")
+    // bench doc 2 leaves (its n-grams drop from the bench set), a new
+    // contaminated doc 23 arrives; 20/21/22 are untouched
+    val curDocs = Seq(
+      1L -> benchA,
+      20L -> s"$benchA one two three four five",
+      21L -> s"$benchB six seven eight nine ten",
+      22L -> "completely unrelated words with no overlap at all here",
+      23L -> s"$benchA eleven twelve thirteen fourteen")
+      .toDF("doc_id", "text")
+    val diff = Seq((2L, "removed"), (23L, "added"), (1L, "unchanged"),
+      (20L, "unchanged"), (21L, "unchanged"), (22L, "unchanged"))
+      .toDF("doc_id", "status")
+    val (fps, counts, bench) = Corpus.decontamStateFrom(prevDocs)
+    val inc = Corpus.incrementalDecontamOf(fps, counts, bench,
+      curDocs, diff).collect()
+    val full = Corpus.decontaminateFrom(curDocs).collect()
+    assert(inc.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    val ids = inc.map(_.getLong(0)).toSet
+    // 21's only shared n-gram left with bench doc 2 -> drops out of
+    // the report via the CARRIED path's bench adjustment
+    assert(!ids.contains(21L))
+    assert(ids.contains(20L), "clean doc 20 carries its verdict")
+    assert(ids.contains(23L), "added doc 23 is freshly scored")
+  }
+
+  test("q101 incremental corpus == the full q76 build over the new " +
+       "snapshot") {
+    val inc = Corpus.incrementalTrainingCorpus(spark, sf).collect()
+    val full = Corpus.trainingCorpusFrom(spark,
+      Corpus.snapshotCur(Tables.documents(spark, sf))).collect()
+    assert(inc.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq)
+    assert(inc.nonEmpty)
+  }
+
   test("q98 train order: a permutation — every doc exactly once, " +
        "contiguous positions per shard, reproducible") {
     val docs = Tables.documents(spark, sf)

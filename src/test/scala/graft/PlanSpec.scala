@@ -383,6 +383,14 @@ class PlanSpec extends AnyFunSuite {
       s"stacked windows + aggregate share the shard partitioning:\n${p.take(3000)}")
   }
 
+  test("q102 incremental decontamination: the carry is a broadcast " +
+       "anti-join of the stored counts against the dirty set") {
+    val p = plan("q102_incremental_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored counts must carry map-side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q99 cross-source matrix: the pair side broadcasts into both " +
        "source lookups — the documents scan is never reshuffled") {
     val p = plan("q99_cross_source_dups")
