@@ -156,4 +156,70 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // --- incremental-maintenance family: for ANY corpus and ANY diff,
+  // maintaining stored state must equal the full recompute over the
+  // new snapshot. A tiny vocabulary forces n-gram collisions so the
+  // bench-delta and carry paths are genuinely exercised.
+
+  private case class DocCase(id: Long, status: String,
+                             prevText: String, curText: String)
+
+  private val corpusGen: Gen[List[DocCase]] = {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val text = Gen.listOfN(10, word).map(_.mkString(" "))
+    val doc = for {
+      status <- Gen.frequency(6 -> "unchanged", 1 -> "removed",
+        1 -> "added", 1 -> "changed")
+      t1 <- text
+      t2 <- text
+    } yield (status, t1, t2)
+    Gen.listOfN(30, doc).map(_.zipWithIndex.map { case ((s, t1, t2), i) =>
+      DocCase(i.toLong, s, t1, t2)
+    })
+  }
+
+  private def snapshotsOf(cs: List[DocCase]) = {
+    val prev = cs.filter(_.status != "added")
+      .map(c => c.id -> c.prevText).toDF("doc_id", "text")
+    val cur = cs.filter(_.status != "removed")
+      .map(c => c.id -> (if (c.status == "changed") c.curText
+                         else c.prevText)).toDF("doc_id", "text")
+    val diff = cs.map(c => c.id -> c.status).toDF("doc_id", "status")
+    (prev, cur, diff)
+  }
+
+  test("property: incremental decontamination == full recompute for " +
+       "any corpus and any diff (bench docs included)") {
+    forAllSampled(corpusGen, 8) { cs =>
+      val (prev, cur, diff) = snapshotsOf(cs)
+      val (fps, counts, bench) = graft.operators.Corpus
+        .decontamStateFrom(prev)
+      val inc = graft.operators.Corpus
+        .incrementalDecontamOf(fps, counts, bench, cur, diff)
+        .collect().map(_.toSeq).toSeq
+      val full = graft.operators.Corpus.decontaminateFrom(cur)
+        .collect().map(_.toSeq).toSeq
+      assert(inc === full)
+    }
+  }
+
+  test("property: incremental dedup keep-corpus == full chain for " +
+       "any corpus and any diff") {
+    forAllSampled(corpusGen, 4) { cs =>
+      val (prev, cur, diff) = snapshotsOf(cs)
+      val (fps, bands, cand, verified) =
+        graft.operators.Dedup.indexState(prev)
+      val inc = graft.operators.Dedup
+        .incrementalKeepCorpusOf(fps, bands, cand, verified, cur, diff)
+        .collect().map(_.toSeq).toSeq
+      val full = graft.operators.Dedup.dedupKeepCorpusFrom(cur,
+        graft.operators.Dedup.dedupClustersFrom(
+          graft.operators.Dedup.lshNearDupPairsFrom(
+            graft.operators.Dedup.shingleFpsFrom(cur))
+            .select(col("doc_a"), col("doc_b"))))
+        .collect().map(_.toSeq).toSeq
+      assert(inc === full)
+    }
+  }
 }
