@@ -122,6 +122,7 @@ object SparkEntry {
     "q100_epoch_plan"       -> (Corpus.epochPlan(_, _)),
     "q101_incremental_corpus" -> (Corpus.incrementalTrainingCorpus(_, _)),
     "q102_incremental_decontam" -> (Corpus.incrementalDecontam(_, _)),
+    "q103_canonical_keep"   -> (Dedup.canonicalKeepCorpus(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -286,6 +287,7 @@ object SparkEntry {
     "q101_incremental_corpus" -> Corpus.incrementalTrainingCorpusSql,
     // q102's oracle is the FULL q59 recompute over the new snapshot.
     "q102_incremental_decontam" -> Corpus.incrementalDecontamSql,
+    "q103_canonical_keep"   -> Dedup.canonicalKeepCorpusSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

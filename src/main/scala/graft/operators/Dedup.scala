@@ -555,6 +555,18 @@ object Dedup {
   /** Connected components over any (doc_a, doc_b) pair frame; returns
     * (doc_id, cluster_id, cluster_size) for every doc in a pair. */
   def dedupClustersFrom(pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** The q62 component labels WITHOUT the cluster-size join-back —
+    * (doc_id, lbl) for every pair endpoint. q103 consumes this
+    * directly (it never needs sizes, and the size join would be the
+    * only non-broadcast join in its plan). */
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     // materialize the pair set BEFORE symmetrizing: the union
     // references `pairs` twice, and a deep pair plan (the LSH verify
     // chain, q89's maintenance) gets its broadcast subqueries built
@@ -603,10 +615,7 @@ object Dedup {
     }
     if (!converged) labels = starLabels(edges)
     edges.unpersist()
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
-      .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size")
-      .orderBy($"doc_id")
+    labels
   }
 
   /** Large-star: per node u over its UNDIRECTED neighborhood, link
@@ -1475,4 +1484,80 @@ object Dedup {
        |JOIN documents da ON da.doc_id = pr.doc_a
        |JOIN documents db ON db.doc_id = pr.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q103 — quality-canonical dedup: q70 keeps each near-dup cluster's
+  // MIN doc_id; a production pipeline keeps its BEST member — the
+  // CCNet/Gopher-era "keep the cleanest copy" policy — scored by q41's
+  // quality blend, doc_id ascending as the deterministic tiebreak.
+  //
+  // 100 TB shape: selection runs entirely on the cluster-member slice
+  // (dup-rate-sized, bounded by the near-dup rate like q70's drop
+  // list). Member texts are fetched by a broadcast semi-join (the
+  // corpus scan streams), scored row-locally, and the keeper argmax is
+  // a struct-max aggregate over members — no window, no corpus
+  // shuffle. The corpus itself pays exactly one broadcast anti-join,
+  // q70's shape; only WHICH member survives differs.
+  // ---------------------------------------------------------------
+
+  def canonicalKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    canonicalKeepCorpusFrom(Tables.documents(spark, dir),
+      clusterLabels(lshNearDupPairs(spark, dir))
+        .select($"doc_id", $"lbl".as("cluster_id")))
+
+  /** Kept rows of `docs` under argmax-quality keeper selection, given
+    * a (doc_id, cluster_id, *) cluster frame. Emits (doc_id, n_chars)
+    * — q70's thin output contract. */
+  def canonicalKeepCorpusFrom(docs: DataFrame,
+                              clusters: DataFrame): DataFrame = {
+    val memberIds = clusters.select($"doc_id", $"cluster_id")
+    // member quality: score ONLY the member slice (broadcast semi-join
+    // fetch + row-local q41) — never the corpus. Scoring the slice
+    // equals slicing the scores because q41 is row-local.
+    val mq = TextOps.qualityScoreFrom(
+        docs.join(broadcast(memberIds.select($"doc_id")), Seq("doc_id")))
+      .select($"doc_id", $"quality")
+      .join(broadcast(memberIds), Seq("doc_id"))
+    // argmax quality, min doc_id on ties (max of -doc_id); a zero-token
+    // doc's null quality ranks at -1 — below every real score — in
+    // BOTH engines, so null ordering semantics never reach the compare
+    val keepers = mq.groupBy($"cluster_id")
+      .agg(max(struct(coalesce($"quality", lit(-1.0)).as("q"),
+        (-$"doc_id").as("nid"))).as("m"))
+      .select($"cluster_id", (-$"m.nid").as("keep_id"))
+    val dropList = memberIds.join(broadcast(keepers), Seq("cluster_id"))
+      .filter($"doc_id" =!= $"keep_id")
+      .select($"doc_id")
+    docs.join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** q103 oracle: the q62 recursive components joined to the q41
+    * scores (both statements nested verbatim; their ORDER BYs are
+    * inert as derived tables), keeper = rank 1 under
+    * (quality DESC, doc_id ASC) per cluster. */
+  lazy val canonicalKeepCorpusSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+       |qual AS (SELECT doc_id, quality
+       |         FROM (${TextOps.qualityScoreSql}) qq),
+       |ranked AS (
+       |  SELECT cc.doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cc.cluster_id
+       |      ORDER BY COALESCE(qual.quality, -1.0) DESC, cc.doc_id) AS rn
+       |  FROM cc JOIN qual ON qual.doc_id = cc.doc_id),
+       |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT d.doc_id, length(d.text) AS n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped
+       |                  WHERE dropped.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

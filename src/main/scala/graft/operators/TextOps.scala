@@ -56,9 +56,15 @@ object TextOps {
     * diversity), the reference-free quality gate of an LLM data
     * pipeline. Ratios and the blended score are IEEE-identical in both
     * engines (same operand order), rounded to 6dp. */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreFrom(Tables.documents(spark, dir))
+
+  /** q41 over any documents-shaped frame — q103 scores only the
+    * cluster-member slice through this (row-local, so scoring a slice
+    * equals slicing the scores). */
+  def qualityScoreFrom(docs: DataFrame): DataFrame = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", tokens($"text"))
       .withColumn("n_tokens", size($"toks").cast(LongType))
       .withColumn("n_stop",

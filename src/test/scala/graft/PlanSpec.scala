@@ -399,4 +399,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus side must stream, not sort-merge:\n${p.take(3000)}")
   }
+
+  test("q103 canonical keep: member fetch, keeper join, and drop list " +
+       "all broadcast — the corpus pays one map-side anti-join, no " +
+       "window, no sort-merge") {
+    val p = plan("q103_canonical_keep")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the keep must be a map-side anti-join of the drop list:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"cluster-member joins must broadcast, not sort-merge:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"keeper selection must be a struct-max aggregate, not a window:\n${p.take(3000)}")
+  }
 }

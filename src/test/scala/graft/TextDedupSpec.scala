@@ -666,6 +666,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept === Seq((1L, "x"), (7L, "z"), (9L, "w")))
   }
 
+  test("q103 hand clusters: argmax-quality member survives (not min " +
+       "id), ties fall to min id, singletons kept") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the the the the",        // cluster A, low quality
+      2L -> "alpha beta gamma delta", // cluster A, high quality → keeper
+      5L -> "same text here",         // cluster B ─┐ identical quality:
+      6L -> "same text here",         // cluster B ─┘ tie → min id 5
+      9L -> "solo document"           // unclustered → kept
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.canonicalKeepCorpusFrom(docs, clusters)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L, 5L, 9L))
+  }
+
+  test("q103 vs q70 on the fixture: same clusters, keeper is the " +
+       "quality argmax of each") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.exists(c => c._1 != c._2),
+      "fixture has no near-dup clusters — test is vacuous")
+    val quality = TextOps.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1))
+    // ground-truth keeper per cluster: max quality, then min doc_id
+    val keepers = members.values.map(ms =>
+      ms.maxBy(id => (quality(id), -id))).toSet
+    val dropped = clusters.map(_._1).toSet -- keepers
+    val all = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.canonicalKeepCorpus(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === (all -- dropped).toSeq.sorted)
+    // same cardinality as q70 (one keeper per cluster), different picks
+    // whenever some cluster's best member is not its min id
+    assert(kept.size === Dedup.dedupKeepCorpus(spark, sf).count())
+  }
+
   test("q95 incremental semantic dedup == full rebuild over the new " +
        "snapshot against the frozen sample codebook") {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
