@@ -123,6 +123,7 @@ object SparkEntry {
     "q101_incremental_corpus" -> (Corpus.incrementalTrainingCorpus(_, _)),
     "q102_incremental_decontam" -> (Corpus.incrementalDecontam(_, _)),
     "q103_canonical_keep"   -> (Dedup.canonicalKeepCorpus(_, _)),
+    "q104_incremental_canonical" -> (Dedup.incrementalCanonicalKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,6 +289,8 @@ object SparkEntry {
     // q102's oracle is the FULL q59 recompute over the new snapshot.
     "q102_incremental_decontam" -> Corpus.incrementalDecontamSql,
     "q103_canonical_keep"   -> Dedup.canonicalKeepCorpusSql,
+    // q104's oracle is the FULL q103 chain over the new snapshot.
+    "q104_incremental_canonical" -> Dedup.incrementalCanonicalKeepSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -867,21 +867,46 @@ object Dedup {
 
   def incrementalKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val fp = docsFingerprint(spark, dir)
-    // the diff is stored state too: q84's job publishes it when the
-    // crawl lands, and every maintenance consumer reads that table
     val (prevFps, prevBands, prevCand, prevVerified, diff) =
-      indexes.get(dir) match {
-        case Some((`fp`, idx)) => idx
-        case _ =>
-          val (a, b, c, v) = indexState(Corpus.snapshotPrev(docs))
-          val idx = (a, b, c, v,
-            Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
-          indexes.put(dir, (fp, idx))
-          idx
-      }
+      storedIndexFor(spark, dir, docs)
     incrementalKeepCorpusOf(prevFps, prevBands, prevCand, prevVerified,
       Corpus.snapshotCur(docs), diff)
+  }
+
+  /** q104 — incremental QUALITY-CANONICAL keep: q103's keeper policy
+    * on q89's maintained index. Same stored tables, same dirty-slice
+    * maintenance ([[maintainedVerifiedPairs]]); only the final keep
+    * step differs — labels without the size join-back, argmax-quality
+    * keeper per cluster. Oracle = the FULL q103 chain over the new
+    * snapshot. */
+  def incrementalCanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (prevFps, prevBands, prevCand, prevVerified, diff) =
+      storedIndexFor(spark, dir, docs)
+    val cur = Corpus.snapshotCur(docs)
+    canonicalKeepCorpusFrom(cur,
+      clusterLabels(maintainedVerifiedPairs(prevFps, prevBands, prevCand,
+        prevVerified, cur, diff))
+        .select($"doc_id", $"lbl".as("cluster_id")))
+  }
+
+  /** The memoized stored index + diff for `dir` (one per corpus dir,
+    * invalidated by the fixture fingerprint). The diff is stored
+    * state too: q84's job publishes it when the crawl lands, and
+    * every maintenance consumer reads that table. */
+  private def storedIndexFor(spark: SparkSession, dir: String,
+      docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val fp = docsFingerprint(spark, dir)
+    indexes.get(dir) match {
+      case Some((`fp`, idx)) => idx
+      case _ =>
+        val (a, b, c, v) = indexState(Corpus.snapshotPrev(docs))
+        val idx = (a, b, c, v,
+          Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
+        indexes.put(dir, (fp, idx))
+        idx
+    }
   }
 
   /** The general operator: maintain a stored index against `curDocs`
@@ -891,7 +916,20 @@ object Dedup {
   def incrementalKeepCorpusOf(prevFps: DataFrame, prevBands: DataFrame,
                               prevCand: DataFrame, prevVerified: DataFrame,
                               curDocs: DataFrame,
-                              diff: DataFrame): DataFrame = {
+                              diff: DataFrame): DataFrame =
+    dedupKeepCorpusFrom(curDocs, dedupClustersFrom(
+      maintainedVerifiedPairs(prevFps, prevBands, prevCand, prevVerified,
+        curDocs, diff)))
+
+  /** The q89 maintenance core without the keep step: the verified
+    * near-dup pair set of the NEW snapshot, built from the stored
+    * index + the dirty slice alone. Shared by the min-id keep (q89)
+    * and the quality-canonical keep (q104) — the keeper POLICY is
+    * orthogonal to index maintenance. */
+  private[graft] def maintainedVerifiedPairs(
+      prevFps: DataFrame, prevBands: DataFrame,
+      prevCand: DataFrame, prevVerified: DataFrame,
+      curDocs: DataFrame, diff: DataFrame): DataFrame = {
     // the two id sets are broadcast six times below; checkpointing
     // them once makes every broadcast build read a materialized leaf
     // instead of re-filtering the diff in its own job
@@ -984,10 +1022,9 @@ object Dedup {
       .unionByName(deltaFps)
     val fpsNeeded = allFps.join(broadcast(endpoints), Seq("doc_id"),
       "left_semi")
-    val verified = carriedVerified
+    carriedVerified
       .unionByName(verifyCandidatesUnsorted(freshPairs, fpsNeeded)
         .select($"doc_a", $"doc_b"))
-    dedupKeepCorpusFrom(curDocs, dedupClustersFrom(verified))
   }
 
   lazy val incrementalKeepCorpusSql: String = dedupKeepCorpusSqlFrom(
@@ -1538,8 +1575,14 @@ object Dedup {
     * inert as derived tables), keeper = rank 1 under
     * (quality DESC, doc_id ASC) per cluster. */
   lazy val canonicalKeepCorpusSql: String =
+    canonicalKeepCorpusSqlFrom("documents")
+
+  /** The full q47→q62→q41→q103 oracle chain over an arbitrary
+    * documents-shaped source subquery — q104's full-recompute oracle
+    * runs it over the current snapshot. */
+  def canonicalKeepCorpusSqlFrom(src: String): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q),
+       |pairs AS (SELECT doc_a, doc_b FROM (${lshNearDupPairsSqlFrom(src)}) q),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(doc_id, lbl) AS (
@@ -1548,7 +1591,7 @@ object Dedup {
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
        |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
        |qual AS (SELECT doc_id, quality
-       |         FROM (${TextOps.qualityScoreSql}) qq),
+       |         FROM (${TextOps.qualityScoreSqlFrom(src)}) qq),
        |ranked AS (
        |  SELECT cc.doc_id, ROW_NUMBER() OVER (
        |      PARTITION BY cc.cluster_id
@@ -1556,8 +1599,15 @@ object Dedup {
        |  FROM cc JOIN qual ON qual.doc_id = cc.doc_id),
        |dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
        |SELECT d.doc_id, length(d.text) AS n_chars
-       |FROM documents d
+       |FROM $src d
        |WHERE NOT EXISTS (SELECT 1 FROM dropped
        |                  WHERE dropped.doc_id = d.doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** q104 oracle: the FULL q103 chain over the new snapshot — the
+    * maintained index + canonical keep must land byte-identically on
+    * rebuilding from scratch. */
+  lazy val incrementalCanonicalKeepSql: String = canonicalKeepCorpusSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
 }

@@ -81,10 +81,14 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  def qualityScoreSql: String = {
+  def qualityScoreSql: String = qualityScoreSqlFrom("documents")
+
+  /** The q41 statement over an arbitrary documents-shaped source —
+    * q104's oracle scores the current snapshot through this. */
+  def qualityScoreSqlFrom(src: String): String = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (
-       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |  SELECT doc_id, $tokensSql AS toks FROM $src),
        |m AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
        |    len(list_filter(toks, x -> x IN ($stopList))) AS n_stop,

@@ -547,6 +547,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(incremental.toSeq === full.toSeq)
   }
 
+  test("q104 incremental canonical keep == full q103 over the new " +
+       "snapshot on the fixture") {
+    import spark.implicits._
+    val curDocs = Tables.documents(spark, sf).filter(
+      $"doc_id" % graft.operators.Corpus.SnapRemovedMod
+        =!= graft.operators.Corpus.SnapRemovedRes)
+    val incremental = Dedup.incrementalCanonicalKeep(spark, sf).collect()
+    val full = Dedup.canonicalKeepCorpusFrom(curDocs,
+      Dedup.clusterLabels(
+        Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curDocs))
+          .select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"lbl".as("cluster_id"))).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
   test("q89 bucket recovery: deletions that pull an oversized bucket " +
        "under the cap regenerate its never-recorded pairs") {
     import spark.implicits._
