@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver tails stdout for the LAST JSON line. Two sbt
+// behaviors have broken that for nine rounds (BENCH_r*: "parsed": null):
+// the logger prefixes forked output with "[info] " (invalid JSON line),
+// and the "[success] Total time" banner lands after the compact line.
+// StdoutOutput passes forked-process stdout through verbatim;
+// showSuccess suppresses the banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

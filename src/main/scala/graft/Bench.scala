@@ -21,7 +21,8 @@ object Bench {
   private val skip =
     Set("q34_streaming_clean", "q35_nasa_roundtrip", "q38_pipeline_silver",
         "q39_streaming_pipeline", "q68_streaming_dedup",
-        "q71_streaming_near_dups", "q87_streaming_hh")
+        "q71_streaming_near_dups", "q87_streaming_hh",
+        "q106_streaming_semdedup")
 
   /** Why the skip set exists, emitted verbatim into the artifact so
     * the oracle-subset ratio is self-describing (VERDICT r6 item 8). */
@@ -57,6 +58,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // The ContextCleaner races late task-end accumulator updates from
+    // localCheckpoint'd stages: DAGScheduler logs a harmless
+    // "attempted to access non-existent accumulator" ERROR stack per
+    // straggler (queries unaffected — failures surface via the caught
+    // exception below). Those stacks have contaminated the driver's
+    // stdout tail for two rounds; silence that one logger for the
+    // bench process only.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     // Warehouse ingest (one-time, outside per-query timing): the
     // driver fixtures are single-row-group parquet files, which Spark
@@ -179,7 +190,23 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    // Quiesce between passes: the bench's own 32-thread execution
+    // drives the 1-minute loadavg to ~10+, and it has not decayed by
+    // the time the next pass starts — so the recorded
+    // loadavg_at_pass_start read as co-load for two straight rounds
+    // (VERDICT r9 item 2) when it was mostly self-load. Waiting for
+    // the 1-minute average to fall below the threshold (bounded; skip
+    // via SPARK_GRAFT_QUIESCE=0) makes the recorded number mean what
+    // the reader assumes: external load present when the pass began.
+    val quiesceBelow =
+      sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "2.0").toDouble
+    def quiesce(): Unit = if (quiesceBelow > 0) {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (loadavg() >= quiesceBelow && System.nanoTime() < deadline)
+        Thread.sleep(5000)
+    }
     def runPass(): Unit = {
+      quiesce() // pass 1 included: sbt's own compile/startup load counts
       loads += loadavg()
       val p = onePass()
       passes += p
@@ -203,7 +230,7 @@ object Bench {
     // minimum is taken over at least two clean passes. The warmup pass
     // (JIT/codegen) is excluded from the convergence check but still
     // participates in the minimum.
-    (1 to 3).foreach(_ => runPass())
+    (1 to 4).foreach(_ => runPass())
     while (passes.size < 6 && spreadOf(passes.toSeq.drop(1)) > 1.3)
       runPass()
     val results = passes.head.keys.toSeq.sorted.map { k =>
@@ -231,8 +258,14 @@ object Bench {
         s"[bench] ORACLE QUERIES FAILED (subset total is incomplete): " +
           oracleFailed.mkString(", "))
     val passTotals = passes.toSeq.map(_.values.filter(_ >= 0).sum)
-    val spread =
-      if (passTotals.min > 0) passTotals.max / passTotals.min else -1.0
+    // the reported spread matches the convergence criterion: pass 1 is
+    // the JIT/codegen warmup (excluded there too), so including it made
+    // the artifact read as co-loaded (1.4+) on a perfectly quiet box;
+    // the full per-pass totals are still emitted alongside
+    val spread = spreadOf(passes.toSeq.drop(1)) match {
+      case s if s > 1e6 => -1.0 // a broken pass, not a measured spread
+      case s => s
+    }
     val passJson = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted

@@ -124,6 +124,9 @@ object SparkEntry {
     "q102_incremental_decontam" -> (Corpus.incrementalDecontam(_, _)),
     "q103_canonical_keep"   -> (Dedup.canonicalKeepCorpus(_, _)),
     "q104_incremental_canonical" -> (Dedup.incrementalCanonicalKeep(_, _)),
+    "q105_centroid_drift"   -> (VectorOps.centroidDriftStats(_, _)),
+    "q106_streaming_semdedup" -> (graft.streaming.StreamingCorpus.semanticDedupViaStreaming(_, _)),
+    "q107_incremental_containment" -> (Dedup.incrementalContainment(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -291,6 +294,16 @@ object SparkEntry {
     "q103_canonical_keep"   -> Dedup.canonicalKeepCorpusSql,
     // q104's oracle is the FULL q103 chain over the new snapshot.
     "q104_incremental_canonical" -> Dedup.incrementalCanonicalKeepSql,
+    // q105's oracle rebuilds BOTH codebooks (stored stable-sample fit
+    // and fresh current-snapshot fit), both assignments, and the same
+    // decimal-exact drift arithmetic — the verdict row hash-matches.
+    "q105_centroid_drift"   -> VectorOps.centroidDriftStatsSql,
+    // q106's oracle IS the batch q93 SQL: streaming cell state must
+    // resolve to exactly the batch pairs→components→keep result (the
+    // q71 parity discipline on the embedding side).
+    "q106_streaming_semdedup" -> VectorOps.semanticKeepCorpusSql,
+    // q107's oracle is the FULL q90 recompute over the new snapshot.
+    "q107_incremental_containment" -> Dedup.incrementalContainmentSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

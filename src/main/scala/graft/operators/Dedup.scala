@@ -459,13 +459,19 @@ object Dedup {
     * measure over a candidate set instead of all pairs. */
   private[graft] def verifyContainment(cand: DataFrame,
                                        shf: DataFrame): DataFrame =
+    verifyContainmentUnsorted(cand, shf).orderBy($"doc_a", $"doc_b")
+
+  /** [[verifyContainment]] without the presentation sort — q107's
+    * maintenance unions it with carried verdicts before its own final
+    * sort (the verifyCandidatesUnsorted discipline). */
+  private[graft] def verifyContainmentUnsorted(cand: DataFrame,
+                                               shf: DataFrame): DataFrame =
     candidateOverlap(cand, shf)
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / $"na").as("containment_a"),
         ($"i" * lit(1.0) / $"nb").as("containment_b"))
       .filter(greatest($"containment_a", $"containment_b")
         >= ContainmentThreshold)
-      .orderBy($"doc_a", $"doc_b")
 
   // ---------------------------------------------------------------
   // q90 — containment over LSH candidates: the production-scale twin
@@ -778,9 +784,9 @@ object Dedup {
   // docs' rows LEAVE the stored index. The batch twin of q71's
   // streaming state — plus the capability append-only streams never
   // need: deletion. The corpus-scale costs (shingle, sign, band)
-  // are paid by the dirty slice alone; the carried index is four
+  // are paid by the dirty slice alone; the carried index is five
   // stored tables (fps, bands, band-tagged candidates, verified
-  // pass-pairs).
+  // Jaccard pass-pairs, and — since q107 — containment verdicts).
   //
   // Deletions break q71's "occupancy only grows" monotonicity, which
   // is where the band-tagged candidate log earns its keep a second
@@ -850,7 +856,8 @@ object Dedup {
     * storage. */
   private val indexes = scala.collection.concurrent.TrieMap
     .empty[String,
-      (String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame))]
+      (String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame))]
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
     * codebook invalidation rule applied to documents.parquet). */
@@ -867,7 +874,7 @@ object Dedup {
 
   def incrementalKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, prevVerified, diff) =
+    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
       storedIndexFor(spark, dir, docs)
     incrementalKeepCorpusOf(prevFps, prevBands, prevCand, prevVerified,
       Corpus.snapshotCur(docs), diff)
@@ -881,7 +888,7 @@ object Dedup {
     * snapshot. */
   def incrementalCanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, prevVerified, diff) =
+    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
       storedIndexFor(spark, dir, docs)
     val cur = Corpus.snapshotCur(docs)
     canonicalKeepCorpusFrom(cur,
@@ -896,18 +903,84 @@ object Dedup {
     * every maintenance consumer reads that table. */
   private def storedIndexFor(spark: SparkSession, dir: String,
       docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
     val fp = docsFingerprint(spark, dir)
     indexes.get(dir) match {
       case Some((`fp`, idx)) => idx
       case _ =>
         val (a, b, c, v) = indexState(Corpus.snapshotPrev(docs))
-        val idx = (a, b, c, v,
+        // the stored CONTAINMENT verdicts (q107's fifth table): the
+        // q90 output over the stored candidates, values included —
+        // nightly publishes it next to the Jaccard pass-pairs so a
+        // subset-pair refresh maintains instead of recomputing
+        val contain = verifyContainment(
+            c.select($"doc_a", $"doc_b").distinct(), a)
+          .localCheckpoint(true)
+        val idx = (a, b, c, v, contain,
           Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
         indexes.put(dir, (fp, idx))
         idx
     }
   }
+
+  // ---------------------------------------------------------------
+  // q107 — incremental CONTAINMENT maintenance: the q90 output (subset
+  // pairs over LSH candidates) brought up to date with a crawl diff
+  // from stored state alone, closing the family's last asymmetry
+  // (VERDICT r9 missing #3 — q89/q104 maintained Jaccard verdicts but
+  // a nightly subset-pair refresh re-ran q90 from the stored bands).
+  // The stored index grows a fifth table: the containment VERDICTS
+  // (values included). Maintenance is the shared candidate machinery
+  // ([[maintainedCandidates]] — carried candidates with clean
+  // endpoints and healthy new-index buckets, fresh affected-bucket
+  // pairs, endpoint-restricted fps) with the containment tail:
+  //   - carried pairs keep their STORED containment values — both
+  //     endpoints' fp sets are unchanged, so na, nb, and the
+  //     intersection are unchanged, hence both containment ratios are
+  //     byte-identical (the same invariance argument as the Jaccard
+  //     carry, which shares na/nb/i);
+  //   - carried pairs absent from the stored table failed the
+  //     containment gate at index build and fail identically now;
+  //   - only fresh pairs pay the containment verification, against
+  //     the endpoint-restricted fps slice.
+  // Oracle = the FULL q90 chain over the current snapshot.
+  //
+  // 100 TB shape: identical to q89's — the candidate machinery is
+  // literally the same code, and the containment tail adds only a
+  // broadcast semi-join over the thin stored verdict table.
+  // ---------------------------------------------------------------
+
+  def incrementalContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (prevFps, prevBands, prevCand, _, prevContain, diff) =
+      storedIndexFor(spark, dir, docs)
+    incrementalContainmentOf(prevFps, prevBands, prevCand, prevContain,
+      Corpus.snapshotCur(docs), diff)
+  }
+
+  /** The general operator: `prevContain` = the stored q90 output of
+    * the previous snapshot (doc_a, doc_b, containment_a,
+    * containment_b). Emits the full q90 shape for the new snapshot. */
+  def incrementalContainmentOf(prevFps: DataFrame, prevBands: DataFrame,
+                               prevCand: DataFrame, prevContain: DataFrame,
+                               curDocs: DataFrame,
+                               diff: DataFrame): DataFrame = {
+    val (carried, freshPairs, fpsNeeded) =
+      maintainedCandidates(prevFps, prevBands, prevCand, curDocs, diff)
+    val carriedContain = prevContain
+      .join(broadcast(carried), Seq("doc_a", "doc_b"), "left_semi")
+    carriedContain
+      .unionByName(verifyContainmentUnsorted(freshPairs, fpsNeeded))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q107 oracle: the FULL q90 recompute over the new snapshot — the
+    * maintained verdict table must land byte-identically on
+    * rebuild-from-scratch. */
+  lazy val incrementalContainmentSql: String = containmentOverLshSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
 
   /** The general operator: maintain a stored index against `curDocs`
     * given a q84-shaped `diff`, and materialize the kept corpus.
@@ -930,6 +1003,38 @@ object Dedup {
       prevFps: DataFrame, prevBands: DataFrame,
       prevCand: DataFrame, prevVerified: DataFrame,
       curDocs: DataFrame, diff: DataFrame): DataFrame = {
+    val (carried, freshPairs, fpsNeeded) =
+      maintainedCandidates(prevFps, prevBands, prevCand, curDocs, diff)
+    // carried VERDICTS stand: both endpoints' fp sets are unchanged,
+    // so a carried pair's stored Jaccard (and its pass/fail) is the
+    // pair's Jaccard in the new index — no re-verification. Pairs
+    // absent from the stored pass set were verified-FAIL at index
+    // build and fail identically now.
+    val carriedVerified = carried
+      .join(broadcast(prevVerified.select($"doc_a", $"doc_b")),
+        Seq("doc_a", "doc_b"), "left_semi")
+    carriedVerified
+      .unionByName(verifyCandidatesUnsorted(freshPairs, fpsNeeded)
+        .select($"doc_a", $"doc_b"))
+  }
+
+  /** The index-maintenance candidate machinery shared by the Jaccard
+    * (q89/q104) and containment (q107) verification tails: from the
+    * stored index + the dirty slice, derive
+    *   - `carried`: candidate pairs with clean endpoints whose bucket
+    *     is healthy in the NEW index (their stored verdicts stand —
+    *     whatever measure the stored verdict used);
+    *   - `freshPairs`: pairs born in an affected bucket, which must
+    *     pay verification;
+    *   - `fpsNeeded`: the new fps relation restricted to the fresh
+    *     pairs' endpoints (dirty-sized by premise), the only slice
+    *     verification touches.
+    * The verdict carry itself belongs to the caller because it is
+    * measure-specific; everything before it is measure-agnostic. */
+  private def maintainedCandidates(
+      prevFps: DataFrame, prevBands: DataFrame, prevCand: DataFrame,
+      curDocs: DataFrame, diff: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // the two id sets are broadcast six times below; checkpointing
     // them once makes every broadcast build read a materialized leaf
     // instead of re-filtering the diff in its own job
@@ -997,14 +1102,6 @@ object Dedup {
       .distinct()
       .localCheckpoint(true) // read by the verdict join AND the
                              // fresh-pair anti-join below
-    // carried VERDICTS stand: both endpoints' fp sets are unchanged,
-    // so a carried pair's stored Jaccard (and its pass/fail) is the
-    // pair's Jaccard in the new index — no re-verification. Pairs
-    // absent from the stored pass set were verified-FAIL at index
-    // build and fail identically now.
-    val carriedVerified = carried
-      .join(broadcast(prevVerified.select($"doc_a", $"doc_b")),
-        Seq("doc_a", "doc_b"), "left_semi")
     // only pairs born in an affected bucket are verification-fresh —
     // a regenerated clean-clean pair that was already a stored
     // candidate keeps its stored verdict via `carried` instead
@@ -1022,9 +1119,7 @@ object Dedup {
       .unionByName(deltaFps)
     val fpsNeeded = allFps.join(broadcast(endpoints), Seq("doc_id"),
       "left_semi")
-    carriedVerified
-      .unionByName(verifyCandidatesUnsorted(freshPairs, fpsNeeded)
-        .select($"doc_a", $"doc_b"))
+    (carried, freshPairs, fpsNeeded)
   }
 
   lazy val incrementalKeepCorpusSql: String = dedupKeepCorpusSqlFrom(
@@ -1073,8 +1168,12 @@ object Dedup {
 
   /** q90 oracle: the q47 candidate CTE chain with q85's containment
     * tail — containment restricted to the LSH-candidate set. */
-  val containmentOverLshSql: String =
-    s"""${lshCandCtes("documents")}
+  val containmentOverLshSql: String = containmentOverLshSqlFrom("documents")
+
+  /** The q90 statement over an arbitrary documents-shaped source —
+    * q107's full-recompute oracle runs it over the current snapshot. */
+  def containmentOverLshSqlFrom(src: String): String =
+    s"""${lshCandCtes(src)}
        |SELECT doc_a, doc_b, i * 1.0 / sa.n AS containment_a,
        |  i * 1.0 / sb.n AS containment_b
        |FROM inter
@@ -1551,8 +1650,14 @@ object Dedup {
     // member quality: score ONLY the member slice (broadcast semi-join
     // fetch + row-local q41) — never the corpus. Scoring the slice
     // equals slicing the scores because q41 is row-local.
+    // left_semi, not inner: the plan then MATCHES the documented
+    // broadcast-semi-join shape, and a caller handing in a cluster
+    // frame with duplicate doc_id rows cannot multiply corpus rows
+    // (clusterLabels output is unique per doc_id, but that is this
+    // method's precondition to enforce, not assume)
     val mq = TextOps.qualityScoreFrom(
-        docs.join(broadcast(memberIds.select($"doc_id")), Seq("doc_id")))
+        docs.join(broadcast(memberIds.select($"doc_id")), Seq("doc_id"),
+          "left_semi"))
       .select($"doc_id", $"quality")
       .join(broadcast(memberIds), Seq("doc_id"))
     // argmax quality, min doc_id on ties (max of -doc_id); a zero-token

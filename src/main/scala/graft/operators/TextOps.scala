@@ -69,9 +69,16 @@ object TextOps {
       .withColumn("n_tokens", size($"toks").cast(LongType))
       .withColumn("n_stop",
         expr(s"size(filter(toks, x -> x IN ($stopList)))").cast(LongType))
+      // NULLIF guard: a zero-token doc's ratios are NULL by explicit
+      // construction, not by an engine's 0/0 convention — Spark's
+      // non-ANSI Divide and DuckDB 1.0.0 both return NULL today, but
+      // DuckDB under ieee_floating_point_ops yields NaN, which would
+      // sort ABOVE every real score in a quality DESC ordering
+      // (ADVICE r9). Identical output for every n_tokens > 0 row.
+      .withColumn("nt_nz", nullif($"n_tokens", lit(0L)))
       .withColumn("uniq_ratio",
-        size(array_distinct($"toks")).cast(DoubleType) / $"n_tokens")
-      .withColumn("stop_ratio", $"n_stop".cast(DoubleType) / $"n_tokens")
+        size(array_distinct($"toks")).cast(DoubleType) / $"nt_nz")
+      .withColumn("stop_ratio", $"n_stop".cast(DoubleType) / $"nt_nz")
       .select($"doc_id", $"n_tokens", $"n_stop",
         round($"uniq_ratio", 6).as("uniq_ratio"),
         round($"stop_ratio", 6).as("stop_ratio"),
@@ -92,9 +99,10 @@ object TextOps {
        |m AS (
        |  SELECT doc_id, len(toks) AS n_tokens,
        |    len(list_filter(toks, x -> x IN ($stopList))) AS n_stop,
-       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / NULLIF(len(toks), 0) AS uniq_ratio,
        |    CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
-       |      / len(toks) AS stop_ratio
+       |      / NULLIF(len(toks), 0) AS stop_ratio
        |  FROM t)
        |SELECT doc_id, n_tokens, n_stop,
        |  ROUND(uniq_ratio, 6) AS uniq_ratio,

@@ -160,35 +160,37 @@ object VectorOps {
     * then per round an argmin assignment + decimal-exact per-position
     * mean, ending in `cents` (the fitted codebook). `src` names the
     * CTE the fit draws from — `normed` (the full corpus) for q50/q54/
-    * q69, the stable training sample for q91. */
-  private def fitCtesFrom(src: String): String = {
+    * q69, the stable training sample for q91. `suffix` disambiguates
+    * the generated CTE names so one statement can hold two fits (q105
+    * compares the stored fit against a fresh one). */
+  private def fitCtesFrom(src: String, suffix: String = ""): String = {
     def d2(v: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
     val sb = new StringBuilder
     sb.append(
-      s"""cents0 AS (
+      s"""cents${suffix}0 AS (
         |  SELECT vec_id AS centroid_id, v AS cv FROM $src
         |  WHERE vec_id % 100 = 0)""".stripMargin)
     for (r <- 1 to IvfFitRounds) {
       sb.append(s""",
-        |fit_assign$r AS (
+        |fit_assign$suffix$r AS (
         |  SELECT vec_id, v, centroid_id AS cell_id FROM (
         |    SELECT a.vec_id, a.v, c.centroid_id,
         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
         |        ORDER BY ROUND(${d2("a.v")}, 6) ASC, c.centroid_id ASC) AS rn
-        |    FROM $src a CROSS JOIN cents${r - 1} c)
+        |    FROM $src a CROSS JOIN cents$suffix${r - 1} c)
         |  WHERE rn = 1),
-        |fit_mean$r AS (
+        |fit_mean$suffix$r AS (
         |  SELECT cell_id, i,
         |    CAST(SUM(CAST(ROUND(v[i], 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
-        |  FROM fit_assign$r, (SELECT unnest(generate_series(1, $VecDim)) AS i)
+        |  FROM fit_assign$suffix$r, (SELECT unnest(generate_series(1, $VecDim)) AS i)
         |  GROUP BY cell_id, i),
-        |cents$r AS (
+        |cents$suffix$r AS (
         |  SELECT cell_id AS centroid_id, list(c ORDER BY i) AS cv
-        |  FROM fit_mean$r GROUP BY cell_id)""".stripMargin)
+        |  FROM fit_mean$suffix$r GROUP BY cell_id)""".stripMargin)
     }
     sb.append(s""",
-      |cents AS (SELECT centroid_id, cv FROM cents$IvfFitRounds)""".stripMargin)
+      |cents$suffix AS (SELECT centroid_id, cv FROM cents$suffix$IvfFitRounds)""".stripMargin)
     sb.toString
   }
 
@@ -253,8 +255,8 @@ object VectorOps {
       .mkString("\n")
   }
 
-  private def codebookRowsFor(spark: SparkSession,
-                              dir: String): Array[(Long, Seq[Double])] = {
+  private[graft] def codebookRowsFor(spark: SparkSession,
+                                     dir: String): Array[(Long, Seq[Double])] = {
     val fp = corpusFingerprint(dir)
     def fit(): Array[(Long, Seq[Double])] = {
       val all = vecs(spark, dir).cache()
@@ -452,9 +454,9 @@ object VectorOps {
     * analysis, so neither the plan nor the generated code grows with
     * cell count (a literal-array formulation measured 53 s at 200
     * cells; this one ~1 s). */
-  private def assignCellsProbes(all: DataFrame,
-                                codebook: Array[(Long, Seq[Double])],
-                                probes: Int): DataFrame = {
+  private[graft] def assignCellsProbes(all: DataFrame,
+                                       codebook: Array[(Long, Seq[Double])],
+                                       probes: Int): DataFrame = {
     val cellsLit = array(codebook.map { case (id, cv) =>
       struct(lit(id), array(cv.map(lit): _*)) // (cid, cv) by position
     }.toIndexedSeq: _*)
@@ -778,6 +780,136 @@ object VectorOps {
         fittedCentroids(vecSnapshotSample(all).localCheckpoint(false)))
       .select($"vec_id", $"cell_id", $"dist2")
       .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------
+  // q105 — centroid-drift gate for the frozen-codebook family: the
+  // refit-vs-carry verdict q91/q95 leave to a manual trigger
+  // (VERDICT r9 item 1), i.e. [[graft.operators.Corpus
+  // .vocabDriftStats]]'s discipline applied to the vector side. A
+  // nightly pipeline runs this BEFORE maintenance: within the drift
+  // bounds it carries the stored codebook (and every assignment /
+  // pair table built on it); past them it refits and rebuilds —
+  // because a moved centroid silently invalidates EVERY stored
+  // assignment, never just the dirty slice.
+  //
+  // Two drift axes, both computed over the CURRENT snapshot:
+  //   - assignment churn: the share of vectors whose argmin cell
+  //     differs between the stored codebook and a fresh fit (cell ids
+  //     are seed vec_ids under both fits, so "same cell" is
+  //     well-defined across codebooks);
+  //   - quantization-error drift: how much worse the stored codebook's
+  //     mean within-cell squared distance is than the fresh fit's —
+  //     the stored codebook always loses to a codebook fitted on the
+  //     data it is judged on; the question is by how much.
+  //
+  // 100 TB shape: the fresh fit is the offline sample fit (the fit is
+  // already sample-seeded at every-100th vector; production subsamples
+  // its input stream the same way), and both assignment passes are
+  // broadcast-codebook × corpus row-local scans — the q50 shape, no
+  // corpus shuffle; the verdict itself is one global aggregate row.
+  // Running the gate costs two assignment scans; skipping it risks a
+  // silently stale index, which is why the vocab side grew the same
+  // knob first.
+  // ---------------------------------------------------------------
+
+  /** Churn share above which the codebook refits: a fifth of the
+    * corpus changing cells means cell-locality assumptions (probe
+    * recall, partition pruning) no longer describe the data. */
+  val ChurnRefitShare = 0.20
+
+  /** Quantization-error drift above which the codebook refits: the
+    * stored codebook wasting >10% more squared distance than a fresh
+    * fit is the classic stale-codebook signature. */
+  val Dist2RefitDrift = 0.10
+
+  def centroidDriftStats(spark: SparkSession, dir: String): DataFrame = {
+    val (cbRows, _, _, _, _) = vecIndexState(spark, dir)
+    val all = vecs(spark, dir)
+    val cur = vecSnapshotCur(all).localCheckpoint(false)
+    val stored = spark.createDataFrame(cbRows.toIndexedSeq)
+      .toDF("centroid_id", "cv")
+    centroidDriftStatsOf(cur, stored, fittedCentroids(cur))
+  }
+
+  /** The general gate: `cur` = the current snapshot as (vec_id, v,
+    * nrm), `storedCb` = the published frozen codebook, `freshCb` = a
+    * codebook freshly fitted on (a sample of) the current snapshot.
+    * One verdict row. */
+  def centroidDriftStatsOf(cur: DataFrame, storedCb: DataFrame,
+                           freshCb: DataFrame): DataFrame = {
+    val s = assignCells(cur, storedCb)
+      .select($"vec_id", $"cell_id".as("cell_s"), $"dist2".as("d_s"))
+    val f = assignCells(cur, freshCb)
+      .select($"vec_id", $"cell_id".as("cell_f"), $"dist2".as("d_f"))
+    s.join(f, Seq("vec_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when($"cell_s" =!= $"cell_f", 1L).otherwise(0L)).as("n_moved"),
+        // dist2 is already rounded to 6dp by assignCells, so the
+        // decimal cast is exact and the sum order-independent — the
+        // fittedCentroids mean discipline, engine-identical
+        (sum($"d_s".cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1))).as("ms"),
+        (sum($"d_f".cast(DecimalType(18, 6))).cast(DoubleType)
+          / count(lit(1))).as("mf"))
+      .select(
+        $"n_vecs", $"n_moved",
+        round($"n_moved" * lit(1.0) / $"n_vecs", 6).as("churn_share"),
+        round($"ms", 6).as("mean_dist2_stored"),
+        round($"mf", 6).as("mean_dist2_fresh"),
+        round(($"ms" - $"mf") / nullif($"mf", lit(0.0)), 6)
+          .as("dist2_drift"))
+      .withColumn("verdict",
+        when($"churn_share" > ChurnRefitShare
+            || $"dist2_drift" > Dist2RefitDrift, "refit")
+          .otherwise("carry"))
+  }
+
+  /** q105 oracle: both fits (the stored stable-sample fit and the
+    * fresh current-snapshot fit) rebuilt from their CTE chains, both
+    * argmin assignments, and the same drift arithmetic — decimal-exact
+    * sums, double division, 6dp rounds — so the verdict row
+    * hash-matches. */
+  lazy val centroidDriftStatsSql: String = {
+    def d2(cents: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, centroid_id AS cell_id, dist2 FROM (
+         |    SELECT a.vec_id, c.centroid_id, ROUND(${d2(cents)}, 6) AS dist2,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ROUND(${d2(cents)}, 6) ASC, c.centroid_id ASC) AS rn
+         |    FROM cur a CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $vecsCte,
+       |stable AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapAddedMod} <> ${Corpus.SnapAddedRes}
+       |    AND vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}
+       |    AND vec_id % ${Corpus.SnapChangedMod} <> ${Corpus.SnapChangedRes}),
+       |${fitCtesFrom("stable")},
+       |cur AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}),
+       |${fitCtesFrom("cur", "_f")},
+       |${assignCte("assign_s", "cents")},
+       |${assignCte("assign_f", "cents_f")},
+       |agg AS (
+       |  SELECT COUNT(*) AS n_vecs,
+       |    SUM(CASE WHEN s.cell_id <> f.cell_id THEN 1 ELSE 0 END) AS n_moved,
+       |    CAST(SUM(CAST(s.dist2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ms,
+       |    CAST(SUM(CAST(f.dist2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mf
+       |  FROM assign_s s JOIN assign_f f ON s.vec_id = f.vec_id)
+       |SELECT n_vecs, CAST(n_moved AS BIGINT) AS n_moved,
+       |  ROUND(n_moved * 1.0 / n_vecs, 6) AS churn_share,
+       |  ROUND(ms, 6) AS mean_dist2_stored,
+       |  ROUND(mf, 6) AS mean_dist2_fresh,
+       |  ROUND((ms - mf) / NULLIF(mf, 0.0), 6) AS dist2_drift,
+       |  CASE WHEN ROUND(n_moved * 1.0 / n_vecs, 6) > $ChurnRefitShare
+       |         OR ROUND((ms - mf) / NULLIF(mf, 0.0), 6) > $Dist2RefitDrift
+       |       THEN 'refit' ELSE 'carry' END AS verdict
+       |FROM agg""".stripMargin
   }
 
   // ---------------------------------------------------------------

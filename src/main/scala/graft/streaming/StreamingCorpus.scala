@@ -514,4 +514,157 @@ object StreamingCorpus {
       .write.mode("overwrite").parquet(staged)
     heavyHitterStream(spark, staged, maxFilesPerTrigger = Some(1))
   }
+
+  // ---------------------------------------------------------------
+  // q106 — streaming SEMANTIC dedup (VERDICT r9 item 3): ingest-time
+  // paraphrase-dup detection over an ARRIVING embedding stream — the
+  // streaming twin of the batch q93 chain, built exactly the way q71
+  // wraps the q47 machinery. Each micro-batch assigns its vectors to
+  // their NearDupProbes nearest cells of a FROZEN codebook (published
+  // offline at index build — the q91 posture; a stream cannot refit
+  // without invalidating all earlier assignments), probes the
+  // assignment state accumulated by every earlier batch for same-cell
+  // candidates, verifies them with the exact cosine kernel against
+  // the stored vectors, and appends the verified pairs — so a
+  // paraphrase arriving Tuesday pairs with its Monday original
+  // without waiting for the nightly batch. Drain-time resolution is
+  // the SHARED batch tail (connected components + keep), which is why
+  // the oracle IS the batch q93 SQL.
+  //
+  // State lives in append-only parquet logs (assign / vecs / pairs /
+  // meta) for the same three reasons as q71's — verification needs
+  // full vectors, the logs ARE the q50-shaped product tables, and
+  // per-batch transforms are the batch operators. No occupancy guard:
+  // IVF cell size is bounded (~100·probes) by the every-100th
+  // codebook seeding, so there is no oversized-bucket case (the q95
+  // structural note). At 100 TB the logs shard by their join keys
+  // (assign/vecs by cell_id/vec_id) under the warehouse layout and a
+  // batch's candidate join touches only its probed cells' partitions.
+  // ---------------------------------------------------------------
+
+  /** embeddings.parquet raw schema for the streaming reader. */
+  val embeddingsRawSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming reader over an embeddings parquet file or directory
+    * (single files staged via symlink, as the documents reader). */
+  def readEmbeddingsStream(spark: SparkSession, embPath: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val src = java.nio.file.Paths.get(embPath)
+    val inputDir =
+      if (java.nio.file.Files.isDirectory(src)) embPath
+      else {
+        val d = java.nio.file.Paths.get(
+          StreamingClean.trackedTempDir("graft-emb-in-"))
+        java.nio.file.Files.createSymbolicLink(d.resolve(src.getFileName), src)
+        d.toString
+      }
+    val reader = spark.readStream.schema(embeddingsRawSchema)
+    maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+  }
+
+  private val vecAssignSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell_id", LongType)))
+  private val vecPairSchema = StructType(Seq(
+    StructField("vec_a", LongType), StructField("vec_b", LongType)))
+  private val vecLogSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType)))
+
+  /** One micro-batch of the streaming semantic dedup: normalize and
+    * assign the arriving vectors against the frozen codebook, probe
+    * the assignment log as of every earlier batch, verify new
+    * same-cell candidates with the exact cosine kernel, then append
+    * this batch's state. Append-only + read-side dedup keeps a
+    * replayed batch a no-op downstream (the q71 discipline). */
+  private def processSemanticBatch(batch: DataFrame, root: String,
+      codebook: Array[(Long, Seq[Double])]): Unit = {
+    import graft.operators.VectorOps
+    val spark = batch.sparkSession
+    // one normalization pass feeds the vec log AND the assignment
+    val newVecs = VectorOps.vecsFrom(batch).localCheckpoint(false)
+    val newAssign = VectorOps.assignCellsProbes(newVecs, codebook,
+        VectorOps.NearDupProbes)
+      .select($"vec_id", $"cell_id").localCheckpoint(false)
+    val allAssign = readLog(spark, s"$root/assign", vecAssignSchema)
+      .union(newAssign).distinct()
+    // new × all (old×old pairs were recorded when their later vector
+    // arrived); canonical (least, greatest) + distinct collapses the
+    // doubled new×new matches and multi-cell co-occurrences
+    val cand = newAssign.as("x").join(allAssign.as("y"), Seq("cell_id"))
+      .filter($"x.vec_id" =!= $"y.vec_id")
+      .select(least($"x.vec_id", $"y.vec_id").as("vec_a"),
+              greatest($"x.vec_id", $"y.vec_id").as("vec_b"))
+      .distinct()
+    val allVecs = readLog(spark, s"$root/vecs", vecLogSchema)
+      .union(newVecs)
+    val verified = cand
+      .join(allVecs.select($"vec_id".as("vec_a"), $"v".as("va"),
+        $"nrm".as("na")), Seq("vec_a"))
+      .join(allVecs.select($"vec_id".as("vec_b"), $"v".as("vb"),
+        $"nrm".as("nb")), Seq("vec_b"))
+      .select($"vec_a", $"vec_b",
+        round(VectorOps.dot("va", "vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= VectorOps.CosineDupThreshold)
+      .select($"vec_a", $"vec_b")
+    // record pairs BEFORE appending the assignment log (the q71
+    // ordering: the pair scan must see its pre-batch state snapshot)
+    verified.write.mode("append").parquet(s"$root/pairs")
+    newAssign.write.mode("append").parquet(s"$root/assign")
+    newVecs.write.mode("append").parquet(s"$root/vecs")
+    batch.select($"vec_id", $"label")
+      .write.mode("append").parquet(s"$root/meta")
+  }
+
+  /** Resolution — drain-time tail: dedup the pair log and hand it to
+    * the SHARED batch components-and-keep operator. */
+  private def resolveSemanticKeep(spark: SparkSession,
+                                  root: String): DataFrame = {
+    import graft.operators.VectorOps
+    val pairs = readLog(spark, s"$root/pairs", vecPairSchema).distinct()
+    val meta = spark.read.parquet(s"$root/meta").dropDuplicates("vec_id")
+    VectorOps.semanticKeepCorpusFrom(meta, pairs)
+  }
+
+  /** Drain `embPath` through the streaming semantic dedup against a
+    * frozen `codebook` and return the kept corpus (vec_id, label) —
+    * the q93 shape. */
+  def semanticDedupStream(spark: SparkSession, embPath: String,
+                          codebook: Array[(Long, Seq[Double])],
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = StreamingClean.trackedTempDir("graft-sem-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-sd-ckpt-")
+    val q = readEmbeddingsStream(spark, embPath, maxFilesPerTrigger)
+      .writeStream
+      .queryName("graft_streaming_semdedup_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processSemanticBatch(batch, root, codebook)
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    resolveSemanticKeep(spark, root)
+  }
+
+  /** q106 — streaming-vs-batch SEMANTIC dedup parity: the fixture
+    * embeddings staged as four vec_id-ranged files and drained one
+    * file per micro-batch against the same offline-fitted codebook
+    * the batch q93 uses, so candidate discovery genuinely crosses
+    * batch boundaries. Oracle = the batch q93 SQL. */
+  def semanticDedupViaStreaming(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val cb = graft.operators.VectorOps.codebookRowsFor(spark, sfDir)
+    val staged = StreamingClean.trackedTempDir("graft-sd-in-") + "/embs"
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartitionByRange(4, $"vec_id")
+      .write.mode("overwrite").parquet(staged)
+    semanticDedupStream(spark, staged, cb, maxFilesPerTrigger = Some(1))
+  }
 }

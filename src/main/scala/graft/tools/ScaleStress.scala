@@ -159,6 +159,167 @@ object ScaleStress {
       return
     }
 
+    // opt-in EXCLUSIVE mode: the SEMANTIC dedup family at 10× vectors —
+    // q95's incremental/full ratio under the q89lowdirty protocol
+    // (interleaved A/B, per-side min, spread printed). The stored
+    // index (sample codebook, N-probe assignment, verified pairs) is
+    // built once and not charged — production loads it. Arg: "q93deep".
+    if (args.contains("q93deep")) {
+      graft.functions.VectorExpressions.register(spark)
+      val emb10 = graft.Tables.embeddings(spark, dir)
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .withColumn("vec_id", $"vec_id" * reps + $"rep")
+        .drop("rep")
+        .localCheckpoint(true)
+      val corpus = VectorOps.vecsFrom(emb10).localCheckpoint(true)
+      println(s"embeddings rows (deep): ${corpus.count()}")
+      var cb: Array[(Long, Seq[Double])] = null
+      time("q93deep sample codebook fit (offline, not charged)") {
+        cb = VectorOps.fittedCentroids(
+          VectorOps.vecSnapshotSample(corpus).localCheckpoint(false))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        println(s"  cells: ${cb.length}")
+      }
+      var prevAssignN: DataFrame = null
+      var prevPairs: DataFrame = null
+      time("q93deep stored index build (prev nightly run, not charged)") {
+        val prev = VectorOps.vecSnapshotPrev(corpus).localCheckpoint(false)
+        prevAssignN = VectorOps.assignCellsProbes(prev, cb,
+            VectorOps.NearDupProbes)
+          .select($"vec_id", $"cell_id").localCheckpoint(true)
+        prevPairs = VectorOps.ivfNearDupPairsProbes(prev, cb,
+            VectorOps.NearDupProbes)
+          .select($"vec_a", $"vec_b").localCheckpoint(true)
+      }
+      val diff = VectorOps.vecSnapshotDiff(corpus).localCheckpoint(true)
+      diff.groupBy($"status").count().orderBy($"status").collect()
+        .foreach(r => println(s"  diff ${r.get(0)}: ${r.get(1)}"))
+      val curEmb = emb10.filter(
+        $"vec_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+        .localCheckpoint(true)
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      val curVecs = VectorOps.vecSnapshotCur(corpus)
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(VectorOps.semanticKeepCorpusFrom(curEmb,
+          VectorOps.ivfNearDupPairsProbes(curVecs, cb,
+            VectorOps.NearDupProbes)).count())
+        val (ti, ni) = secs(VectorOps.incrementalSemanticKeepOf(
+          prevAssignN, prevPairs, curEmb, diff, cb).count())
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental semantic keep diverged: $incrN vs full $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q93/q95 deep ${reps}x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(rows $fullN)")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: the keeper-POLICY overhead at 10× docs —
+    // q103 (argmax-quality keeper) vs q70 (min-id keeper) over the
+    // SAME pair table, interleaved. The ratio isolates what selecting
+    // the best member costs on top of selecting the first. Arg:
+    // "q103deep".
+    if (args.contains("q103deep")) {
+      val pairs = Dedup.lshNearDupPairsFrom(
+          Dedup.shingleFpsFrom(docs).localCheckpoint(false))
+        .select($"doc_a", $"doc_b").localCheckpoint(true)
+      println(s"pairs (10x): ${pairs.count()}")
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val minKeeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val qualKeeps = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var minN = -1L; var qualN = -1L
+      for (p <- 1 to 3) {
+        val (t70, n70) = secs(
+          Dedup.dedupKeepCorpusFrom(docs,
+            Dedup.dedupClustersFrom(pairs)).count())
+        val (t103, n103) = secs(
+          Dedup.canonicalKeepCorpusFrom(docs,
+            Dedup.clusterLabels(pairs)
+              .select($"doc_id", $"lbl".as("cluster_id"))).count())
+        minKeeps += t70; qualKeeps += t103; minN = n70; qualN = n103
+        println(f"  pass $p: q70 $t70%.2f s, q103 $t103%.2f s")
+      }
+      require(minN == qualN,
+        s"keeper cardinality diverged: q103 $qualN vs q70 $minN")
+      val spread = math.max(minKeeps.max / minKeeps.min,
+        qualKeeps.max / qualKeeps.min)
+      println(f"q103 keeper overhead ${reps}x: q70 min ${minKeeps.min}%.2f " +
+        f"s, q103 min ${qualKeeps.min}%.2f s, ratio " +
+        f"${qualKeeps.min / minKeeps.min}%.2f, per-side spread " +
+        f"${spread}%.2f (rows $minN)")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q104 at 10× with the LOW (~1.9%) dirty
+    // fraction — the q89lowdirty protocol with the canonical-keep
+    // tail, proving the keeper policy rides the maintenance saving.
+    // Arg: "q104lowdirty".
+    if (args.contains("q104lowdirty")) {
+      val prevLd = docs.filter($"doc_id" % 170L =!= 3L)
+      val curLd = docs.filter($"doc_id" % 190L =!= 7L)
+        .localCheckpoint(true)
+      val prevDig = prevLd.select($"doc_id",
+        md5(when($"doc_id" % 130L === 5L, concat($"text", lit(":prev")))
+          .otherwise($"text").cast("binary")).as("prev_digest"))
+      val curDig = curLd.select($"doc_id",
+        md5($"text".cast("binary")).as("cur_digest"))
+      val diffLd = Corpus.snapshotDiffOf(prevDig, curDig)
+        .localCheckpoint(true)
+      diffLd.groupBy($"status").count().orderBy($"status").collect()
+        .foreach(r => println(s"  low-dirty diff ${r.get(0)}: ${r.get(1)}"))
+      var idxLd: (DataFrame, DataFrame, DataFrame, DataFrame) = null
+      time("q104 low-dirty stored-index build (not charged)") {
+        idxLd = Dedup.indexState(prevLd)
+      }
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(
+          Dedup.canonicalKeepCorpusFrom(curLd,
+            Dedup.clusterLabels(
+              Dedup.lshNearDupPairsFrom(Dedup.shingleFpsFrom(curLd)
+                .localCheckpoint(false)).select($"doc_a", $"doc_b"))
+              .select($"doc_id", $"lbl".as("cluster_id"))).count())
+        val (ti, ni) = secs(
+          Dedup.canonicalKeepCorpusFrom(curLd,
+            Dedup.clusterLabels(
+              Dedup.maintainedVerifiedPairs(idxLd._1, idxLd._2, idxLd._3,
+                idxLd._4, curLd, diffLd))
+              .select($"doc_id", $"lbl".as("cluster_id"))).count())
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental canonical keep diverged: $incrN vs full $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q104 low-dirty ${reps}x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(rows $fullN)")
+      spark.stop()
+      return
+    }
+
     val shf = Dedup.shingleFpsFrom(docs).cache()
     time("shingle fps")(shf.count())
     val lshPairs = Dedup.lshNearDupPairsFrom(shf).cache()

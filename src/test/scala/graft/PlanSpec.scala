@@ -411,4 +411,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"keeper selection must be a struct-max aggregate, not a window:\n${p.take(3000)}")
   }
+
+  test("q105 centroid drift: both assignment passes are broadcast-" +
+       "codebook scans joined on vec_id — no cartesian, no corpus-" +
+       "wide window") {
+    val p = plan("q105_centroid_drift")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"the codebook must broadcast into the assignment scans:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"argmin must be the min-struct aggregate, not a window rank:\n${p.take(3000)}")
+  }
+
+  test("q107 incremental containment: carried verdicts ride a " +
+       "broadcast semi-join, the carry is broadcast anti — the stored " +
+       "tables are never reshuffled") {
+    val p = plan("q107_incremental_containment")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"carried candidates must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"),
+      s"the stored verdict table must semi-join the carried set:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
 }

@@ -345,6 +345,57 @@ class StreamingHeavyHitterSpec extends AnyFunSuite {
   }
 }
 
+class StreamingSemanticDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.operators.VectorOps
+  import graft.streaming.StreamingCorpus
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  private def stageBatches(batches: Seq[Seq[(Long, Seq[Float], Int)]]): String = {
+    val inDir = TestTmp.dir("graft-sd-in-")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val stage = TestTmp.dir("graft-sd-stage-").toString + "/p"
+      embDf(rows).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(f"b$i%02d.parquet"))
+      ()
+    }
+    inDir.toString
+  }
+
+  test("q106 streaming semantic dedup == batch q93 on the fixture corpus") {
+    val streamed = StreamingCorpus.semanticDedupViaStreaming(spark, sf)
+      .collect()
+    val batch = VectorOps.semanticKeepCorpus(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("a cross-batch paraphrase dup is caught and verification kills " +
+       "same-cell non-dups") {
+    // four axis-aligned cells; vec 30 (batch 3) is a near-copy of
+    // vec 5 (batch 1) — the pair must be discovered across two batch
+    // boundaries from the accumulated cell state. vec 9 shares a
+    // probed cell with 5 but points the other way: the candidate is
+    // generated and must die at cosine verification.
+    val codebook = Array(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0),
+      2L -> Seq(-1.0, 0.0), 3L -> Seq(0.0, -1.0))
+    val rows = Seq(
+      Seq((5L, Seq(1.0f, 0.1f), 1)),   // batch 1
+      Seq((9L, Seq(-1.0f, 0.1f), 2)),  // batch 2: same 2nd-probe cell
+      Seq((30L, Seq(0.99f, 0.15f), 3))) // batch 3: paraphrase of 5
+    val kept = StreamingCorpus.semanticDedupStream(spark,
+        stageBatches(rows), codebook, maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSeq
+    // cluster {5, 30} keeps its min; 9 survives (cos(5,9) < threshold)
+    assert(kept === Seq(5L, 9L))
+  }
+}
+
 class PartitionedUpsertSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._

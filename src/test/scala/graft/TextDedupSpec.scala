@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, TextOps, VectorOps}
+import graft.operators.{Corpus, Dedup, Multimodal, TextOps, VectorOps}
 
 class TextDedupSpec extends AnyFunSuite {
   import TestSpark._
@@ -704,8 +704,14 @@ class TextDedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(clusters.exists(c => c._1 != c._2),
       "fixture has no near-dup clusters — test is vacuous")
+    // null-tolerant read with the operator's own -1.0 fallback: a
+    // zero-token doc has NULL quality, and getDouble would NPE even
+    // though the map is only consulted for cluster members (ADVICE r9)
     val quality = TextOps.qualityScore(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("quality"))).toMap
+      .map { r =>
+        val qi = r.fieldIndex("quality")
+        r.getLong(0) -> (if (r.isNullAt(qi)) -1.0 else r.getDouble(qi))
+      }.toMap
     val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1))
     // ground-truth keeper per cluster: max quality, then min doc_id
     val keepers = members.values.map(ms =>
@@ -726,6 +732,84 @@ class TextDedupSpec extends AnyFunSuite {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
     val full = VectorOps.fullSemanticKeepSample(spark, sf).collect()
     assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q105 drift stats: one verdict row, churn arithmetic consistent") {
+    val rows = VectorOps.centroidDriftStats(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val n = r.getLong(r.fieldIndex("n_vecs"))
+    val moved = r.getLong(r.fieldIndex("n_moved"))
+    assert(n > 0 && moved >= 0 && moved <= n)
+    val churn = r.getDouble(r.fieldIndex("churn_share"))
+    assert(math.abs(churn - moved.toDouble / n) < 1e-5)
+    assert(Set("refit", "carry")
+      .contains(r.getString(r.fieldIndex("verdict"))))
+  }
+
+  test("q105 verdict: an undrifted codebook carries, a displaced one " +
+       "trips refit") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val cur = VectorOps.vecsFrom(Tables.embeddings(spark, sf))
+      .localCheckpoint()
+    val fresh = VectorOps.fittedCentroids(cur).localCheckpoint()
+    // stored == fresh: zero churn, zero quantization drift → carry
+    val same = VectorOps.centroidDriftStatsOf(cur, fresh, fresh)
+      .collect().head
+    assert(same.getLong(same.fieldIndex("n_moved")) === 0L)
+    assert(same.getDouble(same.fieldIndex("dist2_drift")) === 0.0)
+    assert(same.getString(same.fieldIndex("verdict")) === "carry")
+    // stored codebook displaced far from the data: its quantization
+    // error explodes vs the fresh fit → refit
+    val wrecked = fresh.select($"centroid_id",
+      transform($"cv", c => c + lit(100.0)).as("cv"))
+    val bad = VectorOps.centroidDriftStatsOf(cur, wrecked, fresh)
+      .collect().head
+    assert(bad.getDouble(bad.fieldIndex("dist2_drift"))
+      > VectorOps.Dist2RefitDrift)
+    assert(bad.getString(bad.fieldIndex("verdict")) === "refit")
+  }
+
+  test("q107 incremental containment == full q90 over the new snapshot") {
+    val incremental = Dedup.incrementalContainment(spark, sf).collect()
+    val full = Dedup.containmentOverLshFrom(
+      Dedup.shingleFpsFrom(
+        Corpus.snapshotCur(Tables.documents(spark, sf)))
+        .localCheckpoint(false)).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q107 carries stored containment VALUES verbatim for clean " +
+       "pairs and verifies only affected-bucket pairs") {
+    import spark.implicits._
+    val original = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup1 = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val nearDup2 = (1 to 40).map(i => s"w$i").mkString(" ") + " more"
+    val prevDocs = Seq(5L -> original, 7L -> nearDup1).toDF("doc_id", "text")
+    val (fps, bands, cand, _) = Dedup.indexState(prevDocs)
+    assert(cand.count() > 0, "prev index must have the (5,7) candidate")
+    // poison the stored verdict with sentinel values no verification
+    // would produce: the clean pair must keep them (proof of carry,
+    // not recomputation — the q91 sentinel discipline)
+    val prevContain = Seq((5L, 7L, 0.123456, 0.654321))
+      .toDF("doc_a", "doc_b", "containment_a", "containment_b")
+    val curDocs = Seq(5L -> original, 7L -> nearDup1, 30L -> nearDup2)
+      .toDF("doc_id", "text")
+    val diff = Seq((5L, "unchanged"), (7L, "unchanged"), (30L, "added"))
+      .toDF("doc_id", "status")
+    val out = Dedup.incrementalContainmentOf(fps, bands, cand, prevContain,
+        curDocs, diff)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out((5L, 7L)) === ((0.123456, 0.654321)),
+      "clean pair's stored values must carry verbatim")
+    // the added near-dup's pairs are fresh: real containment, high
+    // because 30 contains all 40 of 5's shingle words
+    assert(out.contains((5L, 30L)) && out.contains((7L, 30L)),
+      "affected-bucket pairs with the delta doc must be verified fresh")
+    assert(out((5L, 30L))._1 > 0.9)
   }
 
   test("q95 maintenance mechanics: removed endpoint kills its pair, " +
