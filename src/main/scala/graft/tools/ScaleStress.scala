@@ -163,8 +163,19 @@ object ScaleStress {
     // q95's incremental/full ratio under the q89lowdirty protocol
     // (interleaved A/B, per-side min, spread printed). The stored
     // index (sample codebook, N-probe assignment, verified pairs) is
-    // built once and not charged — production loads it. Arg: "q93deep".
-    if (args.contains("q93deep")) {
+    // built once and not charged — production loads it.
+    //
+    // Two regimes, because the affected-cell premise is
+    // |dirty| × probes ≪ cells = N/100:
+    //   "q93deep"     — the default snapshot mods (~18% dirty): every
+    //                   cell is affected, so maintenance ≈ rebuild +
+    //                   overhead. This IS the documented
+    //                   rebuild-trigger regime — the measured ratio is
+    //                   the price of ignoring q105's refit verdict.
+    //   "q93lowdirty" — ~0.25% dirty: the nightly-crawl regime the
+    //                   operator exists for.
+    if (args.contains("q93deep") || args.contains("q93lowdirty")) {
+      val lowDirty = args.contains("q93lowdirty")
       graft.functions.VectorExpressions.register(spark)
       val emb10 = graft.Tables.embeddings(spark, dir)
         .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
@@ -173,17 +184,31 @@ object ScaleStress {
         .localCheckpoint(true)
       val corpus = VectorOps.vecsFrom(emb10).localCheckpoint(true)
       println(s"embeddings rows (deep): ${corpus.count()}")
+      // snapshot mods: the shared Corpus defaults (~18% dirty), or the
+      // ~0.25% low-dirty triple in q93lowdirty mode
+      val (addMod, addRes) = if (lowDirty) (1200L, 3L)
+        else (Corpus.SnapAddedMod.toLong, Corpus.SnapAddedRes.toLong)
+      val (remMod, remRes) = if (lowDirty) (1240L, 7L)
+        else (Corpus.SnapRemovedMod.toLong, Corpus.SnapRemovedRes.toLong)
+      val (chgMod, chgRes) = if (lowDirty) (1160L, 5L)
+        else (Corpus.SnapChangedMod.toLong, Corpus.SnapChangedRes.toLong)
+      val prevV = corpus.filter($"vec_id" % addMod =!= addRes)
+      val curV = corpus.filter($"vec_id" % remMod =!= remRes)
+        .localCheckpoint(true)
       var cb: Array[(Long, Seq[Double])] = null
       time("q93deep sample codebook fit (offline, not charged)") {
         cb = VectorOps.fittedCentroids(
-          VectorOps.vecSnapshotSample(corpus).localCheckpoint(false))
+          corpus.filter($"vec_id" % addMod =!= addRes
+              && $"vec_id" % remMod =!= remRes
+              && $"vec_id" % chgMod =!= chgRes)
+            .localCheckpoint(false))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
         println(s"  cells: ${cb.length}")
       }
       var prevAssignN: DataFrame = null
       var prevPairs: DataFrame = null
       time("q93deep stored index build (prev nightly run, not charged)") {
-        val prev = VectorOps.vecSnapshotPrev(corpus).localCheckpoint(false)
+        val prev = prevV.localCheckpoint(false)
         prevAssignN = VectorOps.assignCellsProbes(prev, cb,
             VectorOps.NearDupProbes)
           .select($"vec_id", $"cell_id").localCheckpoint(true)
@@ -191,11 +216,19 @@ object ScaleStress {
             VectorOps.NearDupProbes)
           .select($"vec_a", $"vec_b").localCheckpoint(true)
       }
-      val diff = VectorOps.vecSnapshotDiff(corpus).localCheckpoint(true)
+      val contentStr = concat_ws(",",
+        expr("transform(v, x -> CAST(x AS STRING))"))
+      val prevDig = prevV.select($"vec_id".as("doc_id"),
+        md5(when($"vec_id" % chgMod === chgRes,
+              concat(contentStr, lit(":prev")))
+            .otherwise(contentStr).cast("binary")).as("prev_digest"))
+      val curDig = curV.select($"vec_id".as("doc_id"),
+        md5(contentStr.cast("binary")).as("cur_digest"))
+      val diff = Corpus.snapshotDiffOf(prevDig, curDig)
+        .select($"doc_id".as("vec_id"), $"status").localCheckpoint(true)
       diff.groupBy($"status").count().orderBy($"status").collect()
         .foreach(r => println(s"  diff ${r.get(0)}: ${r.get(1)}"))
-      val curEmb = emb10.filter(
-        $"vec_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+      val curEmb = emb10.filter($"vec_id" % remMod =!= remRes)
         .localCheckpoint(true)
       def secs(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime(); val n = f
@@ -204,10 +237,9 @@ object ScaleStress {
       val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
       val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var fullN = -1L; var incrN = -1L
-      val curVecs = VectorOps.vecSnapshotCur(corpus)
       for (p <- 1 to 3) {
         val (tf, nf) = secs(VectorOps.semanticKeepCorpusFrom(curEmb,
-          VectorOps.ivfNearDupPairsProbes(curVecs, cb,
+          VectorOps.ivfNearDupPairsProbes(curV, cb,
             VectorOps.NearDupProbes)).count())
         val (ti, ni) = secs(VectorOps.incrementalSemanticKeepOf(
           prevAssignN, prevPairs, curEmb, diff, cb).count())
@@ -217,7 +249,8 @@ object ScaleStress {
       require(fullN == incrN,
         s"incremental semantic keep diverged: $incrN vs full $fullN")
       val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
-      println(f"q93/q95 deep ${reps}x: full min ${fulls.min}%.2f s, " +
+      val label = if (lowDirty) "lowdirty" else "deep"
+      println(f"q93/q95 $label ${reps}x: full min ${fulls.min}%.2f s, " +
         f"incremental min ${incrs.min}%.2f s, ratio " +
         f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
         f"(rows $fullN)")
