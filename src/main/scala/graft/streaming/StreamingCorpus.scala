@@ -582,7 +582,7 @@ object StreamingCorpus {
     * same-cell candidates with the exact cosine kernel, then append
     * this batch's state. Append-only + read-side dedup keeps a
     * replayed batch a no-op downstream (the q71 discipline). */
-  private def processSemanticBatch(batch: DataFrame, root: String,
+  private[graft] def processSemanticBatch(batch: DataFrame, root: String,
       codebook: Array[(Long, Seq[Double])]): Unit = {
     import graft.operators.VectorOps
     val spark = batch.sparkSession
@@ -623,8 +623,8 @@ object StreamingCorpus {
 
   /** Resolution — drain-time tail: dedup the pair log and hand it to
     * the SHARED batch components-and-keep operator. */
-  private def resolveSemanticKeep(spark: SparkSession,
-                                  root: String): DataFrame = {
+  private[graft] def resolveSemanticKeep(spark: SparkSession,
+                                         root: String): DataFrame = {
     import graft.operators.VectorOps
     val pairs = readLog(spark, s"$root/pairs", vecPairSchema).distinct()
     val meta = spark.read.parquet(s"$root/meta").dropDuplicates("vec_id")

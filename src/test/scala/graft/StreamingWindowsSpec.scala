@@ -394,6 +394,24 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     // cluster {5, 30} keeps its min; 9 survives (cos(5,9) < threshold)
     assert(kept === Seq(5L, 9L))
   }
+
+  test("a replayed micro-batch is a no-op: foreachBatch is " +
+       "at-least-once, append-only logs + read-side dedup absorb it") {
+    val codebook = Array(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val root = TestTmp.dir("graft-sd-replay-").toString
+    val b1 = embDf(Seq((5L, Seq(1.0f, 0.1f), 1)))
+    val b2 = embDf(Seq((30L, Seq(0.99f, 0.15f), 2)))
+    StreamingCorpus.processSemanticBatch(b1, root, codebook)
+    StreamingCorpus.processSemanticBatch(b2, root, codebook)
+    val once = StreamingCorpus.resolveSemanticKeep(spark, root)
+      .collect().toSeq
+    // replay batch 2 wholesale (the at-least-once failure mode)
+    StreamingCorpus.processSemanticBatch(b2, root, codebook)
+    val replayed = StreamingCorpus.resolveSemanticKeep(spark, root)
+      .collect().toSeq
+    assert(once.map(_.getLong(0)) === Seq(5L))
+    assert(replayed === once, "replay changed the resolved corpus")
+  }
 }
 
 class PartitionedUpsertSpec extends AnyFunSuite {
