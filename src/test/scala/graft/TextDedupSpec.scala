@@ -771,6 +771,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad.getString(bad.fieldIndex("verdict")) === "refit")
   }
 
+  test("q107 bucket recovery: deletions that pull an oversized bucket " +
+       "under the cap regenerate its never-recorded containment pairs") {
+    import spark.implicits._
+    // the q89 recovery scenario through the containment tail: 66
+    // byte-identical docs keep every band bucket above the cap (no
+    // stored candidates, no stored verdicts); removing 3 brings the
+    // buckets under — the maintained table must contain the clone
+    // pairs (containment 1.0 both ways) a pure carry could never see
+    val clone = "alpha beta gamma delta epsilon zeta eta theta"
+    val prevDocs = (1L to 66L).map(_ -> clone).toDF("doc_id", "text")
+    val curDocs = (4L to 66L).map(_ -> clone).toDF("doc_id", "text")
+    val diff = ((1L to 3L).map(_ -> "removed") ++
+      (4L to 66L).map(_ -> "unchanged")).toDF("doc_id", "status")
+    val (fps, bands, cand, _) = Dedup.indexState(prevDocs)
+    val prevContain = Seq.empty[(Long, Long, Double, Double)]
+      .toDF("doc_a", "doc_b", "containment_a", "containment_b")
+    val out = Dedup.incrementalContainmentOf(fps, bands, cand,
+      prevContain, curDocs, diff).collect()
+    assert(out.length === 63 * 62 / 2,
+      s"recovered bucket must yield all clone pairs, got ${out.length}")
+    assert(out.forall(r => r.getDouble(2) === 1.0 && r.getDouble(3) === 1.0))
+  }
+
+  test("q105 degenerate corpus: zero quantization error on both sides " +
+       "yields a NULL drift that falls to carry in both engines") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // every vector identical → dist2 is 0 under any fitted codebook →
+    // ms = mf = 0 → drift = (0-0)/NULLIF(0,0) = NULL; the verdict CASE
+    // must treat NULL as not-refit (Spark three-valued `when` and
+    // DuckDB CASE agree) — pinned so a future threshold rewrite can't
+    // flip the degenerate case
+    val cur = VectorOps.vecsFrom(
+      (0L to 120L).map(i => (i, Seq(1.0f, 0.0f)))
+        .toDF("vec_id", "embedding")).localCheckpoint()
+    val cb = VectorOps.fittedCentroids(cur).localCheckpoint()
+    val r = VectorOps.centroidDriftStatsOf(cur, cb, cb).collect().head
+    assert(r.isNullAt(r.fieldIndex("dist2_drift")))
+    assert(r.getString(r.fieldIndex("verdict")) === "carry")
+  }
+
   test("q107 incremental containment == full q90 over the new snapshot") {
     val incremental = Dedup.incrementalContainment(spark, sf).collect()
     val full = Dedup.containmentOverLshFrom(
