@@ -127,6 +127,8 @@ object SparkEntry {
     "q105_centroid_drift"   -> (VectorOps.centroidDriftStats(_, _)),
     "q106_streaming_semdedup" -> (graft.streaming.StreamingCorpus.semanticDedupViaStreaming(_, _)),
     "q107_incremental_containment" -> (Dedup.incrementalContainment(_, _)),
+    "q108_bigram_logprob"   -> (Corpus.bigramLogProb(_, _)),
+    "q109_incremental_bigram" -> (Corpus.incrementalBigramLogProb(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -304,6 +306,11 @@ object SparkEntry {
     "q106_streaming_semdedup" -> VectorOps.semanticKeepCorpusSql,
     // q107's oracle is the FULL q90 recompute over the new snapshot.
     "q107_incremental_containment" -> Dedup.incrementalContainmentSql,
+    // q108: self-scoring means every bigram is in the model, so the
+    // oracle's inner join equals the Spark plan's left-join+backoff.
+    "q108_bigram_logprob"   -> Corpus.bigramLogProbSql,
+    // q109's oracle is the FULL q108 recompute over the new snapshot.
+    "q109_incremental_bigram" -> Corpus.incrementalBigramLogProbSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -741,6 +741,226 @@ object Corpus {
   val unigramLogProbSql: String = unigramLogProbSqlFrom("documents")
 
   // ---------------------------------------------------------------
+  // q108 — bigram log-probability scoring: q74's pipeline shape with
+  // a CONTEXT-SENSITIVE model (the first step from unigram toward the
+  // KenLM n-gram scoring CCNet/RedPajama actually run). Score = mean
+  // over a doc's adjacent-token bigrams of ln P(w2 | w1), where
+  // P(w2|w1) = B(w1,w2) / C(w1) from corpus bigram counts; a bigram
+  // the model never saw (possible only when scoring against a model
+  // fitted elsewhere — held-out scoring) backs off to
+  // α · M(w2) / T over the model's continuation marginal
+  // (M(w2) = Σ_w1 B(w1,w2) — the Kneser-Ney-style continuation count,
+  // derived from the bigram table itself so the model is ONE artifact).
+  // Self-scoring never backs off (every scored bigram is in the
+  // model), which is what lets the oracle use a plain inner join.
+  //
+  // 100 TB shape: the bigram build is ROW-LOCAL (adjacent pairs from
+  // the token array — no window, no position self-join, zero extra
+  // shuffle over q74); the per-(doc,bigram) tf partial-aggregates
+  // map-side; model tables are observed-bigram-sized (≤ corpus token
+  // count, typically ≪) and join by (w1, w2) / w1 keys — never
+  // broadcast-assumed (the q65/q74 discipline). Parity: per-bigram
+  // logprob rounded 6dp, summed as DECIMAL, divided per doc — the
+  // exact q74 arithmetic.
+  // ---------------------------------------------------------------
+
+  /** Gate: mean bigram logprob ≥ −7 nats. Bigram scores sit below
+    * unigram ones on any corpus (conditioning shrinks counts faster
+    * than contexts), hence the wider bound than q74's. */
+  val MinAvgBigramLogProb = -7.0
+
+  /** Continuation-backoff weight (stupid backoff's 0.4). */
+  val BigramBackoffAlpha = 0.4
+
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    bigramLogProbFrom(Tables.documents(spark, dir))
+
+  /** The per-(doc, w1, w2) bigram frequency table — row-local pair
+    * construction (q73's adjacency expression) + partial-aggregated
+    * counts; q109's incremental path maintains it as stored state. */
+  private[graft] def bigramTfFrom(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", TextOps.tokens($"text").as("toks"))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS w1,
+                         element_at(toks, i + 1) AS w2))
+           END""")).as("bg"))
+      .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("tf"))
+
+  /** The bigram model (w1, w2, bcnt) as an aggregate of the bigram tf
+    * table — counts merge by addition (q92's delta property). */
+  private[graft] def bigramModelFromTf(bgTf: DataFrame): DataFrame =
+    bgTf.groupBy($"w1", $"w2").agg(sum($"tf").as("bcnt"))
+
+  /** q108's scoring tail over an explicit (docBg, model) pair: the
+    * context totals and the continuation marginal both derive from
+    * the model table, so maintenance has ONE table to keep fresh.
+    * Shared by the full recompute and the q109 rescore. */
+  private[graft] def scoreBigrams(docBg: DataFrame,
+                                  model: DataFrame): DataFrame = {
+    val ctx = model.groupBy($"w1").agg(sum($"bcnt").as("ccnt"))
+    val cont = model.groupBy($"w2").agg(sum($"bcnt").as("mcnt"))
+    val total = model.agg(sum($"bcnt").as("total"))
+    val scored = docBg
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("lp",
+        // the backoff floors the continuation count at 1: a token the
+        // model never saw anywhere would otherwise yield ln(0) → NULL
+        // and silently vanish from the decimal sum (held-out scoring
+        // only — self-scoring always takes the bcnt branch)
+        round(when($"bcnt".isNotNull,
+            log($"bcnt".cast(DoubleType) / $"ccnt"))
+          .otherwise(log(lit(BigramBackoffAlpha)
+            * greatest(coalesce($"mcnt", lit(0L)), lit(1L))
+              .cast(DoubleType) / $"total")), 6)
+          .cast(DecimalType(18, 6)))
+    scored.groupBy($"doc_id")
+      .agg(sum($"tf").cast(LongType).as("n_bigrams"),
+        round(sum($"tf" * $"lp").cast(DoubleType) / sum($"tf"), 6)
+          .as("avg_bigram_logprob"))
+      .withColumn("keep", $"avg_bigram_logprob" >= MinAvgBigramLogProb)
+      .orderBy($"doc_id")
+  }
+
+  def bigramLogProbFrom(docs: DataFrame): DataFrame = {
+    // one bigram pass feeds both the doc side and the model aggregate
+    val bgTf = bigramTfFrom(docs).localCheckpoint(false)
+    scoreBigrams(bgTf, bigramModelFromTf(bgTf))
+  }
+
+  /** q108 oracle: self-scoring means every scored bigram is in the
+    * model, so the join is inner and the backoff branch (mirrored in
+    * the Spark plan as the left-join fallback) contributes no rows —
+    * identical output, plain SQL. */
+  private[graft] def bigramLogProbSqlFrom(src: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${TextOps.tokensSql} AS toks FROM $src),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(toks) - 1),
+       |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+       |  FROM tok),
+       |bgf AS (
+       |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS tf
+       |  FROM bg GROUP BY 1, 2, 3),
+       |model AS (
+       |  SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS bcnt
+       |  FROM bgf GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS ccnt
+       |        FROM model GROUP BY 1),
+       |scored AS (
+       |  SELECT f.doc_id, f.tf,
+       |    CAST(ROUND(ln(CAST(m.bcnt AS DOUBLE) / c.ccnt), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM bgf f
+       |  JOIN model m ON m.w1 = f.w1 AND m.w2 = f.w2
+       |  JOIN ctx c ON c.w1 = f.w1)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6)
+       |    AS avg_bigram_logprob,
+       |  ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6)
+       |    >= $MinAvgBigramLogProb AS keep
+       |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  val bigramLogProbSql: String = bigramLogProbSqlFrom("documents")
+
+  // ---------------------------------------------------------------
+  // q109 — incremental bigram maintenance: q92's stored-state
+  // discipline applied to the context-sensitive model. The stored
+  // (doc, w1, w2, tf) table maintains like stored scores (dirty rows
+  // leave under a broadcast anti-join, only added/changed docs
+  // re-tokenize); the bigram model maintains by signed count merge
+  // keyed on (w1, w2) — dead bigrams leave, new ones enter — and the
+  // context totals / continuation marginal DERIVE from the maintained
+  // model, so there is exactly one table to keep fresh. The rescore
+  // is q108's scoring join over the compact stored table: corpus text
+  // is touched only on the dirty slice, the same asymmetry argument
+  // as q92 (the win is the corpus TEXT pass, which dwarfs the thin
+  // keyed joins at real document sizes).
+  //
+  // Oracle = the FULL q108 recompute over the new snapshot: carry ∪
+  // delta ∪ merged-model rescore must land byte-identically on
+  // rescore-everything-from-text.
+  // ---------------------------------------------------------------
+
+  /** Stored prev-snapshot (bigram tf, bigram model) + diff, memoized
+    * per corpus dir (the tfState discipline). */
+  private val bigramState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame, DataFrame))]
+
+  private def bgState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    bigramState.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val bgTf = bigramTfFrom(snapshotPrev(docs)).localCheckpoint(true)
+        val st = (bgTf,
+          bigramModelFromTf(bgTf).localCheckpoint(true),
+          snapshotDiffDerived(docs).localCheckpoint(true))
+        bigramState.put(dir, (fp, st))
+        st
+    }
+  }
+
+  def incrementalBigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val (prevBgTf, prevModel, diff) = bgState(spark, dir)
+    incrementalBigramLogProbOf(prevBgTf, prevModel,
+      snapshotCur(Tables.documents(spark, dir)), diff)
+  }
+
+  /** The general operator: `prevBgTf` / `prevModel` = the stored
+    * bigram frequencies and model of the previous snapshot. The
+    * lost-side delta reads the STORED rows of dirty docs — the
+    * maintenance never touches the previous snapshot's text. */
+  def incrementalBigramLogProbOf(prevBgTf: DataFrame, prevModel: DataFrame,
+                                 curDocs: DataFrame,
+                                 diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // the ONLY text processing in the maintenance pass (the q92
+    // freshTf discipline: one barrier, several consumers)
+    val freshBg = bigramTfFrom(
+        curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false)
+    val newBg = prevBgTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(freshBg)
+    val newModel = maintainedBigramModel(prevModel,
+      lost = prevBgTf.join(broadcast(dirty), Seq("doc_id")),
+      gained = freshBg)
+      .localCheckpoint(false) // scoreBigrams derives ctx, cont, total
+                              // and joins it — four readers
+    scoreBigrams(newBg, newModel)
+  }
+
+  /** model' = model + Σ gained − Σ lost on the (w1, w2) key, dropping
+    * bigrams whose count reaches zero (maintainedVocab's rule on the
+    * pair key). */
+  private[graft] def maintainedBigramModel(prevModel: DataFrame,
+                                           lost: DataFrame,
+                                           gained: DataFrame): DataFrame =
+    prevModel
+      .join(gained.groupBy($"w1", $"w2").agg(sum($"tf").as("d_plus")),
+        Seq("w1", "w2"), "full_outer")
+      .join(lost.groupBy($"w1", $"w2").agg(sum($"tf").as("d_minus")),
+        Seq("w1", "w2"), "full_outer")
+      .select($"w1", $"w2",
+        (coalesce($"bcnt", lit(0L)) + coalesce($"d_plus", lit(0L))
+          - coalesce($"d_minus", lit(0L))).as("bcnt"))
+      .filter($"bcnt" > 0)
+
+  /** q109's oracle: the FULL q108 recompute over the new snapshot. */
+  lazy val incrementalBigramLogProbSql: String = bigramLogProbSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
   // q75 — mixture sampling: per-source sampling rates (the data-mixing
   // step that sets a training corpus's source composition — curated
   // sources kept whole, bulk web downsampled). Deterministic hash

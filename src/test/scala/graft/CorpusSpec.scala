@@ -777,6 +777,76 @@ class CorpusSpec extends AnyFunSuite {
     assert(drift.getDouble(1) > 0.0 && drift.getDouble(1) <= 1.0)
   }
 
+  test("q108 bigram logprob: hand arithmetic on a three-bigram corpus") {
+    // docs: "a b c" and "a b b" → model B(a,b)=2, B(b,c)=1, B(b,b)=1;
+    // contexts C(a)=2, C(b)=2 → lp(a,b)=ln(1)=0, lp(b,c)=lp(b,b)=ln(.5)
+    val out = Corpus.bigramLogProbFrom(
+        docsFrame(1L -> "a b c", 2L -> "a b b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val half = BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // -0.693147
+    val expected = BigDecimal(half / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 2L && out(2L)._1 === 2L)
+    assert(out(1L)._2 === expected && out(2L)._2 === expected)
+  }
+
+  test("q108 held-out scoring backs off to the continuation marginal, " +
+       "floored for never-seen tokens") {
+    // model from "a b c": M(b)=1, M(c)=1, T=2. Held-out bigrams:
+    // (c,b) — unseen pair, seen continuation b → ln(α·1/2);
+    // (a,z) — z never seen anywhere → floor M at 1 → same value
+    val model = Corpus.bigramModelFromTf(
+      Corpus.bigramTfFrom(docsFrame(1L -> "a b c")))
+    val out = Corpus.scoreBigrams(
+        Corpus.bigramTfFrom(docsFrame(7L -> "c b", 8L -> "a z")), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val backoff = BigDecimal(
+        math.log(Corpus.BigramBackoffAlpha * 1.0 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(7L) === backoff)
+    assert(out(8L) === backoff, "never-seen continuation must not NULL out")
+  }
+
+  test("q109 incremental bigram == full recompute over the new snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Corpus.incrementalBigramLogProb(spark, sf).collect()
+    val full = Corpus.bigramLogProbFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q109 reads unchanged docs from the STORED bigram table — " +
+       "never re-tokenizes them") {
+    val prevDocs = docsFrame(1L -> "a b", 2L -> "b c")
+    val prevBg = Corpus.bigramTfFrom(prevDocs)
+      .withColumn("tf", when($"doc_id" === 1L, 5L).otherwise($"tf"))
+    val prevModel = Corpus.bigramModelFromTf(prevBg)
+    val diff = Seq((1L, "unchanged"), (2L, "changed"), (4L, "added"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "a b", 2L -> "c c d", 4L -> "e f")
+    val out = Corpus.incrementalBigramLogProbOf(prevBg, prevModel,
+        curDocs, diff)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 5L, "unchanged doc was re-tokenized (poison lost)")
+    assert(out(2L) === 2L && out(4L) === 1L)
+  }
+
+  test("q109 model deltas: counts move, dead bigrams leave, new ones " +
+       "enter") {
+    val prevModel = Seq(("a", "b", 3L), ("b", "c", 2L), ("x", "y", 1L))
+      .toDF("w1", "w2", "bcnt")
+    val lost = Seq((9L, "x", "y", 1L), (3L, "b", "c", 1L))
+      .toDF("doc_id", "w1", "w2", "tf")
+    val gained = Seq((3L, "a", "b", 2L), (4L, "p", "q", 1L))
+      .toDF("doc_id", "w1", "w2", "tf")
+    val m = Corpus.maintainedBigramModel(prevModel, lost, gained)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m === Map(("a", "b") -> 5L, ("b", "c") -> 1L, ("p", "q") -> 1L))
+  }
+
   test("q94 incremental heavy hitters == full recompute over the new " +
        "snapshot") {
     val curDocs = Tables.documents(spark, sf)
