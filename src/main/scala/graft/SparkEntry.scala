@@ -129,6 +129,8 @@ object SparkEntry {
     "q107_incremental_containment" -> (Dedup.incrementalContainment(_, _)),
     "q108_bigram_logprob"   -> (Corpus.bigramLogProb(_, _)),
     "q109_incremental_bigram" -> (Corpus.incrementalBigramLogProb(_, _)),
+    "q110_gated_ivf"        -> (VectorOps.gatedIvfMaintenance(_, _)),
+    "q111_incremental_xsource" -> (Dedup.incrementalCrossSourceDups(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -311,6 +313,12 @@ object SparkEntry {
     "q108_bigram_logprob"   -> Corpus.bigramLogProbSql,
     // q109's oracle is the FULL q108 recompute over the new snapshot.
     "q109_incremental_bigram" -> Corpus.incrementalBigramLogProbSql,
+    // q110's oracle recomputes the q105 verdict in SQL and gates each
+    // branch's SELECT on it — the refit-vs-carry DECISION is inside
+    // the hash gate, not just the two branches.
+    "q110_gated_ivf"        -> VectorOps.gatedIvfMaintenanceSql,
+    // q111's oracle is the FULL q99 chain over the new snapshot.
+    "q111_incremental_xsource" -> Dedup.incrementalCrossSourceDupsSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

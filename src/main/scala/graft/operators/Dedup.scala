@@ -1611,15 +1611,40 @@ object Dedup {
 
   /** q99 oracle: the q47 statement verbatim as a derived table, its
     * endpoints joined back to documents for sources. */
-  lazy val crossSourceDupsSql: String =
-    s"""WITH pr AS (SELECT doc_a, doc_b FROM ($lshNearDupPairsSql) q)
+  lazy val crossSourceDupsSql: String = crossSourceDupsSqlFrom("documents")
+
+  /** The q99 statement over an arbitrary documents-shaped source —
+    * q111's full-recompute oracle runs it over the current snapshot. */
+  def crossSourceDupsSqlFrom(src: String): String =
+    s"""WITH pr AS (SELECT doc_a, doc_b FROM (${lshNearDupPairsSqlFrom(src)}) q)
        |SELECT LEAST(da.source, db.source) AS source_a,
        |  GREATEST(da.source, db.source) AS source_b,
        |  COUNT(*) AS n_pairs
        |FROM pr
-       |JOIN documents da ON da.doc_id = pr.doc_a
-       |JOIN documents db ON db.doc_id = pr.doc_b
+       |JOIN $src da ON da.doc_id = pr.doc_a
+       |JOIN $src db ON db.doc_id = pr.doc_b
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q111 — incremental cross-source matrix: q99's rollup over the
+    * MAINTAINED pair table instead of a fresh q47 run — the nightly
+    * onboarding artifact refreshes from stored state at dirty-slice
+    * cost (the q89 receipts), then pays only the broadcast-pair
+    * source lookups. Oracle = the FULL q99 chain over the new
+    * snapshot. */
+  def incrementalCrossSourceDups(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
+      storedIndexFor(spark, dir, docs)
+    val cur = Corpus.snapshotCur(docs)
+    crossSourceDupsFrom(cur,
+      maintainedVerifiedPairs(prevFps, prevBands, prevCand, prevVerified,
+        cur, diff))
+  }
+
+  lazy val incrementalCrossSourceDupsSql: String = crossSourceDupsSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
 
   // ---------------------------------------------------------------
   // q103 — quality-canonical dedup: q70 keeps each near-dup cluster's

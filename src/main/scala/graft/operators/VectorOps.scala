@@ -913,6 +913,98 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------
+  // q110 — DRIFT-GATED IVF maintenance: q105's verdict ACTING. The
+  // nightly decision loop as one operator: compute the drift verdict,
+  // then either CARRY (q91's incremental maintenance against the
+  // stored codebook) or REFIT (full reassignment against the fresh
+  // fit — the rebuild every carry-family scaladoc names as its
+  // trigger). The chosen path rides along as a `maintenance_path`
+  // column so downstream jobs (and the oracle) see WHICH branch ran.
+  //
+  // The verdict is one aggregate row; collecting it driver-side to
+  // pick the branch is the q62-checksum discipline (a scalar control
+  // decision, not data movement). The oracle recomputes the identical
+  // verdict in SQL and gates each branch's SELECT on it — the
+  // DECISION is inside the hash gate, not just the branches.
+  //
+  // 100 TB shape: the gate costs two broadcast-codebook scans (q105);
+  // the carry branch is q91's dirty-slice cost; the refit branch is
+  // the q50 full pass it genuinely requires. Nothing new shuffles.
+  // ---------------------------------------------------------------
+
+  def gatedIvfMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val (cbRows, prevAssign, _, _, diff) = vecIndexState(spark, dir)
+    val all = vecs(spark, dir)
+    val cur = vecSnapshotCur(all).localCheckpoint(false)
+    val stored = spark.createDataFrame(cbRows.toIndexedSeq)
+      .toDF("centroid_id", "cv")
+    gatedIvfMaintenanceOf(prevAssign, cur, diff, stored,
+      fittedCentroids(cur).localCheckpoint(false))
+  }
+
+  /** The general operator: the q105 gate over (`storedCb`, `freshCb`)
+    * picks q91 maintenance (carry) or a full fresh-codebook
+    * reassignment (refit) of `cur`. */
+  def gatedIvfMaintenanceOf(prevAssign: DataFrame, cur: DataFrame,
+                            diff: DataFrame, storedCb: DataFrame,
+                            freshCb: DataFrame): DataFrame = {
+    val verdict = centroidDriftStatsOf(cur, storedCb, freshCb)
+      .select($"verdict").head().getString(0)
+    val out =
+      if (verdict == "refit")
+        assignCells(cur, freshCb)
+          .select($"vec_id", $"cell_id", $"dist2").orderBy($"vec_id")
+      else incrementalIvfAssignOf(prevAssign, cur, diff, storedCb)
+    out.withColumn("maintenance_path", lit(verdict))
+  }
+
+  /** q110 oracle: the q105 drift CTEs compute the same verdict, and
+    * each branch's SELECT is gated on it — carry = the full q50
+    * reassignment against the STORED codebook (q91's proven
+    * equivalence), refit = the same against the FRESH fit. */
+  lazy val gatedIvfMaintenanceSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(a.v, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, centroid_id AS cell_id, dist2 FROM (
+         |    SELECT a.vec_id, c.centroid_id, ROUND($d2, 6) AS dist2,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ROUND($d2, 6) ASC, c.centroid_id ASC) AS rn
+         |    FROM cur a CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH $vecsCte,
+       |stable AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapAddedMod} <> ${Corpus.SnapAddedRes}
+       |    AND vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}
+       |    AND vec_id % ${Corpus.SnapChangedMod} <> ${Corpus.SnapChangedRes}),
+       |${fitCtesFrom("stable")},
+       |cur AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}),
+       |${fitCtesFrom("cur", "_f")},
+       |${assignCte("assign_s", "cents")},
+       |${assignCte("assign_f", "cents_f")},
+       |agg AS (
+       |  SELECT
+       |    SUM(CASE WHEN s.cell_id <> f.cell_id THEN 1 ELSE 0 END) AS n_moved,
+       |    COUNT(*) AS n_vecs,
+       |    CAST(SUM(CAST(s.dist2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ms,
+       |    CAST(SUM(CAST(f.dist2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mf
+       |  FROM assign_s s JOIN assign_f f ON s.vec_id = f.vec_id),
+       |v AS (
+       |  SELECT CASE WHEN ROUND(n_moved * 1.0 / n_vecs, 6) > $ChurnRefitShare
+       |           OR ROUND((ms - mf) / NULLIF(mf, 0.0), 6) > $Dist2RefitDrift
+       |         THEN 'refit' ELSE 'carry' END AS verdict FROM agg)
+       |SELECT vec_id, cell_id, dist2, 'refit' AS maintenance_path
+       |FROM assign_f WHERE (SELECT verdict FROM v) = 'refit'
+       |UNION ALL
+       |SELECT vec_id, cell_id, dist2, 'carry' AS maintenance_path
+       |FROM assign_s WHERE (SELECT verdict FROM v) = 'carry'
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q93 — semantic dedup, the kept-corpus materialization on the
   // EMBEDDING side (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-
   // efficient learning at web-scale through semantic deduplication"):

@@ -812,6 +812,64 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.getString(r.fieldIndex("verdict")) === "carry")
   }
 
+  test("q110 gated maintenance: the fixture verdict picks the branch, " +
+       "and the rows equal that branch computed independently") {
+    val verdict = VectorOps.centroidDriftStats(spark, sf).collect()
+      .head.getString(6)
+    val out = VectorOps.gatedIvfMaintenance(spark, sf).collect()
+    assert(out.forall(_.getString(3) === verdict),
+      "maintenance_path must carry the gate's verdict on every row")
+    if (verdict == "refit") {
+      val all = VectorOps.vecsFrom(Tables.embeddings(spark, sf))
+      val cur = VectorOps.vecSnapshotCur(all).localCheckpoint()
+      val fresh = VectorOps.assignCellsThin(cur,
+          VectorOps.fittedCentroids(cur))
+        .orderBy(col("vec_id")).collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        fresh.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    } else {
+      val incr = VectorOps.incrementalIvfAssign(spark, sf).collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        incr.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+  }
+
+  test("q110 carry branch really runs the q91 maintenance: an " +
+       "undrifted gate preserves sentinel stored assignments") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val codebook = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "cv")
+    // stored == fresh → carry; the sentinel cell id −77 on unchanged
+    // vectors can only survive through the incremental path (a refit
+    // would reassign everything against the real codebook)
+    val prevAssign = Seq((1L, -77L, 0.0), (2L, -77L, 0.0))
+      .toDF("vec_id", "cell_id", "dist2")
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (4L, "added"))
+      .toDF("vec_id", "status")
+    val cur = VectorOps.vecsFrom(Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")).localCheckpoint()
+    val out = VectorOps.gatedIvfMaintenanceOf(prevAssign, cur, diff,
+        codebook, codebook)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    assert(out(1L) === ((-77L, "carry")) && out(2L) === ((-77L, "carry")),
+      "carry branch must preserve the stored sentinel assignments")
+    assert(out(4L)._1 === 1L, "the added vector gets a real assignment")
+  }
+
+  test("q111 incremental cross-source matrix == full q99 over the new " +
+       "snapshot") {
+    val cur = Corpus.snapshotCur(Tables.documents(spark, sf))
+      .localCheckpoint()
+    val incremental = Dedup.incrementalCrossSourceDups(spark, sf).collect()
+    val full = Dedup.crossSourceDupsFrom(cur,
+      Dedup.lshNearDupPairsFrom(
+        Dedup.shingleFpsFrom(cur).localCheckpoint(false))).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
   test("q107 incremental containment == full q90 over the new snapshot") {
     val incremental = Dedup.incrementalContainment(spark, sf).collect()
     val full = Dedup.containmentOverLshFrom(
