@@ -425,6 +425,39 @@ class PlanSpec extends AnyFunSuite {
       s"argmin must be the min-struct aggregate, not a window rank:\n${p.take(3000)}")
   }
 
+  test("q108 bigram logprob: the bigram build is row-local — no " +
+       "window, no position self-join; model joins are keyed") {
+    val p = plan("q108_bigram_logprob")
+    assert(!p.contains("Window"),
+      s"adjacent pairs must come from the token array, not a window:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
+
+  test("q109 incremental bigram: the stored table carries under a " +
+       "broadcast anti-join and only the dirty slice re-tokenizes") {
+    val p = plan("q109_incremental_bigram")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored bigrams must map-side anti-join the dirty set:\n${p.take(3000)}")
+    // the tokenize+pair Generate lives inside the checkpointed
+    // dirty-slice subtree; the visible maintenance plan reads leaves
+    assert(!p.contains("Generate"),
+      s"corpus tokenization leaked above the delta checkpoint:\n${p.take(3000)}")
+  }
+
+  test("q111 incremental cross-source matrix: the maintained pair " +
+       "side broadcasts into both source lookups") {
+    // the maintenance subtree keeps its own keyed joins (dirty-slice
+    // verification — q89's pinned shape); the pin here is the ROLLUP:
+    // both source lookups must consume the pair table as a broadcast
+    // build side, with the documents scan streaming
+    val p = plan("q111_incremental_xsource")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pair table must broadcast into the source lookups:\n${p.take(3000)}")
+    assert(p.contains("least(") && p.contains("greatest("),
+      s"normalized source projection missing:\n${p.take(3000)}")
+  }
+
   test("q107 incremental containment: carried verdicts ride a " +
        "broadcast semi-join, the carry is broadcast anti — the stored " +
        "tables are never reshuffled") {
