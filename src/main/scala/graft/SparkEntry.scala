@@ -131,6 +131,9 @@ object SparkEntry {
     "q109_incremental_bigram" -> (Corpus.incrementalBigramLogProb(_, _)),
     "q110_gated_ivf"        -> (VectorOps.gatedIvfMaintenance(_, _)),
     "q111_incremental_xsource" -> (Dedup.incrementalCrossSourceDups(_, _)),
+    "q112_incremental_tfidf" -> (Corpus.incrementalTfidf(_, _)),
+    "q113_span_dedup"       -> (Dedup.spanDedup(_, _)),
+    "q114_nb_classifier"    -> (Classify.nbClassify(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -319,6 +322,10 @@ object SparkEntry {
     "q110_gated_ivf"        -> VectorOps.gatedIvfMaintenanceSql,
     // q111's oracle is the FULL q99 chain over the new snapshot.
     "q111_incremental_xsource" -> Dedup.incrementalCrossSourceDupsSql,
+    // q112's oracle is the FULL q65 recompute over the new snapshot.
+    "q112_incremental_tfidf" -> Corpus.incrementalTfidfSql,
+    "q113_span_dedup"       -> Dedup.spanDedupSql,
+    "q114_nb_classifier"    -> Classify.nbClassifySql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

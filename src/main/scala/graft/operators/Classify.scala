@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.syntax._
+
+/** Trained-model document classification — the "model-based quality
+  * filter" stage of an LLM data pipeline (the role fastText plays in
+  * CCNet/ RedPajama: a cheap supervised classifier trained on labeled
+  * slices, scored over the whole corpus to gate or route documents).
+  * None of this exists in the reference (its data is telemetry);
+  * north-star operators in the q40+ corpus family.
+  *
+  * The model is multinomial Naive Bayes with add-one smoothing —
+  * chosen deliberately over logistic regression: NB training IS a
+  * pair of grouped counts, so both fit and scoring are closed-form
+  * relational algebra that a DuckDB oracle can recompute exactly
+  * (an iterative solver's float trajectory cannot hash-match across
+  * engines; q30 documents that boundary on the forecasting side).
+  *
+  * Arithmetic parity discipline (the q74 decimal rules): every
+  * per-(token, class) log-probability is rounded to 6dp and cast to
+  * DECIMAL(18,6) BEFORE the per-document sum, so the accumulation is
+  * exact integer arithmetic in both engines — float summation order
+  * can never flip a hash or an argmax tie.
+  *
+  * 100 TB shape: training reads only the train split (one
+  * partial-aggregated groupBy per model table — word counts collapse
+  * map-side; class totals / priors / vocab size are class- or
+  * one-row-sized and broadcast); scoring is the corpus tf table
+  * cross-joined with the CLASS LIST (a handful of rows, broadcast) and
+  * left-joined with the word-count table by (token, class) — a keyed
+  * join against a vocab-sized side, never broadcast-assumed — then one
+  * per-doc argmax over |classes| rows (a doc-bounded window). No
+  * all-pairs, no iteration, no driver-side math.
+  */
+object Classify {
+
+  // ---------------------------------------------------------------
+  // q114 — Naive Bayes language classifier: fit P(lang) and
+  // P(token | lang) on the q58 train split, score EVERY document with
+  // log P(c) + Σ tf·log P(w|c), predict the argmax class
+  // (ties break to the lexicographically first class). The q58 split
+  // keeps held-out evaluation honest: val/test docs never contribute
+  // counts, and the output's `correct` column is readable per split.
+  // ---------------------------------------------------------------
+
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyFrom(Tables.documents(spark, dir))
+
+  /** (doc_id, lang, pred_lang, score, correct) for every document,
+    * ordered by doc_id. */
+  def nbClassifyFrom(docs: DataFrame): DataFrame = {
+    val model = nbModelFrom(trainSlice(docs))
+    nbScore(docs, docTf(docs), model)
+  }
+
+  /** The train-split slice (q58's hash buckets — doc-local, no
+    * shuffle). */
+  private[graft] def trainSlice(docs: DataFrame): DataFrame =
+    docs.filter(Corpus.splitCol(Corpus.bucketCol) === "train")
+
+  /** Per-document term frequencies with the true class attached. */
+  private[graft] def docTf(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+
+  /** The fitted model as four frames: word counts per (lang, token),
+    * per-class token totals, per-class doc counts + priors, and the
+    * one-row vocabulary size. Exposed so q116's maintenance can carry
+    * and delta-merge the same tables the batch fit produces. */
+  private[graft] case class NbModel(wc: DataFrame, classes: DataFrame,
+                                    vocabSize: DataFrame)
+
+  private[graft] def nbModelFrom(train: DataFrame): NbModel = {
+    val ttok = train.select($"lang",
+      explode(TextOps.tokens($"text")).as("token"))
+    val wc = ttok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
+    nbModelOf(wc, train.groupBy($"lang").agg(count(lit(1)).as("n_docs_c")))
+  }
+
+  /** Derive the scoring-ready class table (totals + priors) and vocab
+    * size from the two COUNT tables — the part shared by the batch
+    * fit and q116's delta-maintained fit (both maintain only counts;
+    * everything derived is recomputed from them, one artifact). */
+  private[graft] def nbModelOf(wc: DataFrame, cdoc: DataFrame): NbModel = {
+    val ctot = wc.groupBy($"lang").agg(sum($"cnt").as("tot_c"))
+    val nTrain = cdoc.agg(sum($"n_docs_c").as("n_train"))
+    val classes = cdoc.join(ctot, Seq("lang"))
+      .crossJoin(broadcast(nTrain))
+      .select($"lang", $"tot_c",
+        round(log($"n_docs_c".cast(DoubleType) / $"n_train"), 6)
+          .cast(DecimalType(18, 6)).as("prior_lp"))
+    val vocabSize = wc.agg(countDistinct($"token").as("v"))
+    NbModel(wc, classes, vocabSize)
+  }
+
+  /** Score every document against every class; predict the argmax. */
+  private[graft] def nbScore(docs: DataFrame, tf: DataFrame,
+                             model: NbModel): DataFrame = {
+    val perTok = tf
+      .crossJoin(broadcast(model.classes.select($"lang".as("cand"),
+        $"tot_c", $"prior_lp")))
+      .crossJoin(broadcast(model.vocabSize))
+      .join(model.wc.select($"lang".as("cand"), $"token", $"cnt"),
+        Seq("cand", "token"), "left")
+      .withColumn("lp",
+        round(log((coalesce($"cnt", lit(0L)) + 1).cast(DoubleType)
+          / ($"tot_c" + $"v").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)))
+    val perDoc = perTok.groupBy($"doc_id", $"cand", $"prior_lp")
+      .agg(sum($"tf" * $"lp").as("sum_lp"))
+      .select($"doc_id", $"cand", ($"prior_lp" + $"sum_lp").as("score"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"cand".asc)
+    val best = perDoc.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    docs.select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"))
+      .select($"doc_id", $"lang",
+        $"cand".as("pred_lang"),
+        round($"score".cast(DoubleType), 6).as("score"),
+        ($"lang" === $"cand").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val nbClassifySql: String = nbClassifySqlFrom("documents")
+
+  def nbClassifySqlFrom(src: String): String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text FROM $src),
+       |train AS (
+       |  SELECT doc_id, lang, text FROM base
+       |  WHERE (${Corpus.splitCaseSql}) = 'train'),
+       |ttok AS (
+       |  SELECT lang, unnest(${TextOps.tokensSql}) AS token FROM train),
+       |wc AS (SELECT lang, token, COUNT(*) AS cnt FROM ttok GROUP BY 1, 2),
+       |ctot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot_c
+       |         FROM wc GROUP BY 1),
+       |cdoc AS (SELECT lang, COUNT(*) AS n_docs_c FROM train GROUP BY 1),
+       |ntr AS (SELECT COUNT(*) AS n_train FROM train),
+       |vv AS (SELECT COUNT(DISTINCT token) AS v FROM wc),
+       |prior AS (
+       |  SELECT lang,
+       |    CAST(ROUND(ln(CAST(n_docs_c AS DOUBLE) / n_train), 6)
+       |         AS DECIMAL(18,6)) AS prior_lp
+       |  FROM cdoc CROSS JOIN ntr),
+       |dtok AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM base),
+       |dtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dtok GROUP BY 1, 2),
+       |pertok AS (
+       |  SELECT d.doc_id, c.lang AS cand, d.tf,
+       |    CAST(ROUND(ln(CAST(COALESCE(w.cnt, 0) + 1 AS DOUBLE)
+       |                  / CAST(t.tot_c + vv.v AS DOUBLE)), 6)
+       |         AS DECIMAL(18,6)) AS lp
+       |  FROM dtf d
+       |  CROSS JOIN cdoc c
+       |  JOIN ctot t ON t.lang = c.lang
+       |  CROSS JOIN vv
+       |  LEFT JOIN wc w ON w.lang = c.lang AND w.token = d.token),
+       |docscore AS (
+       |  SELECT s.doc_id, s.cand, p.prior_lp + SUM(s.tf * s.lp) AS score
+       |  FROM pertok s JOIN prior p ON p.lang = s.cand
+       |  GROUP BY s.doc_id, s.cand, p.prior_lp),
+       |ranked AS (
+       |  SELECT doc_id, cand, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand ASC) AS rn
+       |  FROM docscore)
+       |SELECT b.doc_id, b.lang, r.cand AS pred_lang,
+       |  ROUND(CAST(r.score AS DOUBLE), 6) AS score,
+       |  b.lang = r.cand AS correct
+       |FROM base b JOIN ranked r ON r.doc_id = b.doc_id AND r.rn = 1
+       |ORDER BY b.doc_id""".stripMargin
+}

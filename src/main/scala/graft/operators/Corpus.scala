@@ -52,10 +52,12 @@ object Corpus {
       .when(bucket < ValidationPctEnd, lit("validation"))
       .otherwise(lit("test"))
 
-  /** Oracle twin of [[bucketCol]]/[[splitCol]]. */
-  private val bucketSql =
+  /** Oracle twin of [[bucketCol]]/[[splitCol]] (Classify's NB oracle
+    * reuses the split CASE so the two engines can never disagree on
+    * train membership). */
+  private[graft] val bucketSql =
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
-  private val splitCaseSql =
+  private[graft] val splitCaseSql =
     s"""CASE WHEN $bucketSql < $TrainPctEnd THEN 'train'
        |     WHEN $bucketSql < $ValidationPctEnd THEN 'validation'
        |     ELSE 'test' END""".stripMargin
@@ -522,12 +524,14 @@ object Corpus {
       .orderBy($"doc_id", $"rank")
   }
 
-  val tfidfTopTermsSql: String =
+  val tfidfTopTermsSql: String = tfidfTopTermsSqlFrom("documents")
+
+  def tfidfTopTermsSqlFrom(src: String): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM documents),
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM $src),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
-       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |n AS (SELECT COUNT(*) AS n_docs FROM $src),
        |scored AS (
        |  SELECT t.doc_id, t.token, t.tf, d.df,
        |    ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
@@ -1920,6 +1924,130 @@ object Corpus {
 
   /** q94's oracle: the FULL q86 recompute over the new snapshot. */
   lazy val incrementalHeavyHittersSql: String = heavyHittersSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
+
+  // ---------------------------------------------------------------
+  // q112 — incremental TF-IDF: bring the q65 per-document top-terms
+  // up to date with a crawl diff without re-tokenizing unchanged
+  // text. TF-IDF is the remaining corpus-global score WITHOUT a
+  // maintained twin (vocabulary→q92, CMS/top-K→q94, decontamination
+  // →q102): IDF moves whenever any document is added or removed, so
+  // the q88 carry-forward is unsound for it — the q92 split applies
+  // instead. The doc-local half (the (doc, token, tf) table) IS the
+  // stored tf state q92 already maintains; the global half (document
+  // frequency + corpus size) is a mergeable aggregate OF that table,
+  // so it maintains from the diff alone:
+  //
+  //   tf' = stored tf − dirty docs' rows ∪ tokenize(dirty slice)
+  //   df' = stored df + (fresh rows per token) − (dropped rows per
+  //         token)   [tf has ONE row per (doc, token), so row counts
+  //         ARE document counts]
+  //   n'  = stored n_docs + |added| − |removed|
+  //   out = rescore ALL docs from tf' ⋈ df' — q65's arithmetic over
+  //         compact keyed tables, never the corpus text.
+  //
+  // The rescore-all is the honest consequence of a global model (the
+  // q92 argument verbatim): one added doc shifts every idf through
+  // n_docs. What maintenance saves at 100 TB is the text pass —
+  // tokenize+explode over raw text dwarfs the thin stored-table
+  // joins — and the df maintenance replaces q65's token-window over
+  // the full tf with two dirty-slice-sized aggregates merged by
+  // token key.
+  //
+  // 100 TB shape: tokenization touches only the added/changed slice;
+  // the tf carry is one broadcast anti-join; df deltas are
+  // dirty-slice-sized aggregates full-outer-merged into the stored
+  // df by token key (vocabulary-sized, never broadcast-assumed); the
+  // rescore is a token-keyed join of tf' with df' plus the q65
+  // per-doc top-k window (doc-bounded). Zero text processing outside
+  // the dirty slice.
+  // ---------------------------------------------------------------
+
+  /** Stored prev-snapshot (df, n_docs) — derived once from the
+    * stored tf (the publish step of the previous nightly run, not
+    * charged to maintenance), memoized per corpus dir alongside
+    * [[tfState]]. */
+  private val tfidfStateMap = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame))]
+
+  private def tfidfState(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (prevTf, _, _, diff) = tfState(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val (prevDf, prevN) = tfidfStateMap.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val df = prevTf.groupBy($"token")
+          .agg(count(lit(1)).as("df")).localCheckpoint(true)
+        val n = snapshotPrev(Tables.documents(spark, dir))
+          .agg(count(lit(1)).as("n_docs")).localCheckpoint(true)
+        tfidfStateMap.put(dir, (fp, (df, n)))
+        (df, n)
+    }
+    (prevTf, prevDf, prevN, diff)
+  }
+
+  def incrementalTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, prevDf, prevN, diff) = tfidfState(spark, dir)
+    incrementalTfidfOf(prevTf, prevDf, prevN,
+      snapshotCur(Tables.documents(spark, dir)), diff)
+  }
+
+  /** The general operator: `prevTf`/`prevDf`/`prevN` = the previous
+    * snapshot's stored term frequencies, per-token document
+    * frequencies, and one-row corpus size; `curDocs` = the new
+    * snapshot; `diff` = a q84-shaped status frame. The lost-side df
+    * delta reads the STORED tf rows of dirty docs — maintenance
+    * needs no access to the previous snapshot's text. */
+  def incrementalTfidfOf(prevTf: DataFrame, prevDf: DataFrame,
+                         prevN: DataFrame, curDocs: DataFrame,
+                         diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // the ONLY text processing in the maintenance pass (the q92
+    // barrier discipline: two consumers — the tf union and the
+    // gained-side df delta — must not clone the tokenize subtree)
+    val freshTf = tfFrom(curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false)
+    val newTf = prevTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(freshTf)
+    // tf holds one row per (doc, token), so COUNT over rows is the
+    // per-token document count on both delta sides
+    val newDf = prevDf
+      .join(freshTf.groupBy($"token").agg(count(lit(1)).as("d_plus")),
+        Seq("token"), "full_outer")
+      .join(prevTf.join(broadcast(dirty), Seq("doc_id"))
+          .groupBy($"token").agg(count(lit(1)).as("d_minus")),
+        Seq("token"), "full_outer")
+      .select($"token",
+        (coalesce($"df", lit(0L)) + coalesce($"d_plus", lit(0L))
+          - coalesce($"d_minus", lit(0L))).as("df"))
+      .filter($"df" > 0)
+    val dN = diff.agg(sum(when($"status" === "added", 1L)
+      .when($"status" === "removed", -1L).otherwise(0L)).as("dn"))
+    val newN = prevN.crossJoin(broadcast(dN))
+      .select(($"n_docs" + coalesce($"dn", lit(0L))).as("n_docs"))
+    // q65's scoring arithmetic over the maintained tables; the df
+    // arrives by token-keyed join instead of q65's token window —
+    // same values, and the maintained table replaces the corpus-wide
+    // window recount
+    val scored = newTf.join(newDf, Seq("token"))
+      .crossJoin(broadcast(newN))
+      .withColumn("tfidf",
+        round($"tf" * log($"n_docs".cast(DoubleType) / $"df"), 6))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= TfIdfTopTerms)
+      .select($"doc_id", $"token", $"tf", $"df", $"tfidf", $"rank")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  /** q112's oracle: the FULL q65 recompute over the new snapshot — a
+    * hash match proves tf carry + df/n deltas + rescore land
+    * byte-identically on recompute-everything-from-text. */
+  lazy val incrementalTfidfSql: String = tfidfTopTermsSqlFrom(
     s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
 
   // ---------------------------------------------------------------

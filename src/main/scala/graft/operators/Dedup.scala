@@ -1572,6 +1572,167 @@ object Dedup {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q113 — duplicated-span REMOVAL: q82 measures cross-document span
+  // duplication; this operator acts on it, rebuilding every document
+  // with all non-canonical occurrences of duplicated token spans
+  // deleted — the substring-level dedup of Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better",
+  // which removes repeated ≥50-token substrings corpus-wide; here at
+  // fixed [[SpanDedupK]]-token granularity, the n-gram approximation
+  // of their suffix-array pass that a declarative engine can
+  // express). Every occurrence of a span seen ≥2 times keeps exactly
+  // ONE canonical copy — the globally smallest (doc_id, start) — and
+  // every other occurrence's token positions are deleted from their
+  // documents; a document is never dropped, only thinned.
+  //
+  // Semantics are deterministic and order-free: canonical = MIN over
+  // the occurrence set, covered positions = the union of the
+  // non-canonical occurrences' [start, start+k) ranges (overlapping
+  // dup spans union cleanly), rebuild = keep each position not
+  // covered, in order.
+  //
+  // 100 TB shape: span construction is row-local (tokenize + one
+  // transform/explode — positions stay inside the row until the
+  // explode, and each output row is a thin (doc, start, fp) triple);
+  // the canonical/count aggregate is one partial-aggregated groupBy
+  // on fp (boilerplate spans collapse map-side — the q82 argument);
+  // the dup join is fp-keyed and output-sensitive (duplicated
+  // occurrences only); covered positions are dup-sized; the rebuild
+  // is row-local again (the per-doc covered SET arrives by one
+  // groupBy and joins back doc-keyed — dup-rate-sized against the
+  // corpus scan). A pathologically hot span (a boilerplate footer in
+  // 10⁸ docs) skews the dup join's fp key: AQE skew-split territory,
+  // and its covered output stays per-doc bounded. No all-pairs
+  // anywhere — cost tracks occurrence count, not occurrence².
+  // ---------------------------------------------------------------
+
+  /** Span length (tokens) for duplicated-span removal. 8 = two q59
+    * decontamination grams; long enough that the fixture's random
+    * word soup never collides by chance, short enough that clone
+    // families overlap densely. */
+  val SpanDedupK = 8
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrom(Tables.documents(spark, dir))
+
+  /** (doc_id, n_tokens, n_removed, cleaned_text) per document — the
+    * corpus with duplicated spans deleted, one canonical occurrence
+    * kept per span. */
+  def spanDedupFrom(docs: DataFrame): DataFrame = {
+    val toks = spanToksFrom(docs)
+    val spans = spansOf(toks)
+    rebuildOf(toks, spanCoverageOf(spans, spans)).orderBy($"doc_id")
+  }
+
+  private[graft] def spanToksFrom(docs: DataFrame): DataFrame =
+    docs.select($"doc_id", TextOps.tokens($"text").as("toks"))
+
+  /** Row-local span table: 1-based start + md5 of the k-token slice,
+    * one thin (doc_id, start, fp) triple per position. Shared by the
+    * batch build and q115's stored-state maintenance. */
+  private[graft] def spansOf(toks: DataFrame): DataFrame = {
+    val k = SpanDedupK
+    toks.filter(size($"toks") >= k)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> named_struct(
+           |    'start', i,
+           |    'fp', md5(cast(array_join(slice(toks, i, $k), ' ')
+           |                   AS binary))))""".stripMargin)).as("sp"))
+      .select($"doc_id", $"sp.start".as("start"), $"sp.fp".as("fp"))
+  }
+
+  /** Covered-position sets per doc: `occ` supplies the occurrence
+    * universe the per-fp aggregate (count + canonical MIN) runs over;
+    * `forDocs` the occurrences whose coverage is wanted (the batch
+    * path passes the same frame twice; q115 restricts `forDocs` to
+    * its affected docs while `occ` keeps every occurrence of their
+    * fps so counts and canonicals stay global). */
+  private[graft] def spanCoverageOf(occ: DataFrame,
+                                    forDocs: DataFrame): DataFrame = {
+    val k = SpanDedupK
+    // one aggregate decides everything: occurrence count + canonical
+    val perFp = occ.groupBy($"fp").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct($"doc_id", $"start")).as("canon"))
+    val dupOcc = forDocs.join(perFp.filter($"n_occ" >= 2), Seq("fp"))
+      .filter(!($"doc_id" === $"canon.doc_id" &&
+        $"start" === $"canon.start"))
+    dupOcc
+      .select($"doc_id", explode(sequence($"start", $"start" + k - 1)).as("p"))
+      .distinct()
+      .groupBy($"doc_id").agg(collect_set($"p").as("cov"))
+  }
+
+  /** Row-local rebuild: drop covered positions, re-join with single
+    * spaces (tokenization already normalized whitespace). */
+  private[graft] def rebuildOf(toks: DataFrame,
+                               covSets: DataFrame): DataFrame =
+    toks.join(covSets, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_tokens"),
+        coalesce(size($"cov"), lit(0)).cast(LongType).as("n_removed"),
+        expr("""array_join(
+          |  transform(
+          |    filter(
+          |      transform(toks, (t, i) -> named_struct('t', t, 'p', i + 1)),
+          |      s -> cov IS NULL OR NOT array_contains(cov, s.p)),
+          |    s -> s.t), ' ')""".stripMargin).as("cleaned_text"))
+
+  val spanDedupSql: String = spanDedupSqlFrom("documents")
+
+  def spanDedupSqlFrom(src: String): String = {
+    val k = SpanDedupK
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${graft.operators.TextOps.tokensSql} AS toks
+       |  FROM $src),
+       |spans AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS start,
+       |    md5(array_to_string(
+       |      toks[CAST(i AS INTEGER) : CAST(i + ${k - 1} AS INTEGER)], ' '))
+       |      AS fp
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - ${k - 1})) AS i
+       |        FROM tok WHERE len(toks) >= $k)),
+       |ranked AS (
+       |  SELECT doc_id, start,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn,
+       |    COUNT(*) OVER (PARTITION BY fp) AS n_occ
+       |  FROM spans),
+       |dups AS (SELECT doc_id, start FROM ranked
+       |         WHERE n_occ >= 2 AND rn > 1),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p
+       |  FROM (SELECT doc_id,
+       |          unnest(generate_series(start, start + ${k - 1})) AS p
+       |        FROM dups)),
+       |pos AS (
+       |  SELECT doc_id, CAST(u.p AS INTEGER) AS p, u.tok AS tok
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, len(toks)),
+       |            i -> {'p': i, 'tok': toks[CAST(i AS INTEGER)]})) AS u
+       |        FROM tok)),
+       |kept AS (
+       |  SELECT pos.doc_id, pos.p, pos.tok
+       |  FROM pos LEFT JOIN covered c
+       |    ON pos.doc_id = c.doc_id AND pos.p = c.p
+       |  WHERE c.p IS NULL),
+       |reb AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+       |  FROM kept GROUP BY doc_id),
+       |cv AS (SELECT doc_id, COUNT(*) AS n_removed
+       |       FROM covered GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(cv.n_removed, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(reb.cleaned, '') AS cleaned_text
+       |FROM tok t
+       |LEFT JOIN cv ON t.doc_id = cv.doc_id
+       |LEFT JOIN reb ON t.doc_id = reb.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q99 — cross-source duplication matrix: q47's verified near-dup
   // pairs rolled up by the SOURCES of their endpoints. The curation
   // question behind it: is a source duplicating another (a crawl

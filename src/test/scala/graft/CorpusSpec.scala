@@ -777,6 +777,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(drift.getDouble(1) > 0.0 && drift.getDouble(1) <= 1.0)
   }
 
+  test("q112 incremental tfidf == full recompute over the new snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Corpus.incrementalTfidf(spark, sf).collect()
+    val full = Corpus.tfidfTopTermsFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q112 reads unchanged docs from the STORED tf and maintains df " +
+       "by deltas — never re-tokenizes clean text") {
+    // poison the stored tf: unchanged doc 1's 'alpha' count inflated
+    // to 5. Re-tokenizing would restore 1; reading the store keeps 5.
+    val prevDocs = docsFrame(1L -> "alpha beta", 2L -> "beta gamma")
+    val prevTf = Corpus.tfFrom(prevDocs)
+      .withColumn("tf", when($"doc_id" === 1L && $"token" === "alpha", 5L)
+        .otherwise($"tf"))
+    val prevDf = prevTf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val prevN = prevDocs.agg(count(lit(1)).as("n_docs"))
+    val diff = Seq((1L, "unchanged"), (2L, "changed"), (4L, "added"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "alpha beta",
+      2L -> "gamma gamma delta", 4L -> "epsilon")
+    val out = Corpus.incrementalTfidfOf(prevTf, prevDf, prevN,
+        curDocs, diff).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // poison retained: doc 1's alpha row carries tf=5 from the store
+    assert(out((1L, "alpha"))._1 === 5L, "unchanged doc was re-tokenized")
+    // df maintenance: beta lost changed doc 2 (2→1); gamma lost the
+    // old doc 2 and gained the new one (1→1); delta/epsilon enter at 1
+    assert(out((1L, "beta"))._2 === 1L)
+    assert(out((2L, "gamma"))._2 === 1L)
+    assert(out((4L, "epsilon"))._2 === 1L)
+    // n_docs maintenance: 2 + 1 added = 3 → idf(alpha) = ln(3/1),
+    // scored straight off the maintained tables
+    val expected = BigDecimal(5.0 * math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "alpha"))._3 === expected)
+  }
+
   test("q108 bigram logprob: hand arithmetic on a three-bigram corpus") {
     // docs: "a b c" and "a b b" → model B(a,b)=2, B(b,c)=1, B(b,b)=1;
     // contexts C(a)=2, C(b)=2 → lp(a,b)=ln(1)=0, lp(b,c)=lp(b,b)=ln(.5)

@@ -1081,6 +1081,54 @@ class TextDedupSpec extends AnyFunSuite {
       .distinct.length === out.length)
   }
 
+  test("q113 span dedup: the canonical occurrence survives, the " +
+       "duplicate occurrence's positions are deleted") {
+    import spark.implicits._
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$shared x"),   // span at start 1 — the global canonical
+      (2L, s"z $shared"))   // same span at start 2 — deleted
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((9L, 0L, s"$shared x")), "canonical doc thinned")
+    assert(out(2L) === ((9L, 8L, "z")), "duplicate span not deleted")
+  }
+
+  test("q113 span dedup: an exact clone empties entirely; overlapping " +
+       "dup spans union their covered positions") {
+    import spark.implicits._
+    val ten = "a b c d e f g h i j"
+    val docs = Seq((1L, ten), (2L, ten), (3L, "short doc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedupFrom(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 2's three 8-token spans are all duplicates of doc 1's; their
+    // [start, start+8) ranges overlap and union to every position
+    assert(out(1L) === ((10L, 0L, ten)))
+    assert(out(2L) === ((10L, 10L, "")), "clone not fully emptied")
+    // a doc too short for one span passes through untouched
+    assert(out(3L) === ((2L, 0L, "short doc")))
+  }
+
+  test("q113 span dedup: token conservation on the fixture corpus " +
+       "(kept tokens == n_tokens - n_removed, clone families thinned)") {
+    val out = Dedup.spanDedup(spark, sf).collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val kept = r.getString(3) match {
+        case "" => 0L
+        case s  => s.split(" ").length.toLong
+      }
+      assert(kept === r.getLong(1) - r.getLong(2),
+        s"doc ${r.getLong(0)}: rebuilt text length inconsistent")
+    }
+    assert(out.exists(_.getLong(2) > 0),
+      "fixture clone families produced no span removals")
+  }
+
   test("q99 on a hand corpus: a cross-source near-dup lands in the " +
        "off-diagonal cell") {
     import spark.implicits._
