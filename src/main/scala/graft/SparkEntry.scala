@@ -134,6 +134,7 @@ object SparkEntry {
     "q112_incremental_tfidf" -> (Corpus.incrementalTfidf(_, _)),
     "q113_span_dedup"       -> (Dedup.spanDedup(_, _)),
     "q114_nb_classifier"    -> (Classify.nbClassify(_, _)),
+    "q115_incremental_spandedup" -> (Dedup.incrementalSpanDedup(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -326,6 +327,8 @@ object SparkEntry {
     "q112_incremental_tfidf" -> Corpus.incrementalTfidfSql,
     "q113_span_dedup"       -> Dedup.spanDedupSql,
     "q114_nb_classifier"    -> Classify.nbClassifySql,
+    // q115's oracle is the FULL q113 recompute over the new snapshot.
+    "q115_incremental_spandedup" -> Dedup.incrementalSpanDedupSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1679,6 +1679,123 @@ object Dedup {
           |      s -> cov IS NULL OR NOT array_contains(cov, s.p)),
           |    s -> s.t), ' ')""".stripMargin).as("cleaned_text"))
 
+  // ---------------------------------------------------------------
+  // q115 — incremental duplicated-span removal: the q113 output
+  // brought up to date with a crawl diff from stored state (the
+  // previous snapshot's span table + published output), never a
+  // corpus re-tokenize. The locality argument: a document's cleaned
+  // text depends only on the dup verdicts of the fps IT contains, and
+  // an fp's verdict (occurrence count + canonical) changes only when
+  // one of its occurrences is added or removed — i.e. only for fps
+  // appearing in the dirty slice. So:
+  //
+  //   spans' = stored spans − dirty docs' rows ∪ span(dirty slice)
+  //   affected fps = fps that lost or gained an occurrence
+  //   candidates   = docs holding an affected fp (+ the dirty slice)
+  //   rebuild candidates from spans' (counts/canonicals stay GLOBAL:
+  //     the aggregate runs over every occurrence of the candidates'
+  //     fps, not just candidate rows); carry everyone else's stored
+  //     output row verbatim
+  //
+  // 100 TB shape: text processing touches only the added/changed
+  // slice; the span carry is one broadcast anti-join; the affected
+  // fp and candidate-doc sets are diff- resp. dup-rate-sized and
+  // broadcast into semi-joins against the stored table (the q89
+  // `affected` discipline) — the corpus-sized stored output carries
+  // under a broadcast anti-join, so nothing corpus-scale shuffles. A
+  // pathologically hot affected span (boilerplate entering 10⁸ docs)
+  // inflates the candidate set toward the corpus — maintenance then
+  // degrades to the batch rebuild it would have triggered anyway
+  // (the q93deep regime: the measured price of a diff that violates
+  // the small-dirty premise, not a defect).
+  // ---------------------------------------------------------------
+
+  /** Memoized stored span state per corpus dir: the prev snapshot's
+    * span table, its published q113 output, and the q84 diff. */
+  private val spanStates = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame, DataFrame))]
+
+  private def spanStateFor(spark: SparkSession, dir: String,
+      docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val fp = docsFingerprint(spark, dir)
+    spanStates.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val prev = Corpus.snapshotPrev(docs)
+        val st = (spansOf(spanToksFrom(prev)).localCheckpoint(true),
+          spanDedupFrom(prev).localCheckpoint(true),
+          Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
+        spanStates.put(dir, (fp, st))
+        st
+    }
+  }
+
+  def incrementalSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (prevSpans, prevOut, diff) = spanStateFor(spark, dir, docs)
+    incrementalSpanDedupOf(prevSpans, prevOut,
+      Corpus.snapshotCur(docs), diff)
+  }
+
+  /** The general operator: `prevSpans`/`prevOut` = the previous
+    * snapshot's stored (doc_id, start, fp) span table and published
+    * q113 output, `curDocs` = the new snapshot, `diff` = a q84-shaped
+    * status frame. Carried output rows are read verbatim from
+    * `prevOut` — maintenance never re-derives a clean, unaffected
+    * document's text. */
+  def incrementalSpanDedupOf(prevSpans: DataFrame, prevOut: DataFrame,
+                             curDocs: DataFrame,
+                             diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // the ONLY text processing in the maintenance pass (two
+    // consumers: the span union and the affected-fp set)
+    val freshSpans = spansOf(spanToksFrom(
+        curDocs.join(broadcast(toTokenize), Seq("doc_id"))))
+      .localCheckpoint(false)
+    val newSpans = prevSpans
+      .join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(freshSpans)
+    // fps that lost (stored rows of dirty docs) or gained (fresh
+    // rows) an occurrence — their counts/canonicals may have moved
+    val affectedFps = prevSpans.join(broadcast(dirty), Seq("doc_id"))
+      .select($"fp")
+      .unionByName(freshSpans.select($"fp")).distinct()
+      .localCheckpoint(false)
+    // docs whose coverage can change: holders of an affected fp,
+    // plus the fresh slice itself (short fresh docs carry no spans
+    // but still need fresh output rows)
+    val candDocs = newSpans
+      .join(broadcast(affectedFps), Seq("fp"), "left_semi")
+      .select($"doc_id")
+      .unionByName(toTokenize).distinct()
+      .localCheckpoint(false)
+    // occurrence universe for the rebuild: EVERY occurrence of every
+    // fp present in a candidate doc, so the per-fp aggregate sees
+    // global counts and canonicals (a candidate's unaffected dup fps
+    // must keep their verdicts)
+    val candFps = newSpans
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select($"fp").distinct()
+    val occ = newSpans.join(broadcast(candFps), Seq("fp"), "left_semi")
+      .localCheckpoint(false)
+    val covSets = spanCoverageOf(occ,
+      occ.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    val rebuilt = rebuildOf(
+      spanToksFrom(curDocs.join(broadcast(candDocs), Seq("doc_id"))),
+      covSets)
+    val carried = prevOut.join(
+      broadcast(dirty.unionByName(candDocs).distinct()),
+      Seq("doc_id"), "left_anti")
+    carried.unionByName(rebuilt).orderBy($"doc_id")
+  }
+
+  /** q115's oracle: the FULL q113 recompute over the new snapshot. */
+  lazy val incrementalSpanDedupSql: String = spanDedupSqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
+
   val spanDedupSql: String = spanDedupSqlFrom("documents")
 
   def spanDedupSqlFrom(src: String): String = {

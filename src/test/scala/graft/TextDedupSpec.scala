@@ -1129,6 +1129,46 @@ class TextDedupSpec extends AnyFunSuite {
       "fixture clone families produced no span removals")
   }
 
+  test("q115 incremental span dedup == full recompute over the new " +
+       "snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Dedup.incrementalSpanDedup(spark, sf).collect()
+    val full = Dedup.spanDedupFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q115 carries unaffected docs from the STORED output verbatim " +
+       "and rebuilds exactly the affected set") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val prevDocs = Seq(
+      (1L, s"$shared pad"),  // canonical holder of the shared span
+      (2L, s"z $shared"),    // thinned duplicate in the prev output
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")) // unique — must carry
+      .toDF("doc_id", "text")
+    val prevSpans = Dedup.spansOf(Dedup.spanToksFrom(prevDocs))
+    // poison every stored output row; carried rows must keep it,
+    // rebuilt rows must lose it
+    val prevOut = Dedup.spanDedupFrom(prevDocs)
+      .withColumn("n_removed", lit(-77L))
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (3L, "unchanged"),
+      (4L, "added")).toDF("doc_id", "status")
+    val curDocs = prevDocs.unionByName(
+      Seq((4L, s"$shared tail")).toDF("doc_id", "text"))
+    val out = Dedup.incrementalSpanDedupOf(prevSpans, prevOut,
+        curDocs, diff).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // doc 4 adds a third occurrence of the shared span → docs 1, 2, 4
+    // are candidates and rebuild: canonical (doc 1) intact, both
+    // later occurrences deleted
+    assert(out(1L) === ((0L, s"$shared pad")))
+    assert(out(2L) === ((8L, "z")))
+    assert(out(4L) === ((8L, "tail")))
+    // doc 3 holds no affected fp → its poisoned stored row carries
+    assert(out(3L)._1 === -77L, "unaffected doc was rebuilt")
+  }
+
   test("q99 on a hand corpus: a cross-source near-dup lands in the " +
        "off-diagonal cell") {
     import spark.implicits._
