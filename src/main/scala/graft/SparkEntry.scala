@@ -135,6 +135,7 @@ object SparkEntry {
     "q113_span_dedup"       -> (Dedup.spanDedup(_, _)),
     "q114_nb_classifier"    -> (Classify.nbClassify(_, _)),
     "q115_incremental_spandedup" -> (Dedup.incrementalSpanDedup(_, _)),
+    "q116_incremental_nb"   -> (Classify.incrementalNbClassify(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -329,6 +330,8 @@ object SparkEntry {
     "q114_nb_classifier"    -> Classify.nbClassifySql,
     // q115's oracle is the FULL q113 recompute over the new snapshot.
     "q115_incremental_spandedup" -> Dedup.incrementalSpanDedupSql,
+    // q116's oracle is the FULL q114 recompute over the new snapshot.
+    "q116_incremental_nb"   -> Classify.incrementalNbClassifySql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -128,6 +128,119 @@ object Classify {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q116 — incremental NB maintenance: the q114 output brought up to
+  // date with a crawl diff without re-tokenizing unchanged text. The
+  // model is corpus-global (every train-split add/remove shifts
+  // priors, totals, and the smoothing denominator), so the q88
+  // carry-forward is unsound for SCORES — the q92 split applies:
+  // the doc-local tf table carries under a broadcast anti-join, the
+  // model's COUNT tables (word counts per (lang, token), doc counts
+  // per lang) maintain by signed dirty-slice deltas — the lost side
+  // reads the STORED train tf of dirty docs (their old text's counts
+  // under their OLD label, so a changed doc whose lang was relabeled
+  // migrates cleanly) — and everything derived (totals, priors,
+  // vocabulary size) recomputes from the maintained counts, exactly
+  // as [[nbModelOf]] derives it for the batch fit: one artifact, two
+  // maintenance-fed inputs. The rescore-all is the honest consequence
+  // of a global model; what maintenance saves at 100 TB is the text
+  // pass (the q92 argument verbatim).
+  //
+  // A doc's split can never change (q58 buckets hash doc_id alone),
+  // so train membership moves only through adds/removes — one fewer
+  // delta class than the lang relabel case.
+  // ---------------------------------------------------------------
+
+  /** Memoized stored model state per corpus dir: prev train-slice
+    * metadata (doc_id, lang), the prev train tf WITH its class label,
+    * and the prev count tables. The all-docs tf + diff come from
+    * [[Corpus.tfState]] — one stored-state home per corpus. */
+  private val nbStates = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
+
+  private def nbStateFor(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+         DataFrame) = {
+    val (prevTf, _, _, diff) = Corpus.tfState(spark, dir)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val (meta, trainTf, wc, cdoc) = nbStates.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val prevTrain = trainSlice(
+          Corpus.snapshotPrev(Tables.documents(spark, dir)))
+        val meta = prevTrain.select($"doc_id", $"lang")
+          .localCheckpoint(true)
+        val trainTf = docTf(prevTrain).join(meta, Seq("doc_id"))
+          .select($"doc_id", $"lang", $"token", $"tf")
+          .localCheckpoint(true)
+        val wc = trainTf.groupBy($"lang", $"token")
+          .agg(sum($"tf").as("cnt")).localCheckpoint(true)
+        val cdoc = meta.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs_c")).localCheckpoint(true)
+        val st = (meta, trainTf, wc, cdoc)
+        nbStates.put(dir, (fp, st))
+        st
+    }
+    (prevTf, meta, trainTf, wc, cdoc, diff)
+  }
+
+  def incrementalNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, meta, trainTf, wc, cdoc, diff) = nbStateFor(spark, dir)
+    incrementalNbClassifyOf(prevTf, meta, trainTf, wc, cdoc,
+      Corpus.snapshotCur(Tables.documents(spark, dir)), diff)
+  }
+
+  /** The general operator; all `prev*` frames are the previous
+    * snapshot's stored state, `curDocs` the new snapshot, `diff` a
+    * q84-shaped status frame. */
+  def incrementalNbClassifyOf(prevTf: DataFrame, prevTrainMeta: DataFrame,
+      prevTrainTf: DataFrame, prevWc: DataFrame, prevCdoc: DataFrame,
+      curDocs: DataFrame, diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    // the ONLY text processing: tf of the fresh slice (two consumers
+    // — the tf union and the gained-side model delta)
+    val freshTf = docTf(curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false)
+    val newTf = prevTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+      .unionByName(freshTf)
+    // train-side deltas: fresh rows under the NEW label, lost rows
+    // under the STORED (old) label
+    val freshTrainMeta = trainSlice(
+        curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .select($"doc_id", $"lang")
+    val gainedTf = freshTf.join(broadcast(freshTrainMeta), Seq("doc_id"))
+    val lostTf = prevTrainTf.join(broadcast(dirty), Seq("doc_id"))
+    val newWc = prevWc
+      .join(gainedTf.groupBy($"lang", $"token")
+          .agg(sum($"tf").as("d_plus")),
+        Seq("lang", "token"), "full_outer")
+      .join(lostTf.groupBy($"lang", $"token")
+          .agg(sum($"tf").as("d_minus")),
+        Seq("lang", "token"), "full_outer")
+      .select($"lang", $"token",
+        (coalesce($"cnt", lit(0L)) + coalesce($"d_plus", lit(0L))
+          - coalesce($"d_minus", lit(0L))).as("cnt"))
+      .filter($"cnt" > 0)
+    val newCdoc = prevCdoc
+      .join(freshTrainMeta.groupBy($"lang").agg(count(lit(1)).as("g")),
+        Seq("lang"), "full_outer")
+      .join(prevTrainMeta.join(broadcast(dirty), Seq("doc_id"))
+          .groupBy($"lang").agg(count(lit(1)).as("l")),
+        Seq("lang"), "full_outer")
+      .select($"lang",
+        (coalesce($"n_docs_c", lit(0L)) + coalesce($"g", lit(0L))
+          - coalesce($"l", lit(0L))).as("n_docs_c"))
+      .filter($"n_docs_c" > 0)
+    nbScore(curDocs, newTf, nbModelOf(newWc, newCdoc))
+  }
+
+  /** q116's oracle: the FULL q114 recompute over the new snapshot. */
+  lazy val incrementalNbClassifySql: String = nbClassifySqlFrom(
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
+
   val nbClassifySql: String = nbClassifySqlFrom("documents")
 
   def nbClassifySqlFrom(src: String): String =

@@ -1766,7 +1766,7 @@ object Corpus {
   private val vocabState = scala.collection.concurrent.TrieMap
     .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
 
-  private def tfState(spark: SparkSession, dir: String)
+  private[operators] def tfState(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val fp = Dedup.docsFingerprint(spark, dir)

@@ -54,6 +54,68 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("q116 incremental NB == full recompute over the new snapshot") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val incremental = Classify.incrementalNbClassify(spark, sf).collect()
+    val full = Classify.nbClassifyFrom(curDocs).collect()
+    assert(incremental.toSeq === full.toSeq)
+  }
+
+  test("q116: a relabeled train doc migrates its counts between " +
+       "classes — the lost side reads the STORED old label") {
+    // doc_ids 1-3 hash into the train split, 16 into validation
+    val prevDocs = Seq((1L, "de", "hallo welt"), (2L, "en", "hello world"),
+      (3L, "en", "hello there"), (16L, "en", "hello hallo"))
+      .toDF("doc_id", "lang", "text")
+    val prevTrain = Classify.trainSlice(prevDocs)
+    val meta = prevTrain.select($"doc_id", $"lang")
+    val trainTf = Classify.docTf(prevTrain).join(meta, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"token", $"tf")
+    val wc = trainTf.groupBy($"lang", $"token").agg(sum($"tf").as("cnt"))
+    val cdoc = meta.groupBy($"lang").agg(count(lit(1)).as("n_docs_c"))
+    // doc 1 — the only 'de' train doc — is relabeled to 'en'
+    val curDocs = Seq((1L, "en", "hallo welt"), (2L, "en", "hello world"),
+      (3L, "en", "hello there"), (16L, "en", "hello hallo"))
+      .toDF("doc_id", "lang", "text")
+    val diff = Seq((1L, "changed"), (2L, "unchanged"), (3L, "unchanged"),
+      (16L, "unchanged")).toDF("doc_id", "status")
+    val out = Classify.incrementalNbClassifyOf(Classify.docTf(prevDocs),
+      meta, trainTf, wc, cdoc, curDocs, diff)
+    // the 'de' class died with its only member: nothing predicts it,
+    // and the maintained output matches the batch fit exactly
+    assert(out.filter($"pred_lang" === "de").count() === 0)
+    assert(out.collect().toSeq ===
+      Classify.nbClassifyFrom(curDocs).collect().toSeq)
+  }
+
+  test("q116 scores unchanged docs from the STORED tf table — never " +
+       "re-tokenizes them") {
+    val prevDocs = Seq((1L, "de", "hallo welt"), (2L, "en", "hello world"),
+      (16L, "en", "hello hallo")).toDF("doc_id", "lang", "text")
+    val prevTrain = Classify.trainSlice(prevDocs)
+    val meta = prevTrain.select($"doc_id", $"lang")
+    val trainTf = Classify.docTf(prevTrain).join(meta, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"token", $"tf")
+    val wc = trainTf.groupBy($"lang", $"token").agg(sum($"tf").as("cnt"))
+    val cdoc = meta.groupBy($"lang").agg(count(lit(1)).as("n_docs_c"))
+    // poison the stored tf of validation doc 16 (model unaffected);
+    // an all-unchanged diff must surface the poison in its score
+    val poisonedTf = Classify.docTf(prevDocs)
+      .withColumn("tf", when($"doc_id" === 16L && $"token" === "hello", 5L)
+        .otherwise($"tf"))
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (16L, "unchanged"))
+      .toDF("doc_id", "status")
+    val out = Classify.incrementalNbClassifyOf(poisonedTf, meta, trainTf,
+        wc, cdoc, prevDocs, diff).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val batch = Classify.nbClassifyFrom(prevDocs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) === batch(1L) && out(2L) === batch(2L))
+    assert(out(16L) < batch(16L),
+      "poisoned stored tf ignored — doc 16 was re-tokenized")
+  }
+
   test("q114 NB: held-out docs contribute no counts — removing a " +
        "non-train doc never changes the model's predictions") {
     val docs = Tables.documents(spark, sf)
