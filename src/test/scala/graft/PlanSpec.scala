@@ -469,4 +469,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"found an unbroadcast cartesian:\n${p.take(3000)}")
   }
+
+  test("q112 incremental tfidf: the stored tf carries under a " +
+       "broadcast anti-join and no tokenize leaks above the delta " +
+       "checkpoint") {
+    val p = plan("q112_incremental_tfidf")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored tf must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(!p.contains("Generate"),
+      s"corpus tokenization leaked above the delta checkpoint:\n${p.take(3000)}")
+  }
+
+  test("q113 span dedup: row-local span construction, no cartesian — " +
+       "the only corpus-keyed work is the fp aggregate and its " +
+       "output-sensitive join") {
+    val p = plan("q113_span_dedup")
+    assert(p.contains("Generate"),
+      s"span construction must be a row-local explode:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+    assert(!p.contains("Window"),
+      s"canonical selection must be the MIN-struct aggregate, not a window:\n${p.take(3000)}")
+  }
+
+  test("q114 NB classifier: the class list broadcasts into the corpus " +
+       "tf; the vocab-sized word-count join is keyed, never a " +
+       "cartesian") {
+    val p = plan("q114_nb_classifier")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the class/vocab-size scalars must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
+
+  test("q115 incremental span dedup: stored output carries broadcast-" +
+       "anti, affected sets gate semi-joins, no cartesian") {
+    val p = plan("q115_incremental_spandedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the stored output must map-side anti-join the affected set:\n${p.take(3000)}")
+    assert(p.contains("LeftSemi"),
+      s"candidate gating must be semi-joins:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
+
+  test("q116 incremental NB: stored tf carries broadcast-anti and no " +
+       "tokenize leaks above the delta checkpoint") {
+    val p = plan("q116_incremental_nb")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored tf must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(!p.contains("Generate"),
+      s"corpus tokenization leaked above the delta checkpoint:\n${p.take(3000)}")
+  }
 }
