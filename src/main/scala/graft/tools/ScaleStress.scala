@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, VectorOps, Weather}
+import graft.operators.{Classify, Corpus, Dedup, VectorOps, Weather}
 
 /** Dev scratch: 10× data amplification (≈ sf1 from sf0.1) to observe
   * how the core pipelines scale — the "would this survive 100×"
@@ -349,6 +349,125 @@ object ScaleStress {
         f"incremental min ${incrs.min}%.2f s, ratio " +
         f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
         f"(rows $fullN)")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q115 at 10× with the LOW (~1.9%) dirty
+    // fraction. Note the clone amplification is ADVERSARIAL here:
+    // every dirty doc's spans recur in its 9 replicas, so the
+    // affected-fp expansion pulls ~10× the dirty slice into the
+    // candidate set — the receipt measures maintenance WITH that
+    // expansion priced in. Arg: "q115lowdirty".
+    if (args.contains("q115lowdirty")) {
+      val prevLd = docs.filter($"doc_id" % 170L =!= 3L)
+      val curLd = docs.filter($"doc_id" % 190L =!= 7L)
+        .localCheckpoint(true)
+      val prevDig = prevLd.select($"doc_id",
+        md5(when($"doc_id" % 130L === 5L, concat($"text", lit(":prev")))
+          .otherwise($"text").cast("binary")).as("prev_digest"))
+      val curDig = curLd.select($"doc_id",
+        md5($"text".cast("binary")).as("cur_digest"))
+      val diffLd = Corpus.snapshotDiffOf(prevDig, curDig)
+        .localCheckpoint(true)
+      diffLd.groupBy($"status").count().orderBy($"status").collect()
+        .foreach(r => println(s"  low-dirty diff ${r.get(0)}: ${r.get(1)}"))
+      var prevSpans: DataFrame = null; var prevOut: DataFrame = null
+      time("q115 low-dirty stored span state build (not charged)") {
+        prevSpans = Dedup.spansOf(Dedup.spanToksFrom(prevLd))
+          .localCheckpoint(true)
+        prevOut = Dedup.spanDedupFrom(prevLd).localCheckpoint(true)
+      }
+      // the timed workload must be a CHECKSUM, not count(): the
+      // rebuild hangs off a row-preserving left join, so count()
+      // lets Catalyst prune the whole dup machinery off the batch
+      // side (measured: 50k-doc "full build" in 0.14 s — a no-op)
+      def checksum(df: DataFrame): Long = df
+        .agg((sum($"n_removed") +
+          sum(length($"cleaned_text").cast("long")) +
+          count(lit(1))).as("c"))
+        .collect()(0).getLong(0)
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(checksum(Dedup.spanDedupFrom(curLd)))
+        val (ti, ni) = secs(checksum(Dedup.incrementalSpanDedupOf(
+          prevSpans, prevOut, curLd, diffLd)))
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental span dedup checksum diverged: $incrN vs $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q115 low-dirty ${reps}x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(checksum $fullN)")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q116 at 10× with the LOW (~1.9%) dirty
+    // fraction — the q92-family receipt on the classifier: the
+    // saving is the corpus text pass; the rescore-all is charged to
+    // both sides. Arg: "q116lowdirty".
+    if (args.contains("q116lowdirty")) {
+      val prevLd = docs.filter($"doc_id" % 170L =!= 3L)
+      val curLd = docs.filter($"doc_id" % 190L =!= 7L)
+        .localCheckpoint(true)
+      val prevDig = prevLd.select($"doc_id",
+        md5(when($"doc_id" % 130L === 5L, concat($"text", lit(":prev")))
+          .otherwise($"text").cast("binary")).as("prev_digest"))
+      val curDig = curLd.select($"doc_id",
+        md5($"text".cast("binary")).as("cur_digest"))
+      val diffLd = Corpus.snapshotDiffOf(prevDig, curDig)
+        .localCheckpoint(true)
+      var prevTf: DataFrame = null; var meta: DataFrame = null
+      var trainTf: DataFrame = null; var wc: DataFrame = null
+      var cdoc: DataFrame = null
+      time("q116 low-dirty stored model state build (not charged)") {
+        prevTf = Classify.docTf(prevLd).localCheckpoint(true)
+        val prevTrain = Classify.trainSlice(prevLd)
+        meta = prevTrain.select($"doc_id", $"lang").localCheckpoint(true)
+        trainTf = Classify.docTf(prevTrain).join(meta, Seq("doc_id"))
+          .select($"doc_id", $"lang", $"token", $"tf")
+          .localCheckpoint(true)
+        wc = trainTf.groupBy($"lang", $"token").agg(sum($"tf").as("cnt"))
+          .localCheckpoint(true)
+        cdoc = meta.groupBy($"lang").agg(count(lit(1)).as("n_docs_c"))
+          .localCheckpoint(true)
+      }
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      // checksum workload (prediction-dependent), not count(): the
+      // same pruning trap as q115's protocol
+      def checksum(df: DataFrame): Long = df
+        .agg((sum(when($"correct", 1L).otherwise(0L)) + count(lit(1)))
+          .as("c")).collect()(0).getLong(0)
+      val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var fullN = -1L; var incrN = -1L
+      for (p <- 1 to 3) {
+        val (tf, nf) = secs(checksum(Classify.nbClassifyFrom(curLd)))
+        val (ti, ni) = secs(checksum(Classify.incrementalNbClassifyOf(
+          prevTf, meta, trainTf, wc, cdoc, curLd, diffLd)))
+        fulls += tf; incrs += ti; fullN = nf; incrN = ni
+        println(f"  pass $p: full $tf%.2f s, incremental $ti%.2f s")
+      }
+      require(fullN == incrN,
+        s"incremental NB checksum diverged: $incrN vs $fullN")
+      val spread = math.max(fulls.max / fulls.min, incrs.max / incrs.min)
+      println(f"q116 low-dirty ${reps}x: full min ${fulls.min}%.2f s, " +
+        f"incremental min ${incrs.min}%.2f s, ratio " +
+        f"${incrs.min / fulls.min}%.2f, per-side spread ${spread}%.2f " +
+        f"(checksum $fullN)")
       spark.stop()
       return
     }
