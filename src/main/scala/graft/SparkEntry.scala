@@ -136,6 +136,8 @@ object SparkEntry {
     "q114_nb_classifier"    -> (Classify.nbClassify(_, _)),
     "q115_incremental_spandedup" -> (Dedup.incrementalSpanDedup(_, _)),
     "q116_incremental_nb"   -> (Classify.incrementalNbClassify(_, _)),
+    "q117_vocab_drift"      -> (Corpus.vocabDrift(_, _)),
+    "q118_gated_logprob"    -> (Corpus.gatedLogProb(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,6 +334,11 @@ object SparkEntry {
     "q115_incremental_spandedup" -> Dedup.incrementalSpanDedupSql,
     // q116's oracle is the FULL q114 recompute over the new snapshot.
     "q116_incremental_nb"   -> Classify.incrementalNbClassifySql,
+    "q117_vocab_drift"      -> Corpus.vocabDriftSql,
+    // q118's oracle recomputes the q117 verdict in SQL and gates each
+    // branch's SELECT on it — the refit-vs-carry DECISION is inside
+    // the hash gate (the q110 discipline on the text side).
+    "q118_gated_logprob"    -> Corpus.gatedLogProbSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -2051,6 +2051,247 @@ object Corpus {
     s"(SELECT * FROM documents WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes)")
 
   // ---------------------------------------------------------------
+  // q117 — vocabulary-drift gate: the q105 discipline on the TEXT
+  // side. q92 always rescores (so its oracle can be the full
+  // recompute); a deployment that wants to SKIP the rescore when the
+  // model barely moved needs a named, oracle-gated verdict — this
+  // query. Both inputs are vocabularies (the stored one and the
+  // delta-maintained one, which q92 proves byte-equal to a fresh
+  // recompute), so the gate costs two vocab-sized frames and one
+  // aggregate row — never a corpus pass. Two axes, mirroring q105's
+  // churn/dist² split: the SHARE of the union vocabulary whose count
+  // moved (how much of the model surface changed — per-token logprob
+  // staleness tracks this) and the L1 token-mass share of the
+  // movement (how much probability mass moved — aggregate-score
+  // staleness tracks this). A production gate tunes the two
+  // thresholds to which property its consumers depend on.
+  // ---------------------------------------------------------------
+
+  /** Refit when more than 20% of the union vocabulary moved, or more
+    * than 10% of token mass. */
+  val VocabRefitMovedShare = 0.20
+  val VocabRefitMassShare = 0.10
+
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, prevVocab, _, diff) = tfState(spark, dir)
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    val freshTf = tfFrom(snapshotCur(Tables.documents(spark, dir))
+      .join(broadcast(toTokenize), Seq("doc_id")))
+    vocabDriftVerdictOf(prevVocab,
+      maintainedVocab(prevVocab,
+        lost = prevTf.join(broadcast(dirty), Seq("doc_id")),
+        gained = freshTf))
+  }
+
+  /** One verdict row over two (token, cnt) vocabularies. */
+  def vocabDriftVerdictOf(prevVocab: DataFrame,
+                          newVocab: DataFrame): DataFrame =
+    prevVocab.select($"token", $"cnt".as("prev_cnt"))
+      .join(newVocab.select($"token", $"cnt".as("new_cnt")),
+        Seq("token"), "full_outer")
+      .select(
+        coalesce($"prev_cnt", lit(0L)).as("p"),
+        coalesce($"new_cnt", lit(0L)).as("n"))
+      .agg(
+        count(lit(1)).as("n_tokens_union"),
+        sum(when($"p" =!= $"n", 1L).otherwise(0L)).as("n_tokens_moved"),
+        sum(abs($"n" - $"p")).as("l1"),
+        sum(greatest($"p", $"n")).as("mass"))
+      .select(
+        $"n_tokens_union", $"n_tokens_moved",
+        round($"n_tokens_moved" * lit(1.0) / $"n_tokens_union", 6)
+          .as("moved_share"),
+        round($"l1" * lit(1.0) / $"mass", 6).as("l1_mass_share"))
+      .withColumn("verdict",
+        when($"moved_share" > VocabRefitMovedShare
+            || $"l1_mass_share" > VocabRefitMassShare, "rescore")
+          .otherwise("carry"))
+
+  /** q117 oracle: both vocabularies rebuilt from their snapshots and
+    * the same drift arithmetic — integer sums, 6dp rounds, the same
+    * CASE — so the verdict row hash-matches. The maintained newVocab
+    * is byte-equal to the cur-snapshot recompute (q92's oracle), so
+    * the SQL recomputes both sides from text. */
+  lazy val vocabDriftSql: String =
+    s"""WITH prevd AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % $SnapAddedMod <> $SnapAddedRes),
+       |curd AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes),
+       |pt AS (SELECT unnest(${TextOps.tokensSql}) AS token FROM prevd),
+       |pv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS prev_cnt
+       |       FROM pt GROUP BY 1),
+       |nt AS (SELECT unnest(${TextOps.tokensSql}) AS token FROM curd),
+       |nv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS new_cnt
+       |       FROM nt GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(prev_cnt, 0) AS p, COALESCE(new_cnt, 0) AS n
+       |  FROM pv FULL OUTER JOIN nv USING (token)),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+       |    CAST(SUM(CASE WHEN p <> n THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_tokens_moved,
+       |    CAST(SUM(ABS(n - p)) AS BIGINT) AS l1,
+       |    CAST(SUM(GREATEST(p, n)) AS BIGINT) AS mass
+       |  FROM j)
+       |SELECT n_tokens_union, n_tokens_moved,
+       |  ROUND(n_tokens_moved * 1.0 / n_tokens_union, 6) AS moved_share,
+       |  ROUND(l1 * 1.0 / mass, 6) AS l1_mass_share,
+       |  CASE WHEN ROUND(n_tokens_moved * 1.0 / n_tokens_union, 6)
+       |         > $VocabRefitMovedShare
+       |       OR ROUND(l1 * 1.0 / mass, 6) > $VocabRefitMassShare
+       |       THEN 'rescore' ELSE 'carry' END AS verdict
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q118 — drift-gated logprob maintenance: q117's verdict ACTING
+  // (the q110 decision loop on the text side). carry = unchanged docs
+  // keep their STORED q74 scores (stale within the gate's bound —
+  // the whole point of carrying) while added/changed docs score
+  // against the delta-maintained vocabulary; rescore = q92's full
+  // rescore from maintained tables (byte-equal to the q74 rebuild).
+  // The branch taken rides the output as `maintenance_path`, and the
+  // oracle recomputes the verdict and gates each branch's SELECT on
+  // it — the DECISION is inside the hash gate. The one-row verdict
+  // collects driver-side (scalar control, the q62-checksum
+  // discipline).
+  //
+  // 100 TB shape: the gate is vocab-sized; the carry branch touches
+  // stored scores (broadcast anti-join) + dirty-slice scoring only —
+  // the cheapest possible nightly; the rescore branch is q92's
+  // receipts. Either way, zero text processing outside the diff.
+  // ---------------------------------------------------------------
+
+  /** Stored prev-snapshot q74 scores (published alongside the tf
+    * state by the previous nightly run), memoized per corpus dir. */
+  private val scoreStateMap = scala.collection.concurrent.TrieMap
+    .empty[String, (String, DataFrame)]
+
+  private def storedLogProbScores(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val fp = Dedup.docsFingerprint(spark, dir)
+    scoreStateMap.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val st = unigramLogProbFrom(
+            snapshotPrev(Tables.documents(spark, dir)))
+          .localCheckpoint(true)
+        scoreStateMap.put(dir, (fp, st))
+        st
+    }
+  }
+
+  def gatedLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val (prevTf, prevVocab, _, diff) = tfState(spark, dir)
+    gatedLogProbOf(prevTf, prevVocab, storedLogProbScores(spark, dir),
+      snapshotCur(Tables.documents(spark, dir)), diff)
+  }
+
+  def gatedLogProbOf(prevTf: DataFrame, prevVocab: DataFrame,
+                     prevScores: DataFrame, curDocs: DataFrame,
+                     diff: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
+    val toTokenize = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id")
+    val freshTf = tfFrom(curDocs.join(broadcast(toTokenize), Seq("doc_id")))
+      .localCheckpoint(false)
+    val newVocab = maintainedVocab(prevVocab,
+      lost = prevTf.join(broadcast(dirty), Seq("doc_id")),
+      gained = freshTf)
+      .localCheckpoint(false)
+    val verdict = vocabDriftVerdictOf(prevVocab, newVocab)
+      .select($"verdict").head().getString(0)
+    val out =
+      if (verdict == "rescore") {
+        val newTf = prevTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+          .unionByName(freshTf)
+        scoreTf(newTf, newVocab)
+      } else
+        prevScores.join(broadcast(dirty), Seq("doc_id"), "left_anti")
+          .unionByName(scoreTf(freshTf, newVocab))
+    out.withColumn("maintenance_path", lit(verdict)).orderBy($"doc_id")
+  }
+
+  /** q118 oracle: the q117 drift CTEs compute the same verdict and
+    * each branch's SELECT is gated on it — rescore = the full q74
+    * rebuild over the new snapshot (q92's proven equivalence), carry
+    * = prev-snapshot scores for unchanged docs UNION cur-vocabulary
+    * scores for the fresh slice. */
+  lazy val gatedLogProbSql: String = {
+    def scoredCte(src: String, sfx: String) =
+      s"""tok$sfx AS (
+         |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token FROM $src),
+         |tf$sfx AS (SELECT doc_id, token, COUNT(*) AS tf
+         |           FROM tok$sfx GROUP BY 1, 2),
+         |vocab$sfx AS (
+         |  SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+         |  FROM tf$sfx GROUP BY 1),
+         |tot$sfx AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total
+         |            FROM vocab$sfx),
+         |sc$sfx AS (
+         |  SELECT t.doc_id, t.tf,
+         |    CAST(ROUND(ln(CAST(v.cnt AS DOUBLE) / total), 6)
+         |         AS DECIMAL(18,6)) AS lp
+         |  FROM tf$sfx t JOIN vocab$sfx v USING (token)
+         |  CROSS JOIN tot$sfx),
+         |doc$sfx AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |    ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6)
+         |      AS avg_logprob,
+         |    ROUND(CAST(SUM(tf * lp) AS DOUBLE) / SUM(tf), 6)
+         |      >= $MinAvgLogProb AS keep
+         |  FROM sc$sfx GROUP BY 1)""".stripMargin
+    s"""WITH prevd AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % $SnapAddedMod <> $SnapAddedRes),
+       |curd AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % $SnapRemovedMod <> $SnapRemovedRes),
+       |pt AS (SELECT unnest(${TextOps.tokensSql}) AS token FROM prevd),
+       |pv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS prev_cnt
+       |       FROM pt GROUP BY 1),
+       |nt AS (SELECT unnest(${TextOps.tokensSql}) AS token FROM curd),
+       |nv AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS new_cnt
+       |       FROM nt GROUP BY 1),
+       |jd AS (
+       |  SELECT COALESCE(prev_cnt, 0) AS p, COALESCE(new_cnt, 0) AS n
+       |  FROM pv FULL OUTER JOIN nv USING (token)),
+       |vr AS (
+       |  SELECT CASE
+       |    WHEN ROUND(SUM(CASE WHEN p <> n THEN 1 ELSE 0 END) * 1.0
+       |               / COUNT(*), 6) > $VocabRefitMovedShare
+       |      OR ROUND(SUM(ABS(n - p)) * 1.0 / SUM(GREATEST(p, n)), 6)
+       |         > $VocabRefitMassShare
+       |    THEN 'rescore' ELSE 'carry' END AS verdict
+       |  FROM jd),
+       |statusd AS (
+       |  SELECT COALESCE(pd.doc_id, cd.doc_id) AS doc_id,
+       |    CASE WHEN pd.doc_id IS NULL THEN 'added'
+       |         WHEN cd.doc_id IS NULL THEN 'removed'
+       |         WHEN pd.doc_id % $SnapChangedMod = $SnapChangedRes
+       |           THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM prevd pd FULL OUTER JOIN curd cd ON pd.doc_id = cd.doc_id),
+       |${scoredCte("curd", "_c")},
+       |${scoredCte("prevd", "_p")}
+       |SELECT doc_id, n_tokens, avg_logprob, keep,
+       |  (SELECT verdict FROM vr) AS maintenance_path FROM (
+       |  SELECT d.* FROM doc_c d CROSS JOIN vr WHERE vr.verdict = 'rescore'
+       |  UNION ALL
+       |  SELECT d.* FROM doc_p d
+       |  JOIN statusd s USING (doc_id) CROSS JOIN vr
+       |  WHERE vr.verdict = 'carry' AND s.status = 'unchanged'
+       |  UNION ALL
+       |  SELECT d.* FROM doc_c d
+       |  JOIN statusd s USING (doc_id) CROSS JOIN vr
+       |  WHERE vr.verdict = 'carry' AND s.status IN ('added', 'changed'))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q96 — snapshot drift report: the per-source ops view a crawl
   // refresh publishes alongside the q84 diff — how much each source
   // grew, shrank, and churned between snapshots. This is the dataset

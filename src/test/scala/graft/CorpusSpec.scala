@@ -817,6 +817,61 @@ class CorpusSpec extends AnyFunSuite {
     assert(out((1L, "alpha"))._3 === expected)
   }
 
+  test("q117 vocab drift: identical vocabularies carry with zero " +
+       "movement; a shifted vocabulary trips the rescore verdict") {
+    val v = Seq(("alpha", 3L), ("beta", 2L)).toDF("token", "cnt")
+    val same = Corpus.vocabDriftVerdictOf(v, v).collect().head
+    assert(same.getLong(1) === 0L && same.getDouble(2) === 0.0 &&
+      same.getDouble(3) === 0.0 && same.getString(4) === "carry")
+    val shifted = Seq(("alpha", 9L), ("gamma", 4L)).toDF("token", "cnt")
+    val drift = Corpus.vocabDriftVerdictOf(v, shifted).collect().head
+    // all 3 union tokens moved (alpha 3→9, beta 2→0, gamma 0→4)
+    assert(drift.getLong(0) === 3L && drift.getLong(1) === 3L)
+    assert(drift.getString(4) === "rescore")
+  }
+
+  test("q118 on the fixture: the drifted diff takes the rescore " +
+       "branch and lands byte-identical to the full q74 rebuild") {
+    val curDocs = Tables.documents(spark, sf)
+      .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)
+    val out = Corpus.gatedLogProb(spark, sf).collect()
+    assert(out.forall(_.getString(4) === "rescore"),
+      "the fixture diff moves most of a 31-token vocabulary — carry " +
+        "would mean the gate is broken")
+    val full = Corpus.unigramLogProbFrom(curDocs).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getBoolean(3))).toSeq ===
+      full.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq)
+  }
+
+  test("q118 carry branch: an undrifted diff keeps STORED scores for " +
+       "unchanged docs (sentinel) and scores only the fresh slice " +
+       "against the maintained vocabulary") {
+    // 10-token vocabulary, one added doc reusing one token: moved
+    // share 1/10 = 0.1 ≤ 0.2, mass share 1/11 ≈ 0.091 ≤ 0.1 → carry
+    val prevDocs = docsFrame(1L -> "a b c d e", 2L -> "f g h i j")
+    val prevTf = Corpus.tfFrom(prevDocs)
+    val prevVocab = Corpus.vocabFromTf(prevTf)
+    val prevScores = Corpus.unigramLogProbFrom(prevDocs)
+      .withColumn("n_tokens", lit(-77L))
+    val diff = Seq((1L, "unchanged"), (2L, "unchanged"), (3L, "added"))
+      .toDF("doc_id", "status")
+    val curDocs = docsFrame(1L -> "a b c d e", 2L -> "f g h i j",
+      3L -> "a")
+    val out = Corpus.gatedLogProbOf(prevTf, prevVocab, prevScores,
+        curDocs, diff).collect()
+    assert(out.forall(_.getString(4) === "carry"))
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byDoc(1L)._1 === -77L && byDoc(2L)._1 === -77L,
+      "unchanged docs were rescored under carry")
+    // doc 3 scores against the MAINTAINED vocab: a=2 of total 11
+    val expected = BigDecimal(math.log(2.0 / 11.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byDoc(3L) === ((1L, expected)))
+  }
+
   test("q108 bigram logprob: hand arithmetic on a three-bigram corpus") {
     // docs: "a b c" and "a b b" → model B(a,b)=2, B(b,c)=1, B(b,b)=1;
     // contexts C(a)=2, C(b)=2 → lp(a,b)=ln(1)=0, lp(b,c)=lp(b,b)=ln(.5)
