@@ -138,6 +138,7 @@ object SparkEntry {
     "q116_incremental_nb"   -> (Classify.incrementalNbClassify(_, _)),
     "q117_vocab_drift"      -> (Corpus.vocabDrift(_, _)),
     "q118_gated_logprob"    -> (Corpus.gatedLogProb(_, _)),
+    "q119_streaming_decontam" -> (graft.streaming.StreamingCorpus.decontamViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +340,9 @@ object SparkEntry {
     // branch's SELECT on it — the refit-vs-carry DECISION is inside
     // the hash gate (the q110 discipline on the text side).
     "q118_gated_logprob"    -> Corpus.gatedLogProbSql,
+    // q119's oracle is the BATCH q59 SQL: ingest-time decontamination
+    // must land exactly where the one-shot broadcast semi-join does.
+    "q119_streaming_decontam" -> Corpus.decontaminateSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

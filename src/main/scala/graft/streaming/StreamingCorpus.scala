@@ -667,4 +667,85 @@ object StreamingCorpus {
       .write.mode("overwrite").parquet(staged)
     semanticDedupStream(spark, staged, cb, maxFilesPerTrigger = Some(1))
   }
+
+  // ---------------------------------------------------------------
+  // q119 — streaming benchmark decontamination: q59 at INGEST, the
+  // last corpus filter without a streaming twin. The benchmark n-gram
+  // set is a PUBLISHED artifact (an eval suite exists before the
+  // crawl), so it builds once batch-side and broadcasts into every
+  // micro-batch; contamination is doc-local against that static set,
+  // so each arriving document is flagged in the batch it arrives in —
+  // no cross-batch state machine at all (strictly simpler than
+  // q71/q106, the same observation that made q106 simpler than q71).
+  // The per-batch flag rows append to a log; replay (foreachBatch is
+  // at-least-once) is a no-op because the drain-time read
+  // deduplicates by doc_id — the q71 append-only discipline.
+  //
+  // 100 TB shape: per batch, one shingle Generator pass over the
+  // arriving slice + a map-side broadcast join against the eval-suite
+  // fp set — the batch q59 plan, paid incrementally; no corpus
+  // shuffle, bounded memory (the bench set), linear total work.
+  // ---------------------------------------------------------------
+
+  private val decontamOutSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shared_ngrams", LongType),
+    StructField("total_ngrams", LongType),
+    StructField("contamination", DoubleType)))
+
+  /** Drain `docsPath` through ingest-time decontamination and return
+    * the contaminated-doc table — the q59 shape. `bench` = the
+    * published benchmark fp set (one `fp` column). */
+  def decontamStream(spark: SparkSession, docsPath: String,
+                     bench: DataFrame,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Corpus
+    val root = StreamingClean.trackedTempDir("graft-dc-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-dc-ckpt-")
+    val q = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .filter($"doc_id" >= Corpus.BenchmarkMaxDocId)
+      .writeStream
+      .queryName("graft_streaming_decontam_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.functions.TextExpressions.register(batch.sparkSession)
+        val fps = batch.select($"doc_id",
+            expr(s"graft_shingle_fps(text, ${Corpus.DecontamK})").as("fp"))
+          .localCheckpoint(false)
+        val totals = fps.groupBy($"doc_id")
+          .agg(count(lit(1)).as("total_ngrams"))
+        val shared = fps.join(broadcast(bench), Seq("fp"))
+          .groupBy($"doc_id").agg(count(lit(1)).as("shared_ngrams"))
+        shared.join(totals, Seq("doc_id"))
+          .select($"doc_id", $"shared_ngrams", $"total_ngrams",
+            round($"shared_ngrams" * lit(1.0) / $"total_ngrams", 6)
+              .as("contamination"))
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    readLog(spark, s"$root/out", decontamOutSchema)
+      .dropDuplicates("doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** q119 — streaming-vs-batch decontamination parity: fixture corpus
+    * staged as four ranged files, one per micro-batch; the benchmark
+    * set derives batch-side exactly as q59 derives it. Oracle = the
+    * batch q59 SQL. */
+  def decontamViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Corpus
+    graft.functions.TextExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = docs.filter($"doc_id" < Corpus.BenchmarkMaxDocId)
+      .select(expr(s"graft_shingle_fps(text, ${Corpus.DecontamK})").as("fp"))
+      .distinct().localCheckpoint(true)
+    val staged = StreamingClean.trackedTempDir("graft-dc-in-") + "/docs"
+    docs.repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    decontamStream(spark, staged, bench, maxFilesPerTrigger = Some(1))
+  }
 }

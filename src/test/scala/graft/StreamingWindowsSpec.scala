@@ -395,6 +395,19 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     assert(kept === Seq(5L, 9L))
   }
 
+  test("q119 streaming decontamination == batch q59 on the fixture " +
+       "corpus, and only corpus docs are flagged") {
+    val streamed = StreamingCorpus.decontamViaStreaming(spark, sf)
+      .collect()
+    val batch = graft.operators.Corpus.decontaminate(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+    streamed.foreach { r =>
+      assert(r.getLong(0) >= graft.operators.Corpus.BenchmarkMaxDocId,
+        "a benchmark doc leaked into the contamination report")
+      assert(r.getLong(1) > 0L, "an uncontaminated doc was reported")
+    }
+  }
+
   test("a replayed micro-batch is a no-op: foreachBatch is " +
        "at-least-once, append-only logs + read-side dedup absorb it") {
     val codebook = Array(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
