@@ -139,6 +139,8 @@ object SparkEntry {
     "q117_vocab_drift"      -> (Corpus.vocabDrift(_, _)),
     "q118_gated_logprob"    -> (Corpus.gatedLogProb(_, _)),
     "q119_streaming_decontam" -> (graft.streaming.StreamingCorpus.decontamViaStreaming(_, _)),
+    "q120_pq_codes"         -> (VectorOps.pqCodes(_, _)),
+    "q121_pq_adc_topk"      -> (VectorOps.pqAdcTopK(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -343,6 +345,8 @@ object SparkEntry {
     // q119's oracle is the BATCH q59 SQL: ingest-time decontamination
     // must land exactly where the one-shot broadcast semi-join does.
     "q119_streaming_decontam" -> Corpus.decontaminateSql,
+    "q120_pq_codes"         -> VectorOps.pqCodesSql,
+    "q121_pq_adc_topk"      -> VectorOps.pqAdcTopKSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1302,4 +1302,230 @@ object VectorOps {
        |FROM exact_k e LEFT JOIN approx_k a
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q120/q121 — product quantization (Jégou et al. 2011, "Product
+  // Quantization for Nearest Neighbor Search"): the vector-COMPRESSION
+  // half of the ANN story. IVF (q50/q54) prunes which vectors a query
+  // touches; PQ shrinks what each touched vector costs: the 64-dim
+  // embedding splits into [[PqM]] contiguous 16-dim subvectors, each
+  // quantized independently against its own small codebook, so a
+  // vector stores as M small codes (M bytes at 256 cells) instead of
+  // 64 floats — a 256× memory reduction at production parameters, the
+  // difference between an index that fits executor memory at 10⁹
+  // vectors and one that doesn't.
+  //
+  // q120 is the write-path (codes per vector); q121 is the read-path:
+  // ADC (asymmetric distance) search, where the QUERY stays full-
+  // precision and dist²(q, x) ≈ Σ_m dist²(q_m, codebook_m[code_m(x)])
+  // — per query a (M × cells) lookup table is built once, and each
+  // candidate costs M table lookups + adds, never a full-dimension
+  // scan. Distances are approximate BY DESIGN (quantization error);
+  // determinism is exact, which is what the oracle hashes.
+  //
+  // The subspace codebooks follow the [[fittedCentroids]] discipline
+  // exactly — data-derived seeds (vec_id % 100), [[IvfFitRounds]]
+  // Lloyd rounds, 6dp-quantized DECIMAL means — so the fit is
+  // BIT-IDENTICAL in both engines; the m column rides the group keys
+  // and all four subspaces fit in ONE plan (no per-subspace loop).
+  //
+  // 100 TB shape: the fit samples/broadcasts like IVF's; encoding is
+  // one broadcast-codebook scan (M·cells tiny rows); the ADC LUT is
+  // queries × M × cells — driver-scale — and broadcasts into the
+  // codes scan, so search is one map-side join + a partial-aggregated
+  // per-(query, vec) sum + TopK. No full-precision corpus access on
+  // the read path at all: that is the point.
+  // ---------------------------------------------------------------
+
+  /** Subspace count (64 dims → 4 × 16). */
+  val PqM = 4
+  val PqSubDim: Int = VecDim / PqM
+
+  /** (vec_id, m, sv): the row-local subvector explode. */
+  private[graft] def subVecs(all: DataFrame): DataFrame =
+    all.select($"vec_id", explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  m -> named_struct('m', m,
+         |    'sv', slice(v, m * $PqSubDim + 1, $PqSubDim)))""".stripMargin))
+      .as("s"))
+      .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+
+  /** Nearest-subcentroid assignment within each subspace — the
+    * assignCells argmin (min-struct, map-side combining) with m in
+    * the group key and the join key, so one plan assigns all four
+    * subspaces. */
+  private[graft] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("m"))
+      .withColumn("dist2", round(expr("graft_sqdist(sv, cv)"), 6))
+      .groupBy($"vec_id", $"m")
+      .agg(min(struct($"dist2", $"centroid_id", $"sv")).as("x"))
+      .select($"vec_id", $"m", $"x.centroid_id".as("code"),
+        $"x.dist2".as("dist2"), $"x.sv".as("sv"))
+
+  /** The four per-subspace codebooks as one (m, centroid_id, cv)
+    * frame, Lloyd-fitted with the fittedCentroids decimal-mean
+    * discipline. */
+  private[graft] def pqCodebooksFrom(all: DataFrame): DataFrame = {
+    val sv = subVecs(all).localCheckpoint(false)
+    var cents = sv.filter($"vec_id" % 100 === 0)
+      .select($"m", $"vec_id".as("centroid_id"), $"sv".as("cv"))
+    for (_ <- 1 to IvfFitRounds) {
+      val assigned = pqAssign(sv, cents)
+      val mean = assigned
+        .select($"m", $"code", posexplode($"sv").as(Seq("pos", "val")))
+        .groupBy($"m", $"code", $"pos")
+        .agg((sum(round($"val", 6).cast(DecimalType(18, 6)))
+          .cast(DoubleType) / count(lit(1))).as("c"))
+      cents = mean.groupBy($"m", $"code")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"c"))),
+          x => x("c")).as("cv"))
+        .select($"m", $"code".as("centroid_id"), $"cv")
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
+  /** PQ codebooks memoized per corpus dir (the `codebooks` rule: the
+    * fit is the offline write-path step; maintenance/search LOAD the
+    * published artifact). */
+  private val pqBooks = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Array[(Int, Long, Seq[Double])])]
+
+  private def pqCodebookRowsFor(spark: SparkSession,
+                                dir: String): Array[(Int, Long, Seq[Double])] = {
+    val fp = corpusFingerprint(dir)
+    pqBooks.get(dir) match {
+      case Some((`fp`, rows)) => rows
+      case _ =>
+        val rows = pqCodebooksFrom(vecs(spark, dir)).collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
+        pqBooks.put(dir, (fp, rows))
+        rows
+    }
+  }
+
+  private def pqCodebookDf(spark: SparkSession, dir: String): DataFrame =
+    spark.createDataFrame(pqCodebookRowsFor(spark, dir).toIndexedSeq)
+      .toDF("m", "centroid_id", "cv")
+
+  /** q120 — the encoded corpus: (vec_id, m, code, dist2), the
+    * quantization write-path. dist2 is the per-subspace quantization
+    * error — the storage-quality number a PQ deployment monitors. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    pqAssign(subVecs(vecs(spark, dir)), pqCodebookDf(spark, dir))
+      .select($"vec_id", $"m", $"code", $"dist2")
+      .orderBy($"vec_id", $"m")
+
+  /** q121 — ADC top-k: full-precision queries against the encoded
+    * corpus. The LUT (queries × M × cells) broadcasts; per-candidate
+    * cost is M lookups + an exact DECIMAL sum. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val cents = pqCodebookDf(spark, dir)
+    val codes = pqAssign(subVecs(all), cents)
+      .select($"vec_id", $"m", $"code")
+    val qsv = subVecs(all.filter($"vec_id" < NumQueries))
+      .select($"vec_id".as("query_id"), $"m", $"sv".as("qsv"))
+    val lut = qsv.join(cents, Seq("m"))
+      .select($"query_id", $"m", $"centroid_id",
+        round(expr("graft_sqdist(qsv, cv)"), 6).as("d"))
+    val adc = codes
+      .join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("centroid_id")
+          && codes("vec_id") =!= lut("query_id"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(round(sum($"d".cast(DecimalType(18, 6))).cast(DoubleType), 6)
+        .as("adc_dist2"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist2".asc, $"vec_id".asc)
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc_dist2",
+        $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle CTE chain mirroring [[pqCodebooksFrom]] + [[pqAssign]]:
+    * seeds per subspace, [[IvfFitRounds]] Lloyd rounds with m in
+    * every group key, final assignment as `pcodes`. */
+  private lazy val pqCtes: String = {
+    def d2(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""sub AS (
+         |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         |    v[CAST(m * $PqSubDim + 1 AS INTEGER) :
+         |      CAST(m * $PqSubDim + $PqSubDim AS INTEGER)] AS sv
+         |  FROM normed, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+         |pcents0 AS (
+         |  SELECT m, vec_id AS centroid_id, sv AS cv FROM sub
+         |  WHERE vec_id % 100 = 0)""".stripMargin)
+    for (r <- 1 to IvfFitRounds) {
+      sb.append(s""",
+        |passign$r AS (
+        |  SELECT vec_id, m, centroid_id AS code, sv FROM (
+        |    SELECT a.vec_id, a.m, c.centroid_id, a.sv,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
+        |        ORDER BY ROUND(${d2("a.sv")}, 6) ASC, c.centroid_id ASC)
+        |        AS rn
+        |    FROM sub a JOIN pcents${r - 1} c ON a.m = c.m)
+        |  WHERE rn = 1),
+        |pmean$r AS (
+        |  SELECT m, code, i,
+        |    CAST(SUM(CAST(ROUND(sv[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*) AS c
+        |  FROM passign$r,
+        |    (SELECT CAST(unnest(generate_series(1, $PqSubDim)) AS INTEGER)
+        |       AS i)
+        |  GROUP BY m, code, i),
+        |pcents$r AS (
+        |  SELECT m, code AS centroid_id, list(c ORDER BY i) AS cv
+        |  FROM pmean$r GROUP BY m, code)""".stripMargin)
+    }
+    sb.append(s""",
+      |pcents AS (SELECT m, centroid_id, cv FROM pcents$IvfFitRounds),
+      |pcodes AS (
+      |  SELECT vec_id, m, centroid_id AS code, dist2 FROM (
+      |    SELECT a.vec_id, a.m, c.centroid_id,
+      |      ROUND(${d2("a.sv")}, 6) AS dist2,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
+      |        ORDER BY ROUND(${d2("a.sv")}, 6) ASC, c.centroid_id ASC)
+      |        AS rn
+      |    FROM sub a JOIN pcents c ON a.m = c.m)
+      |  WHERE rn = 1)""".stripMargin)
+    sb.toString
+  }
+
+  lazy val pqCodesSql: String =
+    s"""WITH $vecsCte,
+       |$pqCtes
+       |SELECT vec_id, m, code, dist2 FROM pcodes
+       |ORDER BY vec_id, m""".stripMargin
+
+  lazy val pqAdcTopKSql: String = {
+    def d2(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH $vecsCte,
+       |$pqCtes,
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.centroid_id,
+       |    ROUND(${d2("q.sv")}, 6) AS d
+       |  FROM sub q JOIN pcents c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    ROUND(CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |      AS adc_dist2
+       |  FROM pcodes cd JOIN lut l
+       |    ON l.m = cd.m AND l.centroid_id = cd.code
+       |   AND cd.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -521,4 +521,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"),
       s"corpus tokenization leaked above the delta checkpoint:\n${p.take(3000)}")
   }
+
+  test("q120 PQ encoding: the codebook broadcasts into one corpus " +
+       "scan — no cartesian, no window (argmin is the min-struct " +
+       "aggregate)") {
+    val p = plan("q120_pq_codes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the PQ codebook must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+    assert(!p.contains("RunningWindowFunction") &&
+      !p.contains("Window "),
+      s"argmin must be the min-struct aggregate, not a window:\n${p.take(3000)}")
+  }
+
+  test("q121 ADC search: the distance LUT broadcasts into the codes " +
+       "scan — the read path never touches full-precision corpus " +
+       "vectors beyond encoding") {
+    val p = plan("q121_pq_adc_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ADC LUT must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
 }

@@ -1169,6 +1169,58 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L)._1 === -77L, "unaffected doc was rebuilt")
   }
 
+  test("q120 PQ: hand arithmetic — a single-seed corpus converges to " +
+       "the per-subspace mean, codes and quantization errors exact") {
+    import spark.implicits._
+    // three 64-dim vectors: two all-zero, one all-four; only vec 0
+    // seeds (0 % 100 == 0) → every subspace has ONE cell whose Lloyd
+    // mean is (0+0+4)/3 per position
+    val emb = Seq(
+      (0L, Array.fill(64)(0.0f)), (1L, Array.fill(64)(0.0f)),
+      (2L, Array.fill(64)(4.0f))).toDF("vec_id", "embedding")
+    val all = VectorOps.vecsFrom(emb)
+    val out = VectorOps.pqAssign(VectorOps.subVecs(all),
+        VectorOps.pqCodebooksFrom(all)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 12, "3 vectors x 4 subspaces")
+    val mean = 4.0 / 3.0
+    val dZero = BigDecimal(16.0 * mean * mean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // 28.444444
+    val dFour = BigDecimal(16.0 * (4.0 - mean) * (4.0 - mean))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // 113.777778
+    (0 until 4).foreach { m =>
+      assert(out((0L, m)) === ((0L, dZero)))
+      assert(out((1L, m)) === ((0L, dZero)))
+      assert(out((2L, m)) === ((0L, dFour)))
+    }
+  }
+
+  test("q120/q121 on the fixture: complete encoding (one code per " +
+       "vector x subspace), codes drawn from the codebooks, ADC " +
+       "neighbors ranked by non-decreasing distance") {
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val codes = VectorOps.pqCodes(spark, sf).collect()
+    assert(codes.length.toLong === nVecs * VectorOps.PqM)
+    val bookIds = VectorOps.pqCodebooksFrom(
+        VectorOps.vecsFrom(Tables.embeddings(spark, sf))).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    codes.foreach { r =>
+      assert(bookIds.contains((r.getInt(1), r.getLong(2))),
+        s"code outside the fitted codebook: ${r.toSeq}")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    val adc = VectorOps.pqAdcTopK(spark, sf).collect()
+    val byQuery = adc.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === VectorOps.TopK)
+      val ds = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"query $q: ADC distances not non-decreasing with rank")
+      assert(rows.forall(_.getLong(1) != q), "self returned as neighbor")
+    }
+  }
+
   test("q99 on a hand corpus: a cross-source near-dup lands in the " +
        "off-diagonal cell") {
     import spark.implicits._
