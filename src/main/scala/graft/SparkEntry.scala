@@ -141,6 +141,7 @@ object SparkEntry {
     "q119_streaming_decontam" -> (graft.streaming.StreamingCorpus.decontamViaStreaming(_, _)),
     "q120_pq_codes"         -> (VectorOps.pqCodes(_, _)),
     "q121_pq_adc_topk"      -> (VectorOps.pqAdcTopK(_, _)),
+    "q122_ivfpq_topk"       -> (VectorOps.ivfPqTopK(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -347,6 +348,7 @@ object SparkEntry {
     "q119_streaming_decontam" -> Corpus.decontaminateSql,
     "q120_pq_codes"         -> VectorOps.pqCodesSql,
     "q121_pq_adc_topk"      -> VectorOps.pqAdcTopKSql,
+    "q122_ivfpq_topk"       -> VectorOps.ivfPqTopKSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

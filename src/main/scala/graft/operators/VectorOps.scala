@@ -1528,4 +1528,116 @@ object VectorOps {
        |  FROM adc)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q122 — IVF-PQ search (IVFADC): the two halves composed into the
+  // production ANN architecture (FAISS's default index family).
+  // IVF prunes: each query probes its [[NumProbes]] nearest coarse
+  // cells and touches only those cells' members (the q54 read path).
+  // PQ compresses: the touched members are ranked by ADC over their
+  // codes (the q121 read path) — so the search scans probes/cells of
+  // the corpus AND reads M bytes per candidate instead of the full
+  // vector. Neither q54 (full-precision members) nor q121 (all
+  // members) has both properties; q122 is the one a 10⁹-vector
+  // deployment runs.
+  //
+  // 100 TB shape: the code table partitions by cell_id (the IVF
+  // layout); probes (queries × NumProbes) and the ADC LUT
+  // (queries × M × cells) are driver-scale and broadcast, so the
+  // whole read path is map-side joins over the probed partitions +
+  // one partial-aggregated per-(query, candidate) DECIMAL sum +
+  // TopK. PQ here encodes raw vectors (q120's codebooks verbatim —
+  // one stored artifact serves flat-ADC and IVF-ADC); the classical
+  // residual refinement (encode x − coarse_centroid) needs
+  // residual-fitted codebooks and buys precision, not a different
+  // plan shape.
+  // ---------------------------------------------------------------
+
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val coarse = codebookFor(spark, dir)
+    val pqc = pqCodebookDf(spark, dir)
+    val assigned = assignCells(all, coarse).select($"vec_id", $"cell_id")
+    val codes = pqAssign(subVecs(all), pqc)
+      .select($"vec_id", $"m", $"code")
+      .join(assigned, Seq("vec_id"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"qdist2".asc, $"centroid_id".asc)
+    val probes = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+      .crossJoin(broadcast(coarse))
+      .select($"query_id", $"centroid_id",
+        round(expr("graft_sqdist(qv, cv)"), 6).as("qdist2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= NumProbes)
+      .select($"query_id", $"centroid_id".as("cell_id"))
+    val lut = subVecs(all.filter($"vec_id" < NumQueries))
+      .select($"vec_id".as("query_id"), $"m", $"sv".as("qsv"))
+      .join(pqc, Seq("m"))
+      .select($"query_id", $"m", $"centroid_id".as("code"),
+        round(expr("graft_sqdist(qsv, cv)"), 6).as("d"))
+    val adc = codes
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(round(sum($"d".cast(DecimalType(18, 6))).cast(DoubleType), 6)
+        .as("adc_dist2"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist2".asc, $"vec_id".asc)
+    adc.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"adc_dist2",
+        $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  lazy val ivfPqTopKSql: String = {
+    def d2(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
+    s"""WITH $vecsCte,
+       |$fitCtes,
+       |$pqCtes,
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS cell_id FROM (
+       |    SELECT a.vec_id, c.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ROUND(${d2("a.v")}, 6) ASC, c.centroid_id ASC)
+       |        AS rn
+       |    FROM normed a CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id AS cell_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${d2("q.v")}, 6) ASC, c.centroid_id ASC)
+       |        AS pr
+       |    FROM normed q CROSS JOIN cents c
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE pr <= $NumProbes),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.centroid_id AS code,
+       |    ROUND(${d2("q.sv")}, 6) AS d
+       |  FROM sub q JOIN pcents c ON q.m = c.m
+       |  WHERE q.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT p.query_id, cd.vec_id, cd.m, cd.code
+       |  FROM pcodes cd
+       |  JOIN assigned a ON cd.vec_id = a.vec_id
+       |  JOIN probes p ON a.cell_id = p.cell_id
+       |  WHERE cd.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    ROUND(CAST(SUM(CAST(l.d AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |      AS adc_dist2
+       |  FROM cand JOIN lut l
+       |    ON l.query_id = cand.query_id AND l.m = cand.m
+       |   AND l.code = cand.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_dist2, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -544,4 +544,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"found an unbroadcast cartesian:\n${p.take(3000)}")
   }
+
+  test("q122 IVF-PQ: probes and LUT both broadcast — the read path " +
+       "is map-side joins over the code table, no cartesian") {
+    val p = plan("q122_ivfpq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes/LUT must broadcast into the code scan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
 }

@@ -1221,6 +1221,32 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 IVF-PQ: cell pruning composes with ADC — shared pairs " +
+       "agree with q121 exactly, candidates come from probed cells") {
+    val ivfpq = VectorOps.ivfPqTopK(spark, sf).collect()
+    val flat = VectorOps.pqAdcTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivfpq.nonEmpty)
+    val byQuery = ivfpq.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length <= VectorOps.TopK)
+      val ds = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(rows.forall(_.getLong(1) != q))
+    }
+    // the SAME codes + the SAME LUT: wherever a (query, neighbor)
+    // pair appears in both searches, the ADC distance is identical —
+    // cell pruning changes WHICH candidates are ranked, never their
+    // distance
+    val shared = ivfpq.flatMap { r =>
+      flat.get((r.getLong(0), r.getLong(1))).map(d => (r.getDouble(2), d))
+    }
+    assert(shared.nonEmpty, "no overlap between flat-ADC and IVF-ADC")
+    shared.foreach { case (a, b) => assert(a === b) }
+    // determinism
+    assert(VectorOps.ivfPqTopK(spark, sf).collect().toSeq === ivfpq.toSeq)
+  }
+
   test("q99 on a hand corpus: a cross-source near-dup lands in the " +
        "off-diagonal cell") {
     import spark.implicits._
