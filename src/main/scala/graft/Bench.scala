@@ -22,7 +22,8 @@ object Bench {
     Set("q34_streaming_clean", "q35_nasa_roundtrip", "q38_pipeline_silver",
         "q39_streaming_pipeline", "q68_streaming_dedup",
         "q71_streaming_near_dups", "q87_streaming_hh",
-        "q106_streaming_semdedup", "q119_streaming_decontam")
+        "q106_streaming_semdedup", "q119_streaming_decontam",
+        "q123_streaming_nb")
 
   /** Why the skip set exists, emitted verbatim into the artifact so
     * the oracle-subset ratio is self-describing (VERDICT r6 item 8). */

@@ -142,6 +142,7 @@ object SparkEntry {
     "q120_pq_codes"         -> (VectorOps.pqCodes(_, _)),
     "q121_pq_adc_topk"      -> (VectorOps.pqAdcTopK(_, _)),
     "q122_ivfpq_topk"       -> (VectorOps.ivfPqTopK(_, _)),
+    "q123_streaming_nb"     -> (graft.streaming.StreamingCorpus.nbViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +350,10 @@ object SparkEntry {
     "q120_pq_codes"         -> VectorOps.pqCodesSql,
     "q121_pq_adc_topk"      -> VectorOps.pqAdcTopKSql,
     "q122_ivfpq_topk"       -> VectorOps.ivfPqTopKSql,
+    // q123's oracle is the BATCH q114 SQL: ingest-time scoring against
+    // the published model must land exactly where the one-shot fit+
+    // score does.
+    "q123_streaming_nb"     -> Classify.nbClassifySql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

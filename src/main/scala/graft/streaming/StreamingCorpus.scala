@@ -732,6 +732,77 @@ object StreamingCorpus {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q123 — streaming NB scoring: the q114 classifier at INGEST — the
+  // model-based quality/routing gate applied to documents as they
+  // arrive (the fastText-filter deployment shape: the model is a
+  // PUBLISHED artifact fitted offline on the train split; ingest only
+  // LOADS and applies it). Scoring is doc-local against the static
+  // model, so — like q119 — there is no cross-batch state machine:
+  // each batch pays the q114 scoring join over its own slice, flag
+  // rows append to a log, and drain-time doc_id dedup absorbs
+  // replays.
+  //
+  // 100 TB shape: per batch, one tokenize pass over the arriving
+  // slice + the q114 scoring join (class list broadcast, word counts
+  // keyed — never broadcast-assumed) + a |classes|-row per-doc
+  // argmax. Linear total work, memory bounded by the model.
+  // ---------------------------------------------------------------
+
+  private val nbOutSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("pred_lang", StringType), StructField("score", DoubleType),
+    StructField("correct", BooleanType)))
+
+  /** Drain `docsPath` through ingest-time NB scoring against the
+    * published `model`; returns the q114 shape. */
+  def nbScoreStream(spark: SparkSession, docsPath: String,
+                    model: graft.operators.Classify.NbModel,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.operators.Classify
+    val root = StreamingClean.trackedTempDir("graft-nb-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-nb-ckpt-")
+    val q = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .writeStream
+      .queryName("graft_streaming_nb_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Classify.nbScore(batch, Classify.docTf(batch), model)
+          .write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    readLog(spark, s"$root/out", nbOutSchema)
+      .dropDuplicates("doc_id")
+      .orderBy($"doc_id")
+  }
+
+  /** q123 — streaming-vs-batch NB parity: the model fits batch-side
+    * on the q58 train split (the offline publish step), then the
+    * corpus drains through ingest-time scoring in four ranged
+    * micro-batches. Oracle = the batch q114 SQL. */
+  def nbViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Classify
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    nbScoreStream(spark, stageDocs(spark, sfDir, "graft-nb-in-"),
+      Classify.nbModelFrom(Classify.trainSlice(docs)),
+      maxFilesPerTrigger = Some(1))
+  }
+
+  /** Stage the fixture corpus as four doc_id-ranged files (one per
+    * micro-batch) — shared by the streaming-parity harnesses. */
+  private def stageDocs(spark: SparkSession, sfDir: String,
+                        prefix: String): String = {
+    val staged = StreamingClean.trackedTempDir(prefix) + "/docs"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    staged
+  }
+
   /** q119 — streaming-vs-batch decontamination parity: fixture corpus
     * staged as four ranged files, one per micro-batch; the benchmark
     * set derives batch-side exactly as q59 derives it. Oracle = the
@@ -743,9 +814,7 @@ object StreamingCorpus {
     val bench = docs.filter($"doc_id" < Corpus.BenchmarkMaxDocId)
       .select(expr(s"graft_shingle_fps(text, ${Corpus.DecontamK})").as("fp"))
       .distinct().localCheckpoint(true)
-    val staged = StreamingClean.trackedTempDir("graft-dc-in-") + "/docs"
-    docs.repartitionByRange(4, $"doc_id")
-      .write.mode("overwrite").parquet(staged)
-    decontamStream(spark, staged, bench, maxFilesPerTrigger = Some(1))
+    decontamStream(spark, stageDocs(spark, sfDir, "graft-dc-in-"), bench,
+      maxFilesPerTrigger = Some(1))
   }
 }

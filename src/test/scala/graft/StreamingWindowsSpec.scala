@@ -408,6 +408,13 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q123 streaming NB scoring == batch q114 on the fixture corpus " +
+       "— the published model applied at ingest") {
+    val streamed = StreamingCorpus.nbViaStreaming(spark, sf).collect()
+    val batch = graft.operators.Classify.nbClassify(spark, sf).collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("a replayed micro-batch is a no-op: foreachBatch is " +
        "at-least-once, append-only logs + read-side dedup absorb it") {
     val codebook = Array(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
