@@ -143,6 +143,8 @@ object SparkEntry {
     "q121_pq_adc_topk"      -> (VectorOps.pqAdcTopK(_, _)),
     "q122_ivfpq_topk"       -> (VectorOps.ivfPqTopK(_, _)),
     "q123_streaming_nb"     -> (graft.streaming.StreamingCorpus.nbViaStreaming(_, _)),
+    "q124_pq_recall"        -> (VectorOps.pqRecall(_, _)),
+    "q125_incremental_pq"   -> (VectorOps.incrementalPqCodes(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +356,10 @@ object SparkEntry {
     // the published model must land exactly where the one-shot fit+
     // score does.
     "q123_streaming_nb"     -> Classify.nbClassifySql,
+    "q124_pq_recall"        -> VectorOps.pqRecallSql,
+    // q125's oracle is the FULL PQ encode of the new snapshot against
+    // the stable-sample-fit codebooks (the q91 fit/encode split).
+    "q125_incremental_pq"   -> VectorOps.incrementalPqCodesSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

@@ -1448,8 +1448,12 @@ object VectorOps {
 
   /** Oracle CTE chain mirroring [[pqCodebooksFrom]] + [[pqAssign]]:
     * seeds per subspace, [[IvfFitRounds]] Lloyd rounds with m in
-    * every group key, final assignment as `pcodes`. */
-  private lazy val pqCtes: String = {
+    * every group key, final assignment as `pcodes`. `fitSrc` names
+    * the CTE the fit draws from, `encodeSrc` the one being encoded —
+    * `normed` for the batch q120/q121/q122 statements, the
+    * stable-sample / current-snapshot pair for q125 (the fitCtesFrom
+    * src parameter, applied to the PQ chain). */
+  private def pqCtesFrom(fitSrc: String, encodeSrc: String): String = {
     def d2(a: String) =
       s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, c.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"
     val sb = new StringBuilder
@@ -1458,9 +1462,16 @@ object VectorOps {
          |  SELECT vec_id, CAST(m AS INTEGER) AS m,
          |    v[CAST(m * $PqSubDim + 1 AS INTEGER) :
          |      CAST(m * $PqSubDim + $PqSubDim AS INTEGER)] AS sv
-         |  FROM normed, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+         |  FROM $encodeSrc,
+         |    (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+         |subfit AS (
+         |  SELECT vec_id, CAST(m AS INTEGER) AS m,
+         |    v[CAST(m * $PqSubDim + 1 AS INTEGER) :
+         |      CAST(m * $PqSubDim + $PqSubDim AS INTEGER)] AS sv
+         |  FROM $fitSrc,
+         |    (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
          |pcents0 AS (
-         |  SELECT m, vec_id AS centroid_id, sv AS cv FROM sub
+         |  SELECT m, vec_id AS centroid_id, sv AS cv FROM subfit
          |  WHERE vec_id % 100 = 0)""".stripMargin)
     for (r <- 1 to IvfFitRounds) {
       sb.append(s""",
@@ -1470,7 +1481,7 @@ object VectorOps {
         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.m
         |        ORDER BY ROUND(${d2("a.sv")}, 6) ASC, c.centroid_id ASC)
         |        AS rn
-        |    FROM sub a JOIN pcents${r - 1} c ON a.m = c.m)
+        |    FROM subfit a JOIN pcents${r - 1} c ON a.m = c.m)
         |  WHERE rn = 1),
         |pmean$r AS (
         |  SELECT m, code, i,
@@ -1497,6 +1508,8 @@ object VectorOps {
       |  WHERE rn = 1)""".stripMargin)
     sb.toString
   }
+
+  private lazy val pqCtes: String = pqCtesFrom("normed", "normed")
 
   lazy val pqCodesSql: String =
     s"""WITH $vecsCte,
@@ -1640,4 +1653,159 @@ object VectorOps {
        |  FROM adc)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q124 — PQ recall audit: the q97 discipline applied to the
+  // compressed read path. The exact baseline here is brute-force
+  // squared-L2 top-k (NOT q49's cosine — ADC ranks by L2, so the
+  // audit must compare like metrics to isolate QUANTIZATION loss
+  // from metric mismatch); the approximate side is q121's flat ADC,
+  // so the recall number answers exactly "what did compressing to
+  // M codes cost in neighbor quality", with no cell-pruning term
+  // mixed in (q97 already audits the pruning term for IVF).
+  // Both sides are queries × k — the audit join is driver-scale at
+  // any corpus size.
+  // ---------------------------------------------------------------
+
+  def pqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val all = vecs(spark, dir)
+    val queries = all.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val wExact = Window.partitionBy($"query_id")
+      .orderBy($"d2".asc, $"neighbor_id".asc)
+    val exact = all.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round(expr("graft_sqdist(qv, v)"), 6).as("d2"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"neighbor_id")
+    val approx = pqAdcTopK(spark, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum($"hit"), lit(0L)).as("n_hit"))
+      .select($"query_id", $"n_exact", $"n_hit",
+        round($"n_hit" * lit(1.0) / $"n_exact", 6).as("recall"))
+      .orderBy($"query_id")
+  }
+
+  /** q124 oracle: an exact-L2 top-k CTE + the full q121 statement as
+    * a derived table (the q97 reuse rule: the eval is only as
+    * trustworthy as its inputs, so it quotes their oracle text). */
+  lazy val pqRecallSql: String = {
+    val d2 = "list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q2) -> p + q2)"
+    s"""WITH $vecsCte,
+       |exact_k AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND($d2, 6) ASC, c.vec_id ASC) AS rank
+       |    FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NumQueries)
+       |  WHERE rank <= $TopK),
+       |approx_k AS (SELECT query_id, neighbor_id FROM ($pqAdcTopKSql) a)
+       |SELECT e.query_id, COUNT(*) AS n_exact,
+       |  CAST(COALESCE(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       |  ROUND(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+       |    / COUNT(*), 6) AS recall
+       |FROM exact_k e LEFT JOIN approx_k a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q125 — incremental PQ code maintenance: the q91 discipline on the
+  // code table, closing the PQ family's stored-index asymmetry (every
+  // other stored artifact — LSH index, IVF assignment, vocabulary,
+  // CMS, decontamination counts, span store, classifier counts — has
+  // a maintained twin; without this one, a nightly crawl re-encodes
+  // the corpus). The PQ codebooks freeze on the diff-untouched STABLE
+  // sample (the q91 rule: the sample — and the fit — is byte-
+  // identical computed from either snapshot, which is what makes the
+  // carry sound AND lets the oracle rebuild the same books); encoding
+  // touches only added/changed vectors; everyone else's stored codes
+  // carry under one broadcast anti-join. Refit-vs-carry is q105's
+  // gate (the coarse verdict applies per-subspace unchanged); q110's
+  // composed loop is the template if a deployment wants the decision
+  // inside one operator.
+  //
+  // 100 TB shape: carry = broadcast anti-join of the stored code
+  // table (M rows per vector, laid out by cell/shard) against the
+  // dirty set; encode = dirty-slice × broadcast codebooks. A 0.1%
+  // crawl pays 0.1% of the encode cost.
+  // ---------------------------------------------------------------
+
+  /** Stored PQ state memoized per corpus dir: sample-fit codebooks +
+    * the prev snapshot's code table + the diff (shared derivation
+    * with vecIndexState). */
+  private val pqState = scala.collection.concurrent.TrieMap.empty[String,
+    (String, (Array[(Int, Long, Seq[Double])], DataFrame, DataFrame))]
+
+  private def pqIndexState(spark: SparkSession, dir: String)
+      : (Array[(Int, Long, Seq[Double])], DataFrame, DataFrame) = {
+    val all = vecs(spark, dir)
+    val fp = corpusFingerprint(dir) + "\n" + spark.sparkContext.applicationId
+    pqState.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val sample = vecSnapshotSample(all).cache()
+        val books =
+          try pqCodebooksFrom(sample).collect()
+            .map(r => (r.getInt(0), r.getLong(1),
+              r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
+          finally sample.unpersist()
+        val booksDf = spark.createDataFrame(books.toIndexedSeq)
+          .toDF("m", "centroid_id", "cv")
+        val st = (books,
+          pqAssign(subVecs(vecSnapshotPrev(all)), booksDf)
+            .select($"vec_id", $"m", $"code", $"dist2")
+            .localCheckpoint(true),
+          vecSnapshotDiff(all).localCheckpoint(true))
+        pqState.put(dir, (fp, st))
+        st
+    }
+  }
+
+  def incrementalPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val (books, prevCodes, diff) = pqIndexState(spark, dir)
+    val booksDf = spark.createDataFrame(books.toIndexedSeq)
+      .toDF("m", "centroid_id", "cv")
+    incrementalPqCodesOf(prevCodes,
+      vecSnapshotCur(vecs(spark, dir)), diff, booksDf)
+  }
+
+  /** The general operator: `prevCodes` = the stored q125-shaped code
+    * table of the previous snapshot, `curVecs` = the new snapshot as
+    * (vec_id, v, nrm), `diff` = a q84-shaped status frame keyed by
+    * vec_id, `books` = the frozen (m, centroid_id, cv) codebooks. */
+  def incrementalPqCodesOf(prevCodes: DataFrame, curVecs: DataFrame,
+                           diff: DataFrame, books: DataFrame): DataFrame = {
+    val dirty = diff.filter($"status" =!= "unchanged").select($"vec_id")
+    val toEncode = diff.filter($"status".isin("added", "changed"))
+      .select($"vec_id")
+    val carried = prevCodes
+      .join(broadcast(dirty), Seq("vec_id"), "left_anti")
+    val fresh = pqAssign(
+        subVecs(curVecs.join(broadcast(toEncode), Seq("vec_id"))), books)
+      .select($"vec_id", $"m", $"code", $"dist2")
+    carried.unionByName(fresh).orderBy($"vec_id", $"m")
+  }
+
+  /** q125 oracle: the FULL PQ encode of the new snapshot against
+    * codebooks fit on the stable sample — the same fit/encode split
+    * q91's oracle uses, expressed via the pqCtesFrom src parameters. */
+  lazy val incrementalPqCodesSql: String =
+    s"""WITH $vecsCte,
+       |stable AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapAddedMod} <> ${Corpus.SnapAddedRes}
+       |    AND vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}
+       |    AND vec_id % ${Corpus.SnapChangedMod} <> ${Corpus.SnapChangedRes}),
+       |cur AS (
+       |  SELECT * FROM normed
+       |  WHERE vec_id % ${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes}),
+       |${pqCtesFrom("stable", "cur")}
+       |SELECT vec_id, m, code, dist2 FROM pcodes
+       |ORDER BY vec_id, m""".stripMargin
 }

@@ -553,4 +553,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"found an unbroadcast cartesian:\n${p.take(3000)}")
   }
+
+  test("q125 incremental PQ: the stored code table carries under a " +
+       "broadcast anti-join; only the dirty slice re-encodes") {
+    val p = plan("q125_incremental_pq")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"stored codes must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+  }
 }

@@ -1247,6 +1247,71 @@ class TextDedupSpec extends AnyFunSuite {
     assert(VectorOps.ivfPqTopK(spark, sf).collect().toSeq === ivfpq.toSeq)
   }
 
+  test("q124 PQ recall audit: rows reproduce the set arithmetic of " +
+       "the two searches (and surface the quantization loss)") {
+    import spark.implicits._
+    val all = VectorOps.vecsFrom(Tables.embeddings(spark, sf))
+    // independent exact-L2 top-k per query
+    val rows = all.select($"vec_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val exact = rows.filter(_._1 < VectorOps.NumQueries).map { case (q, qv) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (n, v) =>
+          val d = qv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+          (BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, n)
+        }
+        .sortBy(identity).take(VectorOps.TopK).map(_._2).toSet
+    }.toMap
+    val approx = VectorOps.pqAdcTopK(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet
+      }
+    val audit = VectorOps.pqRecall(spark, sf).collect()
+    assert(audit.length === VectorOps.NumQueries)
+    audit.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) === VectorOps.TopK.toLong)
+      assert(r.getLong(2) === (exact(q) & approx(q)).size.toLong,
+        s"query $q: n_hit disagrees with set arithmetic")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the audit EXISTS to surface quantization loss: on near-uniform
+    // random vectors with 5-cell codebooks it must not report perfect
+    // recall (that would mean it compared the wrong sides)
+    assert(audit.map(_.getDouble(3)).max < 1.0)
+  }
+
+  test("q125 incremental PQ == full encode of the new snapshot " +
+       "against the frozen sample-fit codebooks; stored codes carry " +
+       "verbatim (sentinel)") {
+    import spark.implicits._
+    val all = VectorOps.vecsFrom(Tables.embeddings(spark, sf))
+    val incremental = VectorOps.incrementalPqCodes(spark, sf).collect()
+    val books = VectorOps.pqCodebooksFrom(VectorOps.vecSnapshotSample(all))
+    val full = VectorOps.pqAssign(
+        VectorOps.subVecs(VectorOps.vecSnapshotCur(all)), books)
+      .select($"vec_id", $"m", $"code", $"dist2")
+      .orderBy($"vec_id", $"m").collect()
+    assert(incremental.toSeq === full.toSeq)
+    // sentinel: poison an unchanged vector's stored code row — the
+    // maintenance must carry it untouched (proof it reads the store)
+    val diff = VectorOps.vecSnapshotDiff(
+      VectorOps.vecsFrom(Tables.embeddings(spark, sf)))
+    val unchanged = diff.filter($"status" === "unchanged")
+      .select($"vec_id").as[Long].head()
+    val poisoned = VectorOps.pqAssign(
+        VectorOps.subVecs(VectorOps.vecSnapshotPrev(all)), books)
+      .select($"vec_id", $"m", $"code", $"dist2")
+      .withColumn("dist2",
+        when($"vec_id" === unchanged, lit(-77.0)).otherwise($"dist2"))
+    val out = VectorOps.incrementalPqCodesOf(poisoned,
+        VectorOps.vecSnapshotCur(all), diff,
+        books).filter($"vec_id" === unchanged).collect()
+    assert(out.nonEmpty && out.forall(_.getDouble(3) === -77.0),
+      "unchanged vector was re-encoded (poison lost)")
+  }
+
   test("q99 on a hand corpus: a cross-source near-dup lands in the " +
        "off-diagonal cell") {
     import spark.implicits._
