@@ -855,9 +855,57 @@ object Dedup {
     * jaccardPairsOver discipline), so stale indexes don't accumulate
     * storage. */
   private val indexes = scala.collection.concurrent.TrieMap
-    .empty[String,
-      (String, (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
-        DataFrame))]
+    .empty[String, (String, StoredIndex)]
+
+  /** The stored index of the previous snapshot PLUS the PUBLISHED
+    * maintained tables of the current one — the publish-once-per-
+    * snapshot discipline (the `pqState`/`vecIndexState` shape applied
+    * to the dedup index): a nightly pipeline maintains the index ONCE
+    * (q89's dirty-slice machinery) and every derived artifact — the
+    * quality-canonical keep (q104), the containment refresh (q107),
+    * the cross-source matrix (q111) — READS the published tables
+    * instead of re-running signing/banding/verification. q89 itself
+    * remains the maintainer and pays the maintenance on every run;
+    * its bench row prices the nightly job, the consumers price their
+    * rollups.
+    *
+    * Laziness contract: the prev-snapshot containment verdicts and
+    * both published tables build on FIRST ACCESS (eager
+    * localCheckpoint at that point), so a consumer that never reads
+    * them never pays them — only q107 pays the containment
+    * derivation, only the first of q104/q107/q111 pays the one
+    * machinery run both published tails share. */
+  private[operators] final class StoredIndex(docs: DataFrame) {
+    val (fps, bands, cand, verified) = indexState(Corpus.snapshotPrev(docs))
+    /** q84's published diff table — stored state the crawl job lands. */
+    val diff: DataFrame = Corpus.snapshotDiffDerived(docs).localCheckpoint(true)
+    val cur: DataFrame = Corpus.snapshotCur(docs)
+    /** The stored CONTAINMENT verdicts (q107's fifth table): the q90
+      * output over the stored candidates, values included — published
+      * next to the Jaccard pass-pairs so a subset-pair refresh
+      * maintains instead of recomputing. */
+    lazy val contain: DataFrame = verifyContainment(
+        cand.select($"doc_a", $"doc_b").distinct(), fps)
+      .localCheckpoint(true)
+    /** One maintenance-machinery run shared by both published tails
+      * (carried / fresh-pair / endpoint-fps triple, each side already
+      * checkpointed inside [[maintainedCandidates]]). */
+    private lazy val machinery = maintainedCandidates(fps, bands, cand, cur, diff)
+    /** PUBLISHED: the verified near-dup pass-pairs of the CURRENT
+      * snapshot — what q89's nightly run writes; q104/q111 read it. */
+    lazy val pairs: DataFrame = {
+      val (carried, freshPairs, fpsNeeded) = machinery
+      verifiedPairsTail(carried, freshPairs, fpsNeeded, verified)
+        .localCheckpoint(true)
+    }
+    /** PUBLISHED: the containment verdicts of the CURRENT snapshot
+      * (unsorted; q107 orders on read). */
+    lazy val containCur: DataFrame = {
+      val (carried, freshPairs, fpsNeeded) = machinery
+      containTail(carried, freshPairs, fpsNeeded, contain)
+        .localCheckpoint(true)
+    }
+  }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
     * codebook invalidation rule applied to documents.parquet). */
