@@ -920,53 +920,41 @@ object Dedup {
       .mkString("\n")
   }
 
+  /** q89 stays the MAINTAINER: it runs the dirty-slice machinery on
+    * every call (its bench row prices the nightly maintenance job),
+    * while q104/q107/q111 read the [[StoredIndex]]'s published
+    * tables. */
   def incrementalKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
-      storedIndexFor(spark, dir, docs)
-    incrementalKeepCorpusOf(prevFps, prevBands, prevCand, prevVerified,
-      Corpus.snapshotCur(docs), diff)
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    incrementalKeepCorpusOf(idx.fps, idx.bands, idx.cand, idx.verified,
+      idx.cur, idx.diff)
   }
 
   /** q104 — incremental QUALITY-CANONICAL keep: q103's keeper policy
-    * on q89's maintained index. Same stored tables, same dirty-slice
-    * maintenance ([[maintainedVerifiedPairs]]); only the final keep
-    * step differs — labels without the size join-back, argmax-quality
-    * keeper per cluster. Oracle = the FULL q103 chain over the new
+    * over the PUBLISHED maintained pair table ([[StoredIndex.pairs]]
+    * — what q89's nightly run writes). The consumer pays labels +
+    * keeper selection only, never signing/banding/verification
+    * (VERDICT r10 item 1). Oracle = the FULL q103 chain over the new
     * snapshot. */
   def incrementalCanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
-      storedIndexFor(spark, dir, docs)
-    val cur = Corpus.snapshotCur(docs)
-    canonicalKeepCorpusFrom(cur,
-      clusterLabels(maintainedVerifiedPairs(prevFps, prevBands, prevCand,
-        prevVerified, cur, diff))
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    canonicalKeepCorpusFrom(idx.cur,
+      clusterLabels(idx.pairs)
         .select($"doc_id", $"lbl".as("cluster_id")))
   }
 
-  /** The memoized stored index + diff for `dir` (one per corpus dir,
-    * invalidated by the fixture fingerprint). The diff is stored
-    * state too: q84's job publishes it when the crawl lands, and
-    * every maintenance consumer reads that table. */
-  private def storedIndexFor(spark: SparkSession, dir: String,
-      docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
-         DataFrame) = {
+  /** The memoized stored index + published maintained tables for
+    * `dir` (one per corpus dir, invalidated by the fixture
+    * fingerprint). The diff is stored state too: q84's job publishes
+    * it when the crawl lands, and every maintenance consumer reads
+    * that table. */
+  private[operators] def storedIndexFor(spark: SparkSession, dir: String,
+      docs: DataFrame): StoredIndex = {
     val fp = docsFingerprint(spark, dir)
     indexes.get(dir) match {
       case Some((`fp`, idx)) => idx
       case _ =>
-        val (a, b, c, v) = indexState(Corpus.snapshotPrev(docs))
-        // the stored CONTAINMENT verdicts (q107's fifth table): the
-        // q90 output over the stored candidates, values included —
-        // nightly publishes it next to the Jaccard pass-pairs so a
-        // subset-pair refresh maintains instead of recomputing
-        val contain = verifyContainment(
-            c.select($"doc_a", $"doc_b").distinct(), a)
-          .localCheckpoint(true)
-        val idx = (a, b, c, v, contain,
-          Corpus.snapshotDiffDerived(docs).localCheckpoint(true))
+        val idx = new StoredIndex(docs)
         indexes.put(dir, (fp, idx))
         idx
     }
@@ -999,13 +987,12 @@ object Dedup {
   // broadcast semi-join over the thin stored verdict table.
   // ---------------------------------------------------------------
 
-  def incrementalContainment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, _, prevContain, diff) =
-      storedIndexFor(spark, dir, docs)
-    incrementalContainmentOf(prevFps, prevBands, prevCand, prevContain,
-      Corpus.snapshotCur(docs), diff)
-  }
+  /** q107 reads the PUBLISHED maintained containment table
+    * ([[StoredIndex.containCur]]); only the total-order presentation
+    * sort runs per call. */
+  def incrementalContainment(spark: SparkSession, dir: String): DataFrame =
+    storedIndexFor(spark, dir, Tables.documents(spark, dir))
+      .containCur.orderBy($"doc_a", $"doc_b")
 
   /** The general operator: `prevContain` = the stored q90 output of
     * the previous snapshot (doc_a, doc_b, containment_a,
@@ -1016,12 +1003,21 @@ object Dedup {
                                diff: DataFrame): DataFrame = {
     val (carried, freshPairs, fpsNeeded) =
       maintainedCandidates(prevFps, prevBands, prevCand, curDocs, diff)
-    val carriedContain = prevContain
-      .join(broadcast(carried), Seq("doc_a", "doc_b"), "left_semi")
-    carriedContain
-      .unionByName(verifyContainmentUnsorted(freshPairs, fpsNeeded))
+    containTail(carried, freshPairs, fpsNeeded, prevContain)
       .orderBy($"doc_a", $"doc_b")
   }
+
+  /** The measure-specific containment verdict carry + fresh
+    * verification over the shared candidate machinery — carried pairs
+    * keep their STORED values (both endpoints' fp sets unchanged ⇒
+    * na/nb/intersection unchanged ⇒ both ratios byte-identical), only
+    * fresh pairs pay verification. Unsorted; callers order. */
+  private def containTail(carried: DataFrame, freshPairs: DataFrame,
+                          fpsNeeded: DataFrame,
+                          prevContain: DataFrame): DataFrame =
+    prevContain
+      .join(broadcast(carried), Seq("doc_a", "doc_b"), "left_semi")
+      .unionByName(verifyContainmentUnsorted(freshPairs, fpsNeeded))
 
   /** q107 oracle: the FULL q90 recompute over the new snapshot — the
     * maintained verdict table must land byte-identically on
@@ -1053,18 +1049,24 @@ object Dedup {
       curDocs: DataFrame, diff: DataFrame): DataFrame = {
     val (carried, freshPairs, fpsNeeded) =
       maintainedCandidates(prevFps, prevBands, prevCand, curDocs, diff)
-    // carried VERDICTS stand: both endpoints' fp sets are unchanged,
-    // so a carried pair's stored Jaccard (and its pass/fail) is the
-    // pair's Jaccard in the new index — no re-verification. Pairs
-    // absent from the stored pass set were verified-FAIL at index
-    // build and fail identically now.
-    val carriedVerified = carried
+    verifiedPairsTail(carried, freshPairs, fpsNeeded, prevVerified)
+  }
+
+  /** The measure-specific Jaccard verdict carry + fresh verification
+    * over the shared candidate machinery. Carried VERDICTS stand:
+    * both endpoints' fp sets are unchanged, so a carried pair's
+    * stored Jaccard (and its pass/fail) is the pair's Jaccard in the
+    * new index — no re-verification. Pairs absent from the stored
+    * pass set were verified-FAIL at index build and fail identically
+    * now. */
+  private def verifiedPairsTail(carried: DataFrame, freshPairs: DataFrame,
+                                fpsNeeded: DataFrame,
+                                prevVerified: DataFrame): DataFrame =
+    carried
       .join(broadcast(prevVerified.select($"doc_a", $"doc_b")),
         Seq("doc_a", "doc_b"), "left_semi")
-    carriedVerified
       .unionByName(verifyCandidatesUnsorted(freshPairs, fpsNeeded)
         .select($"doc_a", $"doc_b"))
-  }
 
   /** The index-maintenance candidate machinery shared by the Jaccard
     * (q89/q104) and containment (q107) verification tails: from the
@@ -1952,20 +1954,15 @@ object Dedup {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** q111 — incremental cross-source matrix: q99's rollup over the
-    * MAINTAINED pair table instead of a fresh q47 run — the nightly
-    * onboarding artifact refreshes from stored state at dirty-slice
-    * cost (the q89 receipts), then pays only the broadcast-pair
-    * source lookups. Oracle = the FULL q99 chain over the new
-    * snapshot. */
+    * PUBLISHED maintained pair table ([[StoredIndex.pairs]]) instead
+    * of a fresh q47 run — the nightly onboarding artifact is a
+    * sources²-row report, so the consumer pays only the
+    * broadcast-pair source lookups; maintenance is q89's job. Oracle
+    * = the FULL q99 chain over the new snapshot. */
   def incrementalCrossSourceDups(spark: SparkSession,
                                  dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (prevFps, prevBands, prevCand, prevVerified, _, diff) =
-      storedIndexFor(spark, dir, docs)
-    val cur = Corpus.snapshotCur(docs)
-    crossSourceDupsFrom(cur,
-      maintainedVerifiedPairs(prevFps, prevBands, prevCand, prevVerified,
-        cur, diff))
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    crossSourceDupsFrom(idx.cur, idx.pairs)
   }
 
   lazy val incrementalCrossSourceDupsSql: String = crossSourceDupsSqlFrom(

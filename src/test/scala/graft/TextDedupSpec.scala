@@ -562,6 +562,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(incremental.toSeq === full.toSeq)
   }
 
+  test("publish-once: a warmed q107 consumer launches only the " +
+       "presentation read — zero signing/banding/verification jobs") {
+    // first access publishes the maintained tables (pays the one
+    // shared machinery run, memoized per corpus fingerprint)
+    Dedup.incrementalContainment(spark, sf).collect()
+    // a re-read must be a sort over the published checkpoint: a
+    // couple of scheduler jobs at most. The maintenance chain alone
+    // is ~10+ jobs (eager barriers + broadcast builds), so the bound
+    // separates the regimes with a wide margin.
+    val sc = spark.sparkContext
+    sc.setJobGroup("q107-publish-once-pin", "publish-once job pin", false)
+    try Dedup.incrementalContainment(spark, sf).collect()
+    finally sc.clearJobGroup()
+    // the status tracker is fed asynchronously; give it a beat
+    Thread.sleep(300)
+    val jobs = sc.statusTracker.getJobIdsForGroup("q107-publish-once-pin")
+    assert(jobs.length <= 3 && jobs.nonEmpty,
+      s"expected <=3 read jobs after publish, saw ${jobs.length}")
+    // and the logical read is a single published leaf — no file scan
+    val leaves = Dedup.incrementalContainment(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 1 &&
+      leaves.head.getClass.getSimpleName.contains("LogicalRDD"),
+      s"expected one checkpointed leaf, got $leaves")
+  }
+
   test("q89 bucket recovery: deletions that pull an oversized bucket " +
        "under the cap regenerate its never-recorded pairs") {
     import spark.implicits._
