@@ -64,11 +64,25 @@ object Bench {
     // "attempted to access non-existent accumulator" ERROR stack per
     // straggler (queries unaffected — failures surface via the caught
     // exception below). Those stacks have contaminated the driver's
-    // stdout tail for two rounds; silence that one logger for the
-    // bench process only.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // stdout tail for two rounds. Deny exactly that message with a
+    // string-match filter (ADVICE r11: raising the whole logger to
+    // FATAL would also hide genuine scheduler errors).
+    locally {
+      import org.apache.logging.log4j.Level
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.StringMatchFilter
+      val ctx = LoggerContext.getContext(false)
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val lc = new LoggerConfig(name, Level.ERROR, true)
+      lc.addFilter(StringMatchFilter.newBuilder()
+        .setMatchString("non-existent accumulator")
+        .setOnMatch(Filter.Result.DENY)
+        .setOnMismatch(Filter.Result.NEUTRAL)
+        .build())
+      ctx.getConfiguration.addLogger(name, lc)
+      ctx.updateLoggers()
+    }
 
     // Warehouse ingest (one-time, outside per-query timing): the
     // driver fixtures are single-row-group parquet files, which Spark
