@@ -950,14 +950,13 @@ object Corpus {
   private[graft] def maintainedBigramModel(prevModel: DataFrame,
                                            lost: DataFrame,
                                            gained: DataFrame): DataFrame =
-    prevModel
-      .join(gained.groupBy($"w1", $"w2").agg(sum($"tf").as("d_plus")),
-        Seq("w1", "w2"), "full_outer")
-      .join(lost.groupBy($"w1", $"w2").agg(sum($"tf").as("d_minus")),
-        Seq("w1", "w2"), "full_outer")
-      .select($"w1", $"w2",
-        (coalesce($"bcnt", lit(0L)) + coalesce($"d_plus", lit(0L))
-          - coalesce($"d_minus", lit(0L))).as("bcnt"))
+    // additive counts: one union + partial-aggregated sum instead of
+    // two chained full_outer coalesce joins — a single model-sized
+    // exchange (the q116 floor shave applied to the bigram model)
+    prevModel.select($"w1", $"w2", $"bcnt")
+      .unionByName(gained.select($"w1", $"w2", $"tf".as("bcnt")))
+      .unionByName(lost.select($"w1", $"w2", (-$"tf").as("bcnt")))
+      .groupBy($"w1", $"w2").agg(sum($"bcnt").as("bcnt"))
       .filter($"bcnt" > 0)
 
   /** q109's oracle: the FULL q108 recompute over the new snapshot. */
@@ -1822,14 +1821,13 @@ object Corpus {
     * the vocabulary, exactly as a full recompute would drop it). */
   private[graft] def maintainedVocab(prevVocab: DataFrame, lost: DataFrame,
                                      gained: DataFrame): DataFrame =
-    prevVocab
-      .join(gained.groupBy($"token").agg(sum($"tf").as("d_plus")),
-        Seq("token"), "full_outer")
-      .join(lost.groupBy($"token").agg(sum($"tf").as("d_minus")),
-        Seq("token"), "full_outer")
-      .select($"token",
-        (coalesce($"cnt", lit(0L)) + coalesce($"d_plus", lit(0L))
-          - coalesce($"d_minus", lit(0L))).as("cnt"))
+    // additive counts: one union + partial-aggregated sum instead of
+    // two chained full_outer coalesce joins — one vocab-sized
+    // exchange (the q116 floor shave)
+    prevVocab.select($"token", $"cnt")
+      .unionByName(gained.select($"token", $"tf".as("cnt")))
+      .unionByName(lost.select($"token", (-$"tf").as("cnt")))
+      .groupBy($"token").agg(sum($"cnt").as("cnt"))
       .filter($"cnt" > 0)
 
   /** The drift verdict a carry-forward policy would gate on: how far
@@ -2012,17 +2010,15 @@ object Corpus {
       .localCheckpoint(false)
     val newTf = prevTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
       .unionByName(freshTf)
-    // tf holds one row per (doc, token), so COUNT over rows is the
-    // per-token document count on both delta sides
-    val newDf = prevDf
-      .join(freshTf.groupBy($"token").agg(count(lit(1)).as("d_plus")),
-        Seq("token"), "full_outer")
-      .join(prevTf.join(broadcast(dirty), Seq("doc_id"))
-          .groupBy($"token").agg(count(lit(1)).as("d_minus")),
-        Seq("token"), "full_outer")
-      .select($"token",
-        (coalesce($"df", lit(0L)) + coalesce($"d_plus", lit(0L))
-          - coalesce($"d_minus", lit(0L))).as("df"))
+    // tf holds one row per (doc, token), so a +1/−1 per row is the
+    // per-token document-count delta on both sides; additive counts
+    // merge as one union + partial-aggregated sum (the q116 floor
+    // shave) instead of two chained full_outer joins
+    val newDf = prevDf.select($"token", $"df")
+      .unionByName(freshTf.select($"token", lit(1L).as("df")))
+      .unionByName(prevTf.join(broadcast(dirty), Seq("doc_id"))
+        .select($"token", lit(-1L).as("df")))
+      .groupBy($"token").agg(sum($"df").as("df"))
       .filter($"df" > 0)
     val dN = diff.agg(sum(when($"status" === "added", 1L)
       .when($"status" === "removed", -1L).otherwise(0L)).as("dn"))
