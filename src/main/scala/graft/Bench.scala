@@ -69,17 +69,31 @@ object Bench {
     // FATAL would also hide genuine scheduler errors).
     locally {
       import org.apache.logging.log4j.Level
-      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.{Filter, LogEvent, LoggerContext}
       import org.apache.logging.log4j.core.config.LoggerConfig
-      import org.apache.logging.log4j.core.filter.StringMatchFilter
+      import org.apache.logging.log4j.core.filter.AbstractFilter
       val ctx = LoggerContext.getContext(false)
       val name = "org.apache.spark.scheduler.DAGScheduler"
       val lc = new LoggerConfig(name, Level.ERROR, true)
-      lc.addFilter(StringMatchFilter.newBuilder()
-        .setMatchString("non-existent accumulator")
-        .setOnMatch(Filter.Result.DENY)
-        .setOnMismatch(Filter.Result.NEUTRAL)
-        .build())
+      // the DAGScheduler logs "Failed to update accumulator <id>" as
+      // the MESSAGE with "attempted to access non-existent
+      // accumulator" only in the attached throwable (ADVICE r12:
+      // StringMatchFilter tests the formatted message alone, so it
+      // never matched) — inspect both
+      lc.addFilter(new AbstractFilter(
+          Filter.Result.DENY, Filter.Result.NEUTRAL) {
+        private def accRace(event: LogEvent): Boolean = {
+          val msg = Option(event.getMessage)
+            .map(_.getFormattedMessage).getOrElse("")
+          val thrown = Option(event.getThrown)
+            .flatMap(t => Option(t.getMessage)).getOrElse("")
+          msg.contains("Failed to update accumulator") ||
+            msg.contains("non-existent accumulator") ||
+            thrown.contains("non-existent accumulator")
+        }
+        override def filter(event: LogEvent): Filter.Result =
+          if (accRace(event)) getOnMatch else getOnMismatch
+      })
       ctx.getConfiguration.addLogger(name, lc)
       ctx.updateLoggers()
     }
@@ -292,8 +306,16 @@ object Bench {
       s"""{"aqe":${spark.conf.get("spark.sql.adaptive.enabled")},""" +
         s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
         s""""cores":$cpus}"""
+    // the artifact documents its own gate math (VERDICT r12 item 7):
+    // the denominator for value_oracle_subset is the DuckDB total over
+    // the same timed oracle SQLs at the same sf. The engine cannot run
+    // DuckDB itself (driver-side only), so the hint carries the last
+    // judge-measured number with its provenance; override when a
+    // fresher measurement exists.
+    val duckdbHint = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_SUBSET_HINT",
+      """{"value":58.5,"unit":"sec","source":"judge r12 best-of-3 per query, sf0.1, 32 threads, loadavg 0.04"}""")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"duckdb_subset_hint":$duckdbHint,"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
     // The driver parses the LAST JSON line it finds in a bounded TAIL
     // of stdout (~2 KB): BENCH_r01 lost the line under sbt log
     // prefixes, and BENCH_r07 lost it again when the full-name queries
@@ -312,7 +334,7 @@ object Bench {
       .map { case (k, v) => "\"" + shortKey(k) + f"\":$v%.2f" }
       .mkString("{", ",", "}")
     val compactHead =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"sf":"$sfDir","posture":$postureJson,"pass_spread":$spread%.2f,"skipped_n":${skip.size},"detail":"bench.json""""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"duckdb_subset_hint":$duckdbHint,"sf":"$sfDir","posture":$postureJson,"pass_spread":$spread%.2f,"skipped_n":${skip.size},"detail":"bench.json""""
     val withQueries = compactHead + s""","queries":$qsShort}"""
     val compact = if (withQueries.length <= 1536) withQueries
                   else compactHead + "}"

@@ -145,6 +145,7 @@ object SparkEntry {
     "q123_streaming_nb"     -> (graft.streaming.StreamingCorpus.nbViaStreaming(_, _)),
     "q124_pq_recall"        -> (VectorOps.pqRecall(_, _)),
     "q125_incremental_pq"   -> (VectorOps.incrementalPqCodes(_, _)),
+    "q126_bpe_train"        -> (Corpus.bpeTrain(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -360,6 +361,9 @@ object SparkEntry {
     // q125's oracle is the FULL PQ encode of the new snapshot against
     // the stable-sample-fit codebooks (the q91 fit/encode split).
     "q125_incremental_pq"   -> VectorOps.incrementalPqCodesSql,
+    // q126's oracle unrolls the same merge rounds as plain CTEs with
+    // the identical padded-double-space greedy replace.
+    "q126_bpe_train"        -> Corpus.bpeTrainSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

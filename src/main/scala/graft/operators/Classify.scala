@@ -42,6 +42,15 @@ import graft.syntax._
   */
 object Classify {
 
+  /** Escape hatch for the 'model fits its scorers' premise: set
+    * -Dgraft.nb.broadcastModel=false to score via a (cand, token)-
+    * keyed join instead of broadcasting the word-count table — the
+    * shape a vocab past the 8 GB broadcast limit needs. Read per
+    * call so a long-lived session can flip it. */
+  private[graft] def broadcastModel: Boolean =
+    java.lang.Boolean.parseBoolean(
+      System.getProperty("graft.nb.broadcastModel", "true"))
+
   // ---------------------------------------------------------------
   // q114 — Naive Bayes language classifier: fit P(lang) and
   // P(token | lang) on the q58 train split, score EVERY document with
@@ -131,7 +140,16 @@ object Classify {
       // corpus-scale tf stream never shuffles by (cand, token). The
       // doc-keyed aggregates downstream are partial-agged to
       // docs×classes rows before their exchange.
-      .join(broadcast(model.wc.select($"lang".as("cand"), $"token", $"cnt")),
+      // FAILURE MODE of the premise (ADVICE r12): a vocab that
+      // outgrows its scorers does not degrade — Spark's 8 GB
+      // broadcast hard limit (or driver memory) aborts the job. An
+      // operator who hits it flips -Dgraft.nb.broadcastModel=false to
+      // trade the row-local lookup for a (cand, token)-keyed shuffle
+      // of the tf stream — correct at any model size, priced at one
+      // corpus-scale exchange.
+      .join(if (Classify.broadcastModel)
+          broadcast(model.wc.select($"lang".as("cand"), $"token", $"cnt"))
+        else model.wc.select($"lang".as("cand"), $"token", $"cnt"),
         Seq("cand", "token"), "left")
       .withColumn("lp",
         round(log((coalesce($"cnt", lit(0L)) + 1).cast(DoubleType)

@@ -1274,6 +1274,133 @@ object Corpus {
        |FROM agg ORDER BY pair_count DESC, pair LIMIT $BpeTopPairs""".stripMargin
 
   // ---------------------------------------------------------------
+  // q126 — ITERATED BPE training (Sennrich et al. 2016): q80 run to a
+  // merge budget. Each round counts adjacent symbol pairs over the
+  // word table, merges the most frequent pair (count DESC, pair ASC
+  // on ties) greedily left-to-right within every word, and repeats on
+  // the merged symbols. Output = the learned merge table
+  // (round, pair, pair_count) — the tokenizer artifact.
+  //
+  // 100 TB shape — q80's collapse, then the loop never touches the
+  // corpus again:
+  //   1. ONE corpus-scale pass builds the distinct-word table
+  //      (vocab-sized; Zipf skew collapses map-side);
+  //   2. each round is an explode+partial-agg over the WORD table, a
+  //      1-row TakeOrderedAndProject collect (fixed-size — the
+  //      clusterLabels checksum discipline, not a driver loop over
+  //      data), and a row-local literal replace;
+  //   3. per-round localCheckpoint(true) truncates lineage so round
+  //      N's plan stays flat (the q62/CC iterative discipline).
+  //
+  // Greedy-merge encoding shared with the DuckDB oracle: a word's
+  // symbols are joined by a DOUBLE space and padded with one space at
+  // each end, so the literal search " x  y " consumes exactly one
+  // space from each neighboring delimiter. Abutting occurrences
+  // (overlap under x == y, e.g. [a,a,a,a]) then match back-to-back
+  // under any left-to-right non-overlapping replace — byte-identical
+  // greedy semantics in both engines, no regex, no UDF.
+  // ---------------------------------------------------------------
+
+  val BpeMergeRounds = 10
+
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(spark, Tables.documents(spark, dir))
+
+  /** (round, pair, pair_count) for BpeMergeRounds merge rounds (fewer
+    * if the corpus exhausts its pairs), ordered by round. */
+  def bpeTrainFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // only the Seq→DF lift — the full implicits would shadow
+    // graft.syntax's $ interpolator
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    var words = docs
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .filter(length($"token") >= 1)
+      .select(array_join(expr(
+        "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+        "  ").as("repr"))
+      .groupBy($"repr").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < BpeMergeRounds && !exhausted) {
+      round += 1
+      val top = words
+        .select(split($"repr", "  ").as("l"), $"cnt")
+        .filter(size($"l") >= 2)
+        .select(explode(expr("transform(sequence(1, size(l) - 1), " +
+          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"), $"cnt")
+        .groupBy($"pair").agg(sum($"cnt").as("pair_count"))
+        .orderBy($"pair_count".desc, $"pair".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((round.toLong, pair, top(0).getLong(1)))
+        // symbols never contain whitespace (tokens are \s+ splits),
+        // so the pair's single space is its only space
+        val search = " " + pair.replace(" ", "  ") + " "
+        val merged = " " + pair.replace(" ", "") + " "
+        // no re-group: duplicate reprs (distinct words converging on
+        // one symbol sequence) keep separate cnt rows, exactly like
+        // the oracle's w{r} CTE — pair totals are sums either way,
+        // and skipping the regroup keeps the round shuffle-free
+        words = words
+          .select(trim(replace(
+            concat(lit(" "), $"repr", lit(" ")),
+            lit(search), lit(merged))).as("repr"), $"cnt")
+          .localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("round", "pair", "pair_count")
+      .orderBy($"round")
+  }
+
+  /** q126 oracle: the same BpeMergeRounds rounds unrolled as plain
+    * CTEs (the pqCtesFrom discipline applied to q80) — identical
+    * padded-double-space greedy replace, identical tie-break. */
+  lazy val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH toks AS (
+         |  SELECT unnest(${TextOps.tokensSql}) AS token FROM documents),
+         |w0 AS (
+         |  SELECT array_to_string(list_transform(
+         |      generate_series(1, length(token)),
+         |      i -> substring(token, i, 1)), '  ') AS repr,
+         |    COUNT(*) AS cnt
+         |  FROM toks WHERE length(token) >= 1 GROUP BY 1)""".stripMargin)
+    (1 to BpeMergeRounds).foreach { r =>
+      sb.append(
+        s""",
+           |p$r AS (
+           |  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+           |      i -> l[i] || ' ' || l[i + 1])) AS pair, cnt
+           |    FROM (SELECT string_split(repr, '  ') AS l, cnt
+           |          FROM w${r - 1}) z
+           |    WHERE len(l) >= 2) u
+           |  GROUP BY pair),
+           |t$r AS (SELECT pair, pair_count FROM p$r
+           |        ORDER BY pair_count DESC, pair LIMIT 1),
+           |w$r AS (
+           |  SELECT CASE WHEN t.pair IS NULL THEN w.repr ELSE
+           |      trim(replace(' ' || w.repr || ' ',
+           |        ' ' || replace(t.pair, ' ', '  ') || ' ',
+           |        ' ' || replace(t.pair, ' ', '') || ' ')) END AS repr,
+           |    w.cnt
+           |  FROM w${r - 1} w LEFT JOIN t$r t ON 1 = 1)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to BpeMergeRounds).map(r =>
+      s"  SELECT CAST($r AS BIGINT) AS round, pair, pair_count FROM t$r")
+      .mkString("\n  UNION ALL\n"))
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------
   // q81 — per-source document-length quantiles via a mergeable
   // sketch, gated by the exact answer (the q14 discipline applied to
   // percentiles). Length distributions are the first thing a corpus
@@ -2716,7 +2843,11 @@ object Corpus {
     // (not recomputed) table
     def thin(df: => DataFrame): Future[DataFrame] =
       Future(df.localCheckpoint(true))
-    val keepersF = thin(Dedup.incrementalKeepCorpus(spark, dir)
+    // keepers come from the PUBLISHED maintained tables (labels over
+    // pairs — one anti-join), NOT from incrementalKeepCorpus (the q89
+    // maintainer that re-runs signing/banding/verification per call);
+    // VERDICT r12 item 1 — the q104 publish-once pattern applied here
+    val keepersF = thin(Dedup.publishedKeepCorpus(spark, dir)
       .select($"doc_id"))
     val repKeepF = thin(incrementalScores(spark, dir)
       .filter($"keep").select($"doc_id"))

@@ -905,6 +905,12 @@ object Dedup {
       containTail(carried, freshPairs, fpsNeeded, contain)
         .localCheckpoint(true)
     }
+    /** PUBLISHED: the connected-component labels over [[pairs]] —
+      * the nightly job runs CC once and lands (doc_id, lbl) next to
+      * the pair table, so every keeper-policy consumer (q104's
+      * quality argmax, q101's min-id keep) reads a label leaf instead
+      * of re-running the iterative rounds per query. */
+    lazy val labels: DataFrame = clusterLabels(pairs).localCheckpoint(true)
   }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
@@ -939,8 +945,19 @@ object Dedup {
   def incrementalCanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
     val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
     canonicalKeepCorpusFrom(idx.cur,
-      clusterLabels(idx.pairs)
-        .select($"doc_id", $"lbl".as("cluster_id")))
+      idx.labels.select($"doc_id", $"lbl".as("cluster_id")))
+  }
+
+  /** q101's keeper stage: q89's min-id keep policy over the PUBLISHED
+    * maintained tables ([[StoredIndex.labels]] over
+    * [[StoredIndex.pairs]]) — one broadcast anti-join, zero
+    * signing/banding/verification/CC work in the consumer (the
+    * q104/q107/q111 publish-once pattern applied to the
+    * training-corpus composition; VERDICT r12 item 1). */
+  def publishedKeepCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    dedupKeepCorpusFrom(idx.cur,
+      idx.labels.select($"doc_id", $"lbl".as("cluster_id")))
   }
 
   /** The memoized stored index + published maintained tables for

@@ -54,6 +54,22 @@ class ClassifySpec extends AnyFunSuite {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("q114 NB: the keyed-join fallback (-Dgraft.nb.broadcastModel=" +
+       "false) scores identically to the broadcast path") {
+    // the escape hatch for a model past the 8 GB broadcast limit
+    // (ADVICE r12): same verdicts, one keyed join instead of the
+    // broadcast lookup
+    val viaBroadcast = Classify.nbClassify(spark, sf).collect()
+    System.setProperty("graft.nb.broadcastModel", "false")
+    try {
+      val keyed = Classify.nbClassify(spark, sf)
+      val p = keyed.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fallback must key-shuffle the model join:\n${p.take(3000)}")
+      assert(keyed.collect().toSeq === viaBroadcast.toSeq)
+    } finally System.clearProperty("graft.nb.broadcastModel")
+  }
+
   test("q116 incremental NB == full recompute over the new snapshot") {
     val curDocs = Tables.documents(spark, sf)
       .filter($"doc_id" % Corpus.SnapRemovedMod =!= Corpus.SnapRemovedRes)

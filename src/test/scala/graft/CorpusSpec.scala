@@ -533,6 +533,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(solo.isEmpty)
   }
 
+  test("q126 bpe train: the Sennrich hand corpus yields the known " +
+       "merge sequence, with greedy non-overlapping merges on runs") {
+    // low×5, lower×2, newest×6, widest×3 (Sennrich et al. 2016,
+    // tie-break count DESC then pair ASC) + aaaa×12, which forces the
+    // overlap case: greedy left-to-right on [a,a,a,a] must yield
+    // [aa,aa] — round 2's winner is "aa aa"(12); a wrong merge
+    // ([aa,a,a]) would emit "a a"(12) instead.
+    val docs = docsFrame(
+      1L -> "low low low low low",
+      2L -> "lower lower",
+      3L -> "newest newest newest newest newest newest",
+      4L -> "widest widest widest",
+      5L -> "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa")
+    val out = Corpus.bpeTrainFrom(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "a a", 36L),
+      (2L, "aa aa", 12L),
+      (3L, "e s", 9L),
+      (4L, "es t", 9L),
+      (5L, "l o", 7L),
+      (6L, "lo w", 7L),
+      (7L, "e w", 6L),
+      (8L, "ew est", 6L),
+      (9L, "n ewest", 6L),
+      (10L, "d est", 3L)))
+  }
+
+  test("q126 bpe train: exhaustion stops the loop early; single-char " +
+       "tokens never produce a merge") {
+    val out = Corpus.bpeTrainFrom(spark, docsFrame(1L -> "ab ab cd"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // after merging ab and cd every word is one symbol: 2 rounds only
+    assert(out.toSeq === Seq((1L, "a b", 2L), (2L, "c d", 1L)))
+    assert(Corpus.bpeTrainFrom(spark, docsFrame(1L -> "a b c")).collect()
+      .isEmpty)
+  }
+
   test("q81 length quantiles: exact percentiles match a hand " +
        "interpolation and every sketch verdict holds") {
     val rows = Corpus.lengthQuantiles(spark, sf).collect()

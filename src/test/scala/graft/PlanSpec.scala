@@ -490,6 +490,38 @@ class PlanSpec extends AnyFunSuite {
       s"signing leaked into the consumer plan:\n${p.take(3000)}")
   }
 
+  test("q101 keeper stage reads the published labels — one broadcast " +
+       "anti-join, zero signing/banding/verification/CC jobs in the " +
+       "consumer plan") {
+    // publish-once discipline (VERDICT r12 item 1): the keeper stage
+    // of the composed training corpus is q89's min-id policy over the
+    // PUBLISHED label table, not a re-run of the maintenance
+    // machinery. The labels must appear as a checkpointed leaf
+    // (ExistingRDD) broadcast-anti-joined against the corpus scan.
+    val p = graft.operators.Dedup.publishedKeepCorpus(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"keeper must be one broadcast anti-join:\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"labels must come from the published checkpoint:\n${p.take(3000)}")
+    assert(!p.contains("Generate"),
+      s"signing leaked into the consumer plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the drop list must broadcast, not sort-merge:\n${p.take(3000)}")
+  }
+
+  test("q101 composed corpus plan: every maintained stage is a " +
+       "published leaf — no signing Generate, no window, no cartesian " +
+       "above the checkpoints") {
+    val p = plan("q101_incremental_corpus")
+    assert(!p.contains("Generate"),
+      s"maintenance tokenization leaked into the composed plan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"stages must come from checkpointed leaves:\n${p.take(3000)}")
+  }
+
   test("q112 incremental tfidf: the stored tf carries under a " +
        "broadcast anti-join and no tokenize leaks above the delta " +
        "checkpoint") {

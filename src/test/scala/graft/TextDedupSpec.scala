@@ -575,9 +575,25 @@ class TextDedupSpec extends AnyFunSuite {
     sc.setJobGroup("q107-publish-once-pin", "publish-once job pin", false)
     try Dedup.incrementalContainment(spark, sf).collect()
     finally sc.clearJobGroup()
-    // the status tracker is fed asynchronously; give it a beat
-    Thread.sleep(300)
-    val jobs = sc.statusTracker.getJobIdsForGroup("q107-publish-once-pin")
+    // the status tracker is fed asynchronously: poll until the
+    // group's job list is non-empty AND stable across three
+    // consecutive reads 100 ms apart (bounded at 30 s), rather than a
+    // fixed sleep (ADVICE r12 — a loaded box could outlast any
+    // constant). Stability makes the <=3 upper bound trustworthy —
+    // not an artifact of checking before the listener drained.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def groupJobs() =
+      sc.statusTracker.getJobIdsForGroup("q107-publish-once-pin")
+    var jobs = groupJobs()
+    var stableReads = 0
+    while (stableReads < 3 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val next = groupJobs()
+      stableReads =
+        if (next.nonEmpty && next.sameElements(jobs)) stableReads + 1
+        else 0
+      jobs = next
+    }
     assert(jobs.length <= 3 && jobs.nonEmpty,
       s"expected <=3 read jobs after publish, saw ${jobs.length}")
     // and the logical read is a single published leaf — no file scan
