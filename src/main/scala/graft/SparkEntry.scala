@@ -146,6 +146,8 @@ object SparkEntry {
     "q124_pq_recall"        -> (VectorOps.pqRecall(_, _)),
     "q125_incremental_pq"   -> (VectorOps.incrementalPqCodes(_, _)),
     "q126_bpe_train"        -> (Corpus.bpeTrain(_, _)),
+    "q127_streaming_pq"     -> (graft.streaming.StreamingCorpus.pqViaStreaming(_, _)),
+    "q128_crossmodal_dedup" -> (Multimodal.crossModalKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -364,6 +366,11 @@ object SparkEntry {
     // q126's oracle unrolls the same merge rounds as plain CTEs with
     // the identical padded-double-space greedy replace.
     "q126_bpe_train"        -> Corpus.bpeTrainSql,
+    // q127's oracle is the BATCH q120 encode joined to the BATCH q50
+    // cell assignment: ingest-time encoding against the published
+    // models must land exactly where the one-shot write paths do.
+    "q127_streaming_pq"     -> VectorOps.streamingPqSql,
+    "q128_crossmodal_dedup" -> Multimodal.crossModalKeepSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

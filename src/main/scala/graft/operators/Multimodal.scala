@@ -189,4 +189,127 @@ object Multimodal {
        |  CASE WHEN greatest(width, height) <= $ResizeMaxDim THEN height
        |       ELSE height * $ResizeMaxDim // greatest(width, height) END AS out_h
        |FROM dims ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q128 — CROSS-MODAL dedup: the q66 frame path composed into the
+  // q93 semantic-dedup family (VERDICT r10 item 5: multimodal stayed
+  // planning-depth — frames never reached the dedup machinery). The
+  // production shape: a video is a bag of frames; each frame looks up
+  // its embedding in the published embedding store; two videos are
+  // duplicates when they share frame CONTENT (same embedding) or
+  // near-content (the store's published q69 near-dup pair table);
+  // video-level edges feed the shared q62 CC and a min-id keep.
+  //
+  // The frame→embedding "lookup" is the deterministic stand-in for a
+  // frame encoder (the container has no codecs — the q52 stub
+  // discipline): vec_id = first-8-hex of the frame fingerprint mod
+  // |store|, the same md5-mod arithmetic q58's split uses, exactly
+  // mirrored in the oracle. Swap it for a real encoder + ANN lookup
+  // and nothing else moves.
+  //
+  // 100 TB shape: frames are generator rows (no shuffle); the lookup
+  // map is one distinct over (doc, vec) — frame-scale, keyed; the
+  // pair table inherits q69's linear cell-blocked bound; video edges
+  // are output-sensitive (bounded by content-duplication rate × docs
+  // per shared vector); CC is O(log n) rounds; the keep is one
+  // broadcast anti-join. A pathologically popular frame content
+  // (intro slates shared by millions of videos) would need the q47
+  // mega-bucket cap applied to docs-per-vector; the fixture corpus
+  // stays far below it.
+  // ---------------------------------------------------------------
+
+  /** q128 — kept videos (doc_id, n_frames) after cross-modal dedup:
+    * frames → embedding lookup → published near-dup pairs → CC →
+    * min-id keep. */
+  def crossModalKeep(spark: SparkSession, dir: String): DataFrame =
+    crossModalKeepFrom(frameSampleFrom(mediaTable(spark, dir)),
+      Tables.embeddings(spark, dir),
+      VectorOps.ivfNearDupPairs(spark, dir).select($"vec_a", $"vec_b"))
+
+  /** The general operator: `frames` = the q66 shape, `embeddings` =
+    * the vector store, `vecPairs` = its published near-dup pair table
+    * (the q69 output). */
+  def crossModalKeepFrom(frames: DataFrame, embeddings: DataFrame,
+                         vecPairs: DataFrame): DataFrame = {
+    val nv = embeddings.agg((max($"vec_id") + 1L).as("nv"))
+    // the lookup map, distinct per (video, content): referenced three
+    // times below (same-vec both sides + the pair bridge), so one
+    // eager checkpoint materializes the frame scan once
+    val fv = frames
+      .crossJoin(broadcast(nv))
+      .select($"doc_id",
+        (expr("CAST(conv(substring(frame_md5, 1, 8), 16, 10) AS BIGINT)")
+          % $"nv").as("vec_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // same frame content in two videos → same vec_id → an edge the
+    // vec-level pair table cannot carry (a vector has no pair with
+    // itself)
+    val sameVec = fv.as("x").join(fv.as("y"), Seq("vec_id"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // near-content: bridge the published vec pairs back to the videos
+    // that use each endpoint
+    val simVec = fv.as("x")
+      .join(vecPairs, $"x.vec_id" === $"vec_a")
+      .join(fv.as("y"), $"y.vec_id" === $"vec_b")
+      .filter($"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+              greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
+    val edges = sameVec.unionByName(simVec).distinct()
+    val dropList = Dedup.clusterLabels(edges)
+      .filter($"doc_id" =!= $"lbl") // keepers label themselves
+      .select($"doc_id")
+    frames.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_frames")
+      .orderBy($"doc_id")
+  }
+
+  /** q128 oracle: the q66 frame enumeration + the q58 md5-mod lookup
+    * arithmetic + the FULL q69 pair SQL (nested verbatim) + the q62
+    * recursive reachability + NOT-EXISTS keep. */
+  lazy val crossModalKeepSql: String =
+    s"""WITH RECURSIVE
+       |fr AS (
+       |  SELECT doc_id,
+       |    md5(substring(text, CAST(i * $FrameChars + 1 AS INT),
+       |      $FrameChars)) AS frame_md5
+       |  FROM documents,
+       |    UNNEST(generate_series(0,
+       |      CAST(ceil(length(text) / $FrameChars.0) AS BIGINT) - 1,
+       |      $FrameStride)) AS u(i)),
+       |fv AS (
+       |  SELECT DISTINCT doc_id,
+       |    CAST('0x' || substring(frame_md5, 1, 8) AS BIGINT)
+       |      % (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id
+       |  FROM fr),
+       |vp AS (SELECT vec_a, vec_b
+       |       FROM (${VectorOps.ivfNearDupPairsSql}) q),
+       |samev AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM fv x JOIN fv y
+       |    ON x.vec_id = y.vec_id AND x.doc_id < y.doc_id),
+       |simv AS (
+       |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       |         greatest(x.doc_id, y.doc_id) AS doc_b
+       |  FROM fv x JOIN vp ON x.vec_id = vp.vec_a
+       |  JOIN fv y ON y.vec_id = vp.vec_b
+       |  WHERE x.doc_id <> y.doc_id),
+       |e0 AS (SELECT DISTINCT doc_a, doc_b FROM
+       |  (SELECT * FROM samev UNION ALL SELECT * FROM simv)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+       |          UNION ALL SELECT doc_b, doc_a FROM e0),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |cc AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach
+       |       GROUP BY doc_id),
+       |nf AS (SELECT doc_id, COUNT(*) AS n_frames FROM fr GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_frames FROM nf n
+       |WHERE NOT EXISTS (SELECT 1 FROM cc
+       |                  WHERE cc.doc_id = n.doc_id
+       |                    AND cc.doc_id != cc.cluster_id)
+       |ORDER BY n.doc_id""".stripMargin
 }

@@ -1391,7 +1391,7 @@ object VectorOps {
   private val pqBooks = scala.collection.concurrent.TrieMap
     .empty[String, (String, Array[(Int, Long, Seq[Double])])]
 
-  private def pqCodebookRowsFor(spark: SparkSession,
+  private[graft] def pqCodebookRowsFor(spark: SparkSession,
                                 dir: String): Array[(Int, Long, Seq[Double])] = {
     val fp = corpusFingerprint(dir)
     pqBooks.get(dir) match {
@@ -1416,6 +1416,30 @@ object VectorOps {
     pqAssign(subVecs(vecs(spark, dir)), pqCodebookDf(spark, dir))
       .select($"vec_id", $"m", $"code", $"dist2")
       .orderBy($"vec_id", $"m")
+
+  /** q127 ingest-time encode kernel: one embeddings micro-batch
+    * against the FROZEN published models — PQ codes (the q120 shape)
+    * with the vector's IVF cell riding along on every code row. Both
+    * encodes are row-local given the broadcast models, so slicing the
+    * corpus into micro-batches commutes with encoding: the drained
+    * log equals the batch write path exactly (the q123 static-model
+    * premise applied to the vector side). Model rows travel as driver
+    * arrays (tiny: cells × dims doubles) and rehydrate per batch as
+    * LocalRelations, which broadcast for free. */
+  def streamEncodeBatch(batch: DataFrame,
+                        books: Array[(Int, Long, Seq[Double])],
+                        cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val spark = batch.sparkSession
+    val booksDf = spark.createDataFrame(books.toIndexedSeq)
+      .toDF("m", "centroid_id", "cv")
+    val centsDf = spark.createDataFrame(cents.toIndexedSeq)
+      .toDF("centroid_id", "cv")
+    val nv = vecsFrom(batch)
+    pqAssign(subVecs(nv), booksDf)
+      .select($"vec_id", $"m", $"code", $"dist2")
+      .join(assignCells(nv, centsDf).select($"vec_id", $"cell_id"),
+        Seq("vec_id"))
+  }
 
   /** q121 — ADC top-k: full-precision queries against the encoded
     * corpus. The LUT (queries × M × cells) broadcasts; per-candidate
@@ -1516,6 +1540,15 @@ object VectorOps {
        |$pqCtes
        |SELECT vec_id, m, code, dist2 FROM pcodes
        |ORDER BY vec_id, m""".stripMargin
+
+  /** q127 oracle: the FULL batch q120 encode joined to the FULL batch
+    * q50 cell assignment (both statements nested verbatim; their
+    * ORDER BYs are inert as derived tables) — the drained streaming
+    * code log must land byte-identically on both measures. */
+  lazy val streamingPqSql: String =
+    s"""SELECT c.vec_id, c.m, c.code, c.dist2, a.cell_id
+       |FROM ($pqCodesSql) c JOIN ($ivfAssignSql) a USING (vec_id)
+       |ORDER BY c.vec_id, c.m""".stripMargin
 
   lazy val pqAdcTopKSql: String = {
     def d2(a: String) =

@@ -669,6 +669,91 @@ object StreamingCorpus {
   }
 
   // ---------------------------------------------------------------
+  // q127 — streaming vector WRITE path: PQ-encode + IVF-assign at
+  // ingest, the vector index's arrival-time twin (VERDICT r10 item 4:
+  // the filter family had streaming twins, but a streaming corpus
+  // with embeddings could not be quantized/assigned as it arrived —
+  // q125 was batch-incremental only). The models are FROZEN published
+  // artifacts (PQ subspace codebooks + IVF centroids, fitted offline
+  // by the q120/q50 write-path jobs); each arriving micro-batch is
+  // encoded row-locally against the broadcast models and appended to
+  // the code log. No cross-batch state machine at all — encoding is
+  // per-vector, so this is strictly simpler than q71/q106 (the q119
+  // observation on the vector side); replay (foreachBatch is
+  // at-least-once) is a no-op because the drain-time read
+  // deduplicates by (vec_id, m).
+  //
+  // 100 TB shape: per batch, one scan of the arriving slice against
+  // broadcast models (M·cells + cells tiny rows) — the batch q120/q50
+  // plans paid incrementally; no corpus shuffle, bounded memory (the
+  // models), linear total work. This is how a production vector index
+  // actually ingests: fit nightly, encode on arrival.
+  // ---------------------------------------------------------------
+
+  private val pqLogSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("m", IntegerType),
+    StructField("code", LongType),
+    StructField("dist2", DoubleType),
+    StructField("cell_id", LongType)))
+
+  /** Encode one embeddings micro-batch against the frozen models and
+    * append to the code log (at-least-once; read-side dedup). */
+  private[graft] def processVectorBatch(batch: DataFrame, root: String,
+      books: Array[(Int, Long, Seq[Double])],
+      cents: Array[(Long, Seq[Double])]): Unit = {
+    graft.operators.VectorOps.streamEncodeBatch(batch, books, cents)
+      .write.mode("append").parquet(s"$root/codes")
+    ()
+  }
+
+  /** Drain-time tail: dedup the code log — the published encoded
+    * corpus (vec_id, m, code, dist2, cell_id). */
+  private[graft] def resolveVectorCodes(spark: SparkSession,
+                                        root: String): DataFrame =
+    readLog(spark, s"$root/codes", pqLogSchema)
+      .dropDuplicates("vec_id", "m")
+      .orderBy($"vec_id", $"m")
+
+  /** Drain `embPath` through ingest-time PQ+IVF encoding against the
+    * frozen `books`/`cents` and return the encoded corpus. */
+  def pqEncodeStream(spark: SparkSession, embPath: String,
+                     books: Array[(Int, Long, Seq[Double])],
+                     cents: Array[(Long, Seq[Double])],
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = StreamingClean.trackedTempDir("graft-pq-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-pq-ckpt-")
+    val q = readEmbeddingsStream(spark, embPath, maxFilesPerTrigger)
+      .writeStream
+      .queryName("graft_streaming_pq_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processVectorBatch(batch, root, books, cents)
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    resolveVectorCodes(spark, root)
+  }
+
+  /** q127 — streaming-vs-batch vector-write parity: the fixture
+    * embeddings staged as four vec_id-ranged files, drained one file
+    * per micro-batch against the SAME published models the batch
+    * q120/q50 write paths use. Oracle = the batch q120 chain joined
+    * to the batch q50 chain (code rows with the cell riding along). */
+  def pqViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val books = VectorOps.pqCodebookRowsFor(spark, sfDir)
+    val cents = VectorOps.codebookRowsFor(spark, sfDir)
+    val staged = StreamingClean.trackedTempDir("graft-pq-in-") + "/embs"
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .repartitionByRange(4, $"vec_id")
+      .write.mode("overwrite").parquet(staged)
+    pqEncodeStream(spark, staged, books, cents, maxFilesPerTrigger = Some(1))
+  }
+
+  // ---------------------------------------------------------------
   // q119 — streaming benchmark decontamination: q59 at INGEST, the
   // last corpus filter without a streaming twin. The benchmark n-gram
   // set is a PUBLISHED artifact (an eval suite exists before the

@@ -32,6 +32,51 @@ object StageTime {
       println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // opt-in EXCLUSIVE mode: job-by-job floor attribution for the
+    // text-scoring family (VERDICT r12 item 2) — the queries >2×
+    // DuckDB at sf0.1 whose plans have no corpus-scale defect. For
+    // each, a warm pass builds stored state, then the timed pass
+    // records every scheduler job's wall; the receipt is jobs ×
+    // per-job cost vs the query wall — showing the floor is Spark's
+    // per-job scheduling latency (constant in data), not data work.
+    // Arg: "floors".
+    if (args.contains("floors")) {
+      import org.apache.spark.scheduler.{SparkListener,
+        SparkListenerJobEnd, SparkListenerJobStart}
+      import scala.jdk.CollectionConverters._
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val durs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          starts.put(js.jobId, js.time); ()
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          durs.put(je.jobId,
+            je.time - starts.getOrDefault(je.jobId, je.time))
+          ()
+        }
+      })
+      val qs = Seq("q114_nb_classifier", "q116_incremental_nb",
+        "q109_incremental_bigram", "q83_ppl_buckets",
+        "q74_unigram_logprob", "q65_tfidf_topterms")
+      qs.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).collect() // warm: JIT + stored-state publish
+        Thread.sleep(1500)       // let the warm pass's job events drain
+        durs.clear(); starts.clear()
+        val t0 = System.nanoTime()
+        fn(spark, dir).collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)       // let the timed pass's events drain
+        val ds = durs.values().asScala.toSeq.map(_.max(0L)).sorted.reverse
+        println(f"[floor] $name: wall $wall%.2f s, jobs ${ds.size}, " +
+          f"job-sum ${ds.sum / 1e3}%.2f s, per-job ms " +
+          s"[${ds.mkString(",")}]")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.documents(spark, dir)
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass")

@@ -374,6 +374,42 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("q127 streaming PQ+IVF encode == batch q120/q50 on the fixture " +
+       "corpus — the frozen published models applied at ingest") {
+    val streamed = StreamingCorpus.pqViaStreaming(spark, sf).collect()
+    val batch = VectorOps.pqCodes(spark, sf)
+      .join(VectorOps.ivfAssign(spark, sf).select($"vec_id", $"cell_id"),
+        Seq("vec_id"))
+      .orderBy($"vec_id", $"m").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("q127: a replayed micro-batch is a no-op, and batch boundaries " +
+       "don't matter — row-local encoding commutes with slicing") {
+    val books = VectorOps.pqCodebookRowsFor(spark, sf)
+    val cents = VectorOps.codebookRowsFor(spark, sf)
+    val embs = graft.Tables.embeddings(spark, sf)
+    val root = TestTmp.dir("graft-pq-replay-").toString
+    val b1 = embs.filter($"vec_id" % 2 === 0)
+    val b2 = embs.filter($"vec_id" % 2 === 1)
+    StreamingCorpus.processVectorBatch(b1, root, books, cents)
+    StreamingCorpus.processVectorBatch(b2, root, books, cents)
+    val once = StreamingCorpus.resolveVectorCodes(spark, root)
+      .collect().toSeq
+    // replay batch 2 wholesale (the at-least-once failure mode)
+    StreamingCorpus.processVectorBatch(b2, root, books, cents)
+    val replayed = StreamingCorpus.resolveVectorCodes(spark, root)
+      .collect().toSeq
+    assert(replayed === once, "replay changed the encoded corpus")
+    // one-shot drain (different slicing) lands the identical log
+    val root2 = TestTmp.dir("graft-pq-oneshot-").toString
+    StreamingCorpus.processVectorBatch(embs, root2, books, cents)
+    val oneShot = StreamingCorpus.resolveVectorCodes(spark, root2)
+      .collect().toSeq
+    assert(oneShot === once, "batch boundaries changed the encoding")
+  }
+
   test("a cross-batch paraphrase dup is caught and verification kills " +
        "same-cell non-dups") {
     // four axis-aligned cells; vec 30 (batch 3) is a near-copy of

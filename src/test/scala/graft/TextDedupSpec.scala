@@ -413,6 +413,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(strided === all.map(_.getLong(1)).filter(_ % 3 == 0).toSeq)
   }
 
+  test("q128 cross-modal dedup: two videos sharing a duplicated " +
+       "segment cluster together; the pair table bridges near-content") {
+    import spark.implicits._
+    // FrameChars=64, stride=2: a 128-char doc samples exactly frame 0
+    // (its first 64 chars). doc 1 and doc 2 share that segment —
+    // identical frame content → identical lookup → same-vec edge.
+    val seg = "A" * 64
+    val docs = Seq(
+      (1L, seg + ("b" * 64)),
+      (2L, seg + ("c" * 64)),
+      (3L, ("d" * 64) + ("e" * 64))).toDF("doc_id", "text")
+    val frames = Multimodal.frameSampleFrom(Multimodal.mediaTableFrom(docs))
+    val embs = (0L until 997L).map(i => (i, Seq(0.1f), 0)) // only MAX(vec_id)+1 matters
+      .toDF("vec_id", "embedding", "label")
+    val noPairs = Seq.empty[(Long, Long)].toDF("vec_a", "vec_b")
+    val kept = Multimodal.crossModalKeepFrom(frames, embs, noPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 1/2 cluster (keeper = min id 1); doc 3 untouched
+    assert(kept.toSeq === Seq((1L, 1L), (3L, 1L)))
+    // near-content: publish a vec pair connecting doc 3's frame
+    // content to the shared segment's content — all three now cluster
+    def vecOf(md5hex: String): Long =
+      java.lang.Long.parseLong(md5hex.substring(0, 8), 16) % 997L
+    val byDoc = frames.collect()
+      .map(r => r.getLong(0) -> vecOf(r.getString(2))).toMap
+    val bridge = Seq((math.min(byDoc(1L), byDoc(3L)),
+      math.max(byDoc(1L), byDoc(3L)))).toDF("vec_a", "vec_b")
+    val keptBridged = Multimodal
+      .crossModalKeepFrom(frames, embs, bridge)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keptBridged.toSeq === Seq((1L, 1L)))
+  }
+
+  test("q128 on the fixture: deterministic, keepers are cluster " +
+       "minima, frame counts match q66") {
+    val a = Multimodal.crossModalKeep(spark, sf).collect()
+    val b = Multimodal.crossModalKeep(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    val nf = Multimodal.frameSample(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    a.foreach(r => assert(nf(r.getLong(0)) === r.getLong(1)))
+    val keptIds = a.map(_.getLong(0)).toSet
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(keptIds.size <= total)
+  }
+
   test("multimodal: resize preserves aspect ratio and respects the bounding box") {
     val rows = Multimodal.mediaResize(spark, sf).collect()
     assert(rows.nonEmpty)
