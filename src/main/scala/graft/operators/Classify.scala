@@ -27,10 +27,14 @@ import graft.syntax._
   * exact integer arithmetic in both engines — float summation order
   * can never flip a hash or an argmax tie.
   *
-  * 100 TB shape: the corpus is tokenized ONCE (the tf table serves
-  * both fit and scoring); training reads only the train split's tf
-  * slice (one partial-aggregated groupBy per model table — word
-  * counts collapse map-side; class totals / priors / vocab size are
+  * 100 TB shape: ~1.75 STREAMING text passes and nothing corpus-sized
+  * ever materialized — the fit tokenizes the train slice inside the
+  * one eager vocab-sized word-count job, the score tokenizes the
+  * corpus inside its own pipelined pass (measured faster than sharing
+  * a checkpointed corpus tf: a corpus-sized write costs more than a
+  * corpus-sized read — the `nbshared` receipt in SCALE.md); training
+  * is one partial-aggregated groupBy per model table (word counts
+  * collapse map-side; class totals / priors / vocab size are
   * class- or one-row-sized and broadcast); scoring is the corpus tf
   * table cross-joined with the CLASS LIST (a handful of rows,
   * broadcast) and left-joined with the BROADCAST word-count table —
@@ -66,21 +70,19 @@ object Classify {
   /** (doc_id, lang, pred_lang, score, correct) for every document,
     * ordered by doc_id.
     *
-    * The corpus is tokenized ONCE: the scoring tf table doubles as
-    * the training input — the train split's word counts are
-    * sum(tf) grouped by the attached label, identical to counting
-    * the exploded train tokens directly (VERDICT r10 item 2: the
-    * train slice was previously re-tokenized inside the fit, a
-    * second full text pass over ~3/4 of the corpus). */
-  def nbClassifyFrom(docs: DataFrame): DataFrame = {
-    val tf = docTf(docs).localCheckpoint(false)
-    val meta = trainSlice(docs).select($"doc_id", $"lang")
-    val wc = tf.join(meta, Seq("doc_id"))
-      .groupBy($"lang", $"token").agg(sum($"tf").as("cnt"))
-      .localCheckpoint(false)
-    val cdoc = meta.groupBy($"lang").agg(count(lit(1)).as("n_docs_c"))
-    nbScore(docs, tf, nbModelOf(wc, cdoc))
-  }
+    * Shape (r13, measured — the `nbshared` ScaleStress receipt): the
+    * fit tokenizes the TRAIN slice inside the one eager vocab-sized
+    * wc job, the score tokenizes the corpus inside its own pipelined
+    * pass — ~1.75 streaming text passes total and NOTHING
+    * corpus-sized is ever materialized. The r12 "tokenize once"
+    * shape (share one checkpointed corpus tf between fit and score)
+    * measured SLOWER at 10× (3.70 vs 2.83 s): sharing saves 0.75 of
+    * a streaming scan but pays a full corpus-tf materialization,
+    * and a corpus-sized write costs more than a corpus-sized read at
+    * every scale. q116 still stores doc-level tf — there the table
+    * is the carry state itself, not a cache. */
+  def nbClassifyFrom(docs: DataFrame): DataFrame =
+    nbScore(docs, docTf(docs), nbModelFrom(trainSlice(docs)))
 
   /** The train-split slice (q58's hash buckets — doc-local, no
     * shuffle). */
@@ -103,11 +105,14 @@ object Classify {
     val ttok = train.select($"lang",
       explode(TextOps.tokens($"text")).as("token"))
     // four consumers read wc (totals, vocab size, the classes join,
-    // and the scoring left join) — without the barrier the train
-    // tokenize subtree is cloned into every one (the q92 freshTf
-    // discipline)
+    // and the scoring left join), and the model broadcasts build
+    // CONCURRENTLY — EAGER, because under a lazy barrier the racing
+    // broadcast builds each re-run the train-tokenize subtree before
+    // any has cached it (r13 floor attribution: three ~0.5 s clone
+    // jobs at sf0.1). One serial vocab-sized job; every consumer then
+    // reads the leaf in milliseconds.
     val wc = ttok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     nbModelOf(wc, train.groupBy($"lang").agg(count(lit(1)).as("n_docs_c")))
   }
 
@@ -275,8 +280,11 @@ object Classify {
       .unionByName(lostTf.select($"lang", $"token", (-$"tf").as("cnt")))
       .groupBy($"lang", $"token").agg(sum($"cnt").as("cnt"))
       .filter($"cnt" > 0)
-      // the same four consumers as the batch wc — without the
-      // barrier the delta-merge subtree is cloned into every one
+      // the same four consumers as the batch wc — LAZY, unlike the
+      // batch barrier: here the racing broadcast builds duplicate
+      // only the vocab-sized delta merge (cheap, absorbed by idle
+      // cores), and serializing it behind an eager barrier measured
+      // slower (r13 floors A/B: 3.0 s lazy vs 3.2-4.6 s eager)
       .localCheckpoint(false)
     val newCdoc = prevCdoc.select($"lang", $"n_docs_c")
       .unionByName(freshTrainMeta.select($"lang", lit(1L).as("n_docs_c")))

@@ -61,13 +61,22 @@ class ClassifySpec extends AnyFunSuite {
     // broadcast lookup
     val viaBroadcast = Classify.nbClassify(spark, sf).collect()
     System.setProperty("graft.nb.broadcastModel", "false")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      // without the forced hint the planner may still auto-broadcast a
+      // small wc (fine — the hatch's point is removing the FORCE);
+      // disabling auto-broadcast proves the keyed-join path exists and
+      // is correct, the shape a >8 GB model would actually take
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val keyed = Classify.nbClassify(spark, sf)
       val p = keyed.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"fallback must key-shuffle the model join:\n${p.take(3000)}")
       assert(keyed.collect().toSeq === viaBroadcast.toSeq)
-    } finally System.clearProperty("graft.nb.broadcastModel")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      System.clearProperty("graft.nb.broadcastModel")
+    }
   }
 
   test("q116 incremental NB == full recompute over the new snapshot") {
