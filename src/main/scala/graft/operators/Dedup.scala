@@ -350,11 +350,14 @@ object Dedup {
       .orderBy($"bucket_docs".desc, $"band_id", $"band_val")
 
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    // lazy localCheckpoint, not cache(): the handle is function-local,
-    // so a cache() entry could never be unpersisted by the caller (the
-    // jaccardPairsOver discipline above) — checkpoint blocks are freed
-    // by the ContextCleaner once the returned plan is unreachable
-    lshNearDupPairsFrom(shingleFps(spark, dir).localCheckpoint(false))
+    // EAGER localCheckpoint, not cache() (block lifetime: the
+    // jaccardPairsOver discipline — ContextCleaner frees the blocks
+    // once the plan is unreachable) and not lazy (r13 floors: the
+    // oversized-bucket broadcast, the verification joins, and the
+    // main band job built CONCURRENTLY, each racing to compute the
+    // signing subtree before any had cached it — five ~0.4-0.5 s
+    // clone jobs at sf0.1; eager signs once)
+    lshNearDupPairsFrom(shingleFps(spark, dir).localCheckpoint(true))
 
   /** (doc_id, band_id, band_val) — each doc's LSH band keys. Wide
     * conditional-min aggregation instead of a collect_list object
@@ -500,9 +503,10 @@ object Dedup {
   // ---------------------------------------------------------------
 
   def containmentOverLsh(spark: SparkSession, dir: String): DataFrame =
-    // lazy localCheckpoint: shf feeds bands + both verification joins
-    // (the lshNearDupPairs discipline)
-    containmentOverLshFrom(shingleFps(spark, dir).localCheckpoint(false))
+    // eager localCheckpoint: shf feeds bands + both verification joins,
+    // which build concurrently (the r13 lshNearDupPairs discipline —
+    // a lazy barrier let them race the signing subtree)
+    containmentOverLshFrom(shingleFps(spark, dir).localCheckpoint(true))
 
   /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
   def containmentOverLshFrom(shf: DataFrame): DataFrame = {
@@ -1933,8 +1937,13 @@ object Dedup {
   // ---------------------------------------------------------------
 
   def crossSourceDups(spark: SparkSession, dir: String): DataFrame =
+    // eager checkpoint: crossSourceDupsFrom broadcasts the pair table
+    // into BOTH source lookups, and the two broadcast builds raced the
+    // whole fresh q47 chain twice under a lazy plan (r13 floors: two
+    // ~1.2 s clone jobs). One pair run, two leaf reads.
     crossSourceDupsFrom(Tables.documents(spark, dir),
-      lshNearDupPairs(spark, dir))
+      lshNearDupPairs(spark, dir).select($"doc_a", $"doc_b")
+        .localCheckpoint(true))
 
   /** Matrix over any documents-shaped frame and (doc_a, doc_b, *)
     * pair frame; pair sources are normalized (least, greatest) so a

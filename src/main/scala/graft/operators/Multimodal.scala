@@ -224,7 +224,7 @@ object Multimodal {
   def crossModalKeep(spark: SparkSession, dir: String): DataFrame =
     crossModalKeepFrom(frameSampleFrom(mediaTable(spark, dir)),
       Tables.embeddings(spark, dir),
-      VectorOps.ivfNearDupPairs(spark, dir).select($"vec_a", $"vec_b"))
+      VectorOps.publishedNearDupPairs(spark, dir))
 
   /** The general operator: `frames` = the q66 shape, `embeddings` =
     * the vector store, `vecPairs` = its published near-dup pair table

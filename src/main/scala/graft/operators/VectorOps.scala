@@ -468,6 +468,29 @@ object VectorOps {
   def ivfNearDupPairs(spark: SparkSession, dir: String): DataFrame =
     ivfNearDupPairsFrom(vecs(spark, dir), codebookRowsFor(spark, dir))
 
+  private val pubPairs = scala.collection.concurrent.TrieMap
+    .empty[String, (String, DataFrame)]
+
+  /** The PUBLISHED near-dup pair table of the embedding store — the
+    * artifact q69's nightly job lands, which cross-store consumers
+    * (q128) read instead of re-running assign/verify per query (the
+    * StoredIndex publish-once rule on the vector side). Memo folds
+    * the applicationId: a checkpointed frame cannot outlive its
+    * session. q93/q69 themselves stay one-shot — their bench rows
+    * price the nightly job. */
+  private[graft] def publishedNearDupPairs(spark: SparkSession,
+                                           dir: String): DataFrame = {
+    val fp = spark.sparkContext.applicationId + "\n" + corpusFingerprint(dir)
+    pubPairs.get(dir) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = ivfNearDupPairs(spark, dir)
+          .select($"vec_a", $"vec_b").localCheckpoint(true)
+        pubPairs.put(dir, (fp, df))
+        df
+    }
+  }
+
   /** The q69 path with the probe knob exposed at the corpus-dir level
     * (the deployment entry — mirrors `ivfTopKProbes`). */
   def ivfNearDupPairs(spark: SparkSession, dir: String,

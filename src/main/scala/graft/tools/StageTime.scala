@@ -56,9 +56,11 @@ object StageTime {
           ()
         }
       })
-      val qs = Seq("q114_nb_classifier", "q116_incremental_nb",
-        "q109_incremental_bigram", "q83_ppl_buckets",
-        "q74_unigram_logprob", "q65_tfidf_topterms")
+      val extra = args.dropWhile(_ != "floors").drop(1)
+      val qs = if (extra.nonEmpty) extra.toSeq
+        else Seq("q114_nb_classifier", "q116_incremental_nb",
+          "q109_incremental_bigram", "q83_ppl_buckets",
+          "q74_unigram_logprob", "q65_tfidf_topterms")
       qs.foreach { name =>
         val fn = graft.SparkEntry.queries(name)
         fn(spark, dir).collect() // warm: JIT + stored-state publish
