@@ -148,6 +148,7 @@ object SparkEntry {
     "q126_bpe_train"        -> (Corpus.bpeTrain(_, _)),
     "q127_streaming_pq"     -> (graft.streaming.StreamingCorpus.pqViaStreaming(_, _)),
     "q128_crossmodal_dedup" -> (Multimodal.crossModalKeep(_, _)),
+    "q129_bpe_encode"       -> (Corpus.bpeEncode(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -371,6 +372,9 @@ object SparkEntry {
     // models must land exactly where the one-shot write paths do.
     "q127_streaming_pq"     -> VectorOps.streamingPqSql,
     "q128_crossmodal_dedup" -> Multimodal.crossModalKeepSql,
+    // q129's oracle re-derives the q126 merge list via the same CTE
+    // chain, then applies the identical nested replaces.
+    "q129_bpe_encode"       -> Corpus.bpeEncodeSql,
     // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
     // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
     // construction isn't SQL-mirrored).

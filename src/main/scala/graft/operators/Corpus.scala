@@ -1357,13 +1357,14 @@ object Corpus {
       .orderBy($"round")
   }
 
-  /** q126 oracle: the same BpeMergeRounds rounds unrolled as plain
-    * CTEs (the pqCtesFrom discipline applied to q80) — identical
-    * padded-double-space greedy replace, identical tie-break. */
-  lazy val bpeTrainSql: String = {
+  /** The unrolled merge-round CTE chain shared by the q126 oracle and
+    * the q129 encode oracle (the pqCtesFrom discipline applied to
+    * q80) — identical padded-double-space greedy replace, identical
+    * tie-break. */
+  private lazy val bpeTrainCtes: String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH toks AS (
+      s"""toks AS (
          |  SELECT unnest(${TextOps.tokensSql}) AS token FROM documents),
          |w0 AS (
          |  SELECT array_to_string(list_transform(
@@ -1392,12 +1393,105 @@ object Corpus {
            |    w.cnt
            |  FROM w${r - 1} w LEFT JOIN t$r t ON 1 = 1)""".stripMargin)
     }
+    sb.toString
+  }
+
+  /** q126 oracle: the merge rounds unrolled, one row per round. */
+  lazy val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb.append("WITH ").append(bpeTrainCtes)
     sb.append("\nSELECT * FROM (\n")
     sb.append((1 to BpeMergeRounds).map(r =>
       s"  SELECT CAST($r AS BIGINT) AS round, pair, pair_count FROM t$r")
       .mkString("\n  UNION ALL\n"))
     sb.append(") ORDER BY round")
     sb.toString
+  }
+
+  // ---------------------------------------------------------------
+  // q129 — BPE ENCODE: apply the q126 trained merge table to the
+  // corpus (the tokenizer's read path — train once, encode every
+  // document). The merge list is the PUBLISHED artifact (memoized per
+  // corpus fingerprint — the codebook rule applied to the tokenizer);
+  // encoding is one corpus pass applying the merges in rank order as
+  // a chain of BpeMergeRounds literal replaces on the same
+  // padded-double-space representation training used — row-local,
+  // codegen'd, no UDF, no shuffle before the per-doc aggregate.
+  // Output: per-doc whitespace-token and BPE-subword counts, the
+  // compression stat a tokenizer report shows.
+  //
+  // 100 TB shape: the train cost amortizes to zero across encodes
+  // (one machinery run per snapshot, the q104/q107 publish-once
+  // posture); the encode is a single partial-aggregated scan.
+  // ---------------------------------------------------------------
+
+  private val bpeMergeState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[String])]
+
+  /** The published merge list for `dir` (rank order), trained once
+    * per corpus fingerprint + session. */
+  private[graft] def bpeMergesFor(spark: SparkSession,
+                                  dir: String): Seq[String] = {
+    val fp = Dedup.docsFingerprint(spark, dir)
+    bpeMergeState.get(dir) match {
+      case Some((`fp`, m)) => m
+      case _ =>
+        val m = bpeTrain(spark, dir).collect().map(_.getString(1)).toSeq
+        bpeMergeState.put(dir, (fp, m))
+        m
+    }
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeFrom(Tables.documents(spark, dir), bpeMergesFor(spark, dir))
+
+  /** (doc_id, n_tokens, n_subwords): whitespace tokens vs BPE
+    * subwords after applying `merges` in rank order. */
+  def bpeEncodeFrom(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val repr0 = concat(lit(" "), array_join(expr(
+      "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+      "  "), lit(" "))
+    // each replace preserves the single padding space at both ends,
+    // so the chain applies directly on the padded form
+    val reprN = merges.foldLeft(repr0) { (c, pair) =>
+      replace(c, lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + pair.replace(" ", "") + " "))
+    }
+    docs.select($"doc_id", explode(TextOps.tokens($"text")).as("token"))
+      .filter(length($"token") >= 1)
+      .select($"doc_id", size(split(trim(reprN), "  ")).as("n_sub"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"n_sub").cast(LongType).as("n_subwords"))
+      .orderBy($"doc_id")
+  }
+
+  /** q129 oracle: the q126 CTE chain re-derives the merge list, then
+    * the encode applies the same BpeMergeRounds nested replaces —
+    * scalar subqueries against t1..tN, COALESCEd to a can't-match
+    * sentinel so an exhausted round is a no-op in both engines. */
+  lazy val bpeEncodeSql: String = {
+    val repr0 = "' ' || array_to_string(list_transform(" +
+      "generate_series(1, length(token)), i -> substring(token, i, 1))," +
+      " '  ') || ' '"
+    val reprN = (1 to BpeMergeRounds).foldLeft(repr0) { (c, r) =>
+      s"""replace($c,
+         |  coalesce((SELECT ' ' || replace(pair, ' ', '  ') || ' '
+         |            FROM t$r), chr(1)),
+         |  coalesce((SELECT ' ' || replace(pair, ' ', '') || ' '
+         |            FROM t$r), ''))""".stripMargin
+    }
+    s"""WITH $bpeTrainCtes,
+       |dtok AS (
+       |  SELECT doc_id, unnest(${TextOps.tokensSql}) AS token
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, $reprN AS repr
+       |  FROM dtok WHERE length(token) >= 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(len(string_split(trim(repr), '  '))) AS BIGINT)
+       |    AS n_subwords
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------

@@ -561,6 +561,36 @@ class CorpusSpec extends AnyFunSuite {
       (10L, "d est", 3L)))
   }
 
+  test("q129 bpe encode: applying the trained merges in rank order " +
+       "yields the hand-computed subword counts") {
+    // the q126 hand corpus's 10 merges end at "d est": newest and low
+    // fully merge, lower = [low, e, r], widest = [w, i, dest],
+    // aaaa = [aaaa] (rounds 1-2 merge the a-run greedily)
+    val docs = docsFrame(
+      1L -> "low low low low low",
+      2L -> "lower lower",
+      3L -> "newest newest newest newest newest newest",
+      4L -> "widest widest widest",
+      5L -> "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa")
+    val merges = Corpus.bpeTrainFrom(spark, docs).collect()
+      .map(_.getString(1)).toSeq
+    val out = Corpus.bpeEncodeFrom(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, 5L, 5L),   // low ×5 → 1 subword each
+      (2L, 2L, 6L),   // lower → [low, e, r]
+      (3L, 6L, 6L),   // newest fully merges by round 9
+      (4L, 3L, 9L),   // widest → [w, i, dest]
+      (5L, 12L, 12L)  // aaaa → [aa,aa] → [aaaa]
+    ))
+    // fewer merges = strictly coarser encode: with no merges every
+    // subword is a character
+    val raw = Corpus.bpeEncodeFrom(docs, Seq.empty).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(raw.toSeq === Seq((1L, 15L), (2L, 10L), (3L, 36L),
+      (4L, 18L), (5L, 48L)))
+  }
+
   test("q126 bpe train: exhaustion stops the loop early; single-char " +
        "tokens never produce a merge") {
     val out = Corpus.bpeTrainFrom(spark, docsFrame(1L -> "ab ab cd"))
