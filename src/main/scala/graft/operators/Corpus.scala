@@ -1289,8 +1289,10 @@ object Corpus {
   //      1-row TakeOrderedAndProject collect (fixed-size — the
   //      clusterLabels checksum discipline, not a driver loop over
   //      data), and a row-local literal replace;
-  //   3. per-round localCheckpoint(true) truncates lineage so round
-  //      N's plan stays flat (the q62/CC iterative discipline).
+  //   3. one eager checkpoint materializes the word table; each
+  //      round then stacks ONE row-local replace on that leaf (a
+  //      bounded projection chain — no self-reference, so the CC
+  //      loop's per-round truncation is unnecessary).
   //
   // Greedy-merge encoding shared with the DuckDB oracle: a word's
   // symbols are joined by a DOUBLE space and padded with one space at
@@ -1345,12 +1347,17 @@ object Corpus {
         // no re-group: duplicate reprs (distinct words converging on
         // one symbol sequence) keep separate cnt rows, exactly like
         // the oracle's w{r} CTE — pair totals are sums either way,
-        // and skipping the regroup keeps the round shuffle-free
+        // and skipping the regroup keeps the round shuffle-free.
+        // No per-round checkpoint either: each round adds ONE
+        // row-local replace over the single initial leaf, so round
+        // r's plan is a depth-r projection chain (bounded by
+        // BpeMergeRounds, single-consumer, linear re-analysis) —
+        // unlike the CC loop there is no self-reference to truncate,
+        // and dropping the barrier halves the per-round job count
         words = words
           .select(trim(replace(
             concat(lit(" "), $"repr", lit(" ")),
             lit(search), lit(merged))).as("repr"), $"cnt")
-          .localCheckpoint(true)
       }
     }
     merges.result().toDF("round", "pair", "pair_count")
