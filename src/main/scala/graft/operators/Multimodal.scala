@@ -213,10 +213,41 @@ object Multimodal {
   // are output-sensitive (bounded by content-duplication rate × docs
   // per shared vector); CC is O(log n) rounds; the keep is one
   // broadcast anti-join. A pathologically popular frame content
-  // (intro slates shared by millions of videos) would need the q47
-  // mega-bucket cap applied to docs-per-vector; the fixture corpus
-  // stays far below it.
+  // (intro slates shared by millions of videos) is SKIPPED by the
+  // MaxDocsPerVec guard below — the q47 mega-bucket discipline
+  // applied to docs-per-vector (VERDICT r13 item 1); the fixture
+  // corpus stays far below the cap (max occupancy 10 at sf0.01, 18
+  // at sf0.1 vs the cap of 64), so the guard never fires there.
   // ---------------------------------------------------------------
+
+  /** q128's docs-per-vector cap — the q47 [[Dedup.MaxBucketDocs]]
+    * guard applied to the frame→vector lookup map. A vec_id shared by
+    * more than this many videos (an intro slate, a black frame, a
+    * network logo) would make BOTH edge paths quadratic in its
+    * occupancy: the same-content self-join directly, and the pair
+    * bridge through any published pair touching it. Oversized vec_ids
+    * are skipped from edge generation entirely — the deliberate
+    * recall-for-boundedness trade q47 makes for LSH buckets: videos
+    * that ALSO share a less-popular frame content still edge through
+    * it, and the truncation is observable via
+    * [[crossModalSkippedVecs]]. Mirrored in the oracle (the q47 SQL
+    * discipline) so the hash gate stays meaningful above the cap. */
+  val MaxDocsPerVec: Int = Dedup.MaxBucketDocs
+
+  /** Audit view of the q128 guard: the vec_ids whose edges were
+    * dropped by [[MaxDocsPerVec]], with occupancy. Empty on healthy
+    * corpora (and on both fixture SFs); run it alongside q128 when a
+    * corpus is boilerplate-heavy to see exactly what was skipped. */
+  def crossModalSkippedVecs(spark: SparkSession, dir: String): DataFrame =
+    crossModalSkippedVecsFrom(frameSampleFrom(mediaTable(spark, dir)),
+      Tables.embeddings(spark, dir))
+
+  def crossModalSkippedVecsFrom(frames: DataFrame,
+                                embeddings: DataFrame): DataFrame =
+    frameVecLookup(frames, embeddings)
+      .groupBy($"vec_id").agg(count(lit(1)).as("vec_docs"))
+      .filter($"vec_docs" > MaxDocsPerVec)
+      .orderBy($"vec_docs".desc, $"vec_id")
 
   /** q128 — kept videos (doc_id, n_frames) after cross-modal dedup:
     * frames → embedding lookup → published near-dup pairs → CC →
@@ -231,28 +262,28 @@ object Multimodal {
     * (the q69 output). */
   def crossModalKeepFrom(frames: DataFrame, embeddings: DataFrame,
                          vecPairs: DataFrame): DataFrame = {
-    val nv = embeddings.agg((max($"vec_id") + 1L).as("nv"))
     // the lookup map, distinct per (video, content): referenced three
     // times below (same-vec both sides + the pair bridge), so one
     // eager checkpoint materializes the frame scan once
-    val fv = frames
-      .crossJoin(broadcast(nv))
-      .select($"doc_id",
-        (expr("CAST(conv(substring(frame_md5, 1, 8), 16, 10) AS BIGINT)")
-          % $"nv").as("vec_id"))
-      .distinct()
-      .localCheckpoint(true)
+    val fv = frameVecLookup(frames, embeddings).localCheckpoint(true)
+    // mega-bucket guard (q47 discipline): skip vec_ids whose video
+    // list exceeds the cap — the oversized list is tiny (usually
+    // empty), so the anti-join broadcasts and fv is not reshuffled
+    val oversized = fv.groupBy($"vec_id")
+      .agg(count(lit(1)).as("vn")).filter($"vn" > MaxDocsPerVec)
+      .select($"vec_id")
+    val fvp = fv.join(broadcast(oversized), Seq("vec_id"), "left_anti")
     // same frame content in two videos → same vec_id → an edge the
     // vec-level pair table cannot carry (a vector has no pair with
     // itself)
-    val sameVec = fv.as("x").join(fv.as("y"), Seq("vec_id"))
+    val sameVec = fvp.as("x").join(fvp.as("y"), Seq("vec_id"))
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
     // near-content: bridge the published vec pairs back to the videos
     // that use each endpoint
-    val simVec = fv.as("x")
+    val simVec = fvp.as("x")
       .join(vecPairs, $"x.vec_id" === $"vec_a")
-      .join(fv.as("y"), $"y.vec_id" === $"vec_b")
+      .join(fvp.as("y"), $"y.vec_id" === $"vec_b")
       .filter($"x.doc_id" =!= $"y.doc_id")
       .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
               greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
@@ -266,9 +297,24 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** The (doc_id, vec_id) frame→embedding lookup map, distinct per
+    * (video, content) — the md5-mod stand-in for encoder + ANN lookup
+    * (see the q128 header comment). */
+  private[graft] def frameVecLookup(frames: DataFrame,
+                                    embeddings: DataFrame): DataFrame = {
+    val nv = embeddings.agg((max($"vec_id") + 1L).as("nv"))
+    frames
+      .crossJoin(broadcast(nv))
+      .select($"doc_id",
+        (expr("CAST(conv(substring(frame_md5, 1, 8), 16, 10) AS BIGINT)")
+          % $"nv").as("vec_id"))
+      .distinct()
+  }
+
   /** q128 oracle: the q66 frame enumeration + the q58 md5-mod lookup
-    * arithmetic + the FULL q69 pair SQL (nested verbatim) + the q62
-    * recursive reachability + NOT-EXISTS keep. */
+    * arithmetic + the [[MaxDocsPerVec]] guard (mirrored like the q47
+    * oracle mirrors `MaxBucketDocs`) + the FULL q69 pair SQL (nested
+    * verbatim) + the q62 recursive reachability + NOT-EXISTS keep. */
   lazy val crossModalKeepSql: String =
     s"""WITH RECURSIVE
        |fr AS (
@@ -284,17 +330,21 @@ object Multimodal {
        |    CAST('0x' || substring(frame_md5, 1, 8) AS BIGINT)
        |      % (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id
        |  FROM fr),
+       |fvp AS (
+       |  SELECT doc_id, vec_id FROM fv
+       |  WHERE vec_id IN (SELECT vec_id FROM fv GROUP BY vec_id
+       |                   HAVING COUNT(*) <= $MaxDocsPerVec)),
        |vp AS (SELECT vec_a, vec_b
        |       FROM (${VectorOps.ivfNearDupPairsSql}) q),
        |samev AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM fv x JOIN fv y
+       |  FROM fvp x JOIN fvp y
        |    ON x.vec_id = y.vec_id AND x.doc_id < y.doc_id),
        |simv AS (
        |  SELECT least(x.doc_id, y.doc_id) AS doc_a,
        |         greatest(x.doc_id, y.doc_id) AS doc_b
-       |  FROM fv x JOIN vp ON x.vec_id = vp.vec_a
-       |  JOIN fv y ON y.vec_id = vp.vec_b
+       |  FROM fvp x JOIN vp ON x.vec_id = vp.vec_a
+       |  JOIN fvp y ON y.vec_id = vp.vec_b
        |  WHERE x.doc_id <> y.doc_id),
        |e0 AS (SELECT DISTINCT doc_a, doc_b FROM
        |  (SELECT * FROM samev UNION ALL SELECT * FROM simv)),

@@ -19,6 +19,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast left-anti join:\n${p.take(3000)}")
   }
 
+  test("q128: docs-per-vector guard anti-join broadcasts — the frame→" +
+       "vector lookup map is never reshuffled by the guard") {
+    // VERDICT r13 item 1: the sameVec/simVec edge paths read the
+    // lookup map through the MaxDocsPerVec guard. The oversized list
+    // is tiny, so it must broadcast into a left-anti join (the q47
+    // shape), and the checkpointed lookup map must appear as an
+    // ExistingRDD leaf — never hash-reshuffled to apply the cap.
+    val p = plan("q128_crossmodal_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti guard join:\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"lookup map must come from the eager checkpoint:\n${p.take(3000)}")
+  }
+
   test("q05: dimension joins broadcast, no sort-merge join of facts against dims") {
     val p = plan("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))

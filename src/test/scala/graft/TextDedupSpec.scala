@@ -446,6 +446,53 @@ class TextDedupSpec extends AnyFunSuite {
     assert(keptBridged.toSeq === Seq((1L, 1L)))
   }
 
+  test("q128 docs-per-vector guard: a pathologically shared frame " +
+       "content (one vec_id in 150 videos) is skipped — its quadratic " +
+       "edge family never materializes; under-cap content still dedups") {
+    import spark.implicits._
+    // 150 videos all opening with the same 64-char intro slate (each
+    // doc is exactly one frame), plus two videos sharing a DIFFERENT
+    // under-cap segment, plus one singleton.
+    val slate = "S" * 64
+    val seg = "Q" * 64
+    val popular = (1L to 150L).map(i => (i, slate))
+    val docs = (popular ++ Seq((200L, seg), (201L, seg),
+      (300L, "z" * 64))).toDF("doc_id", "text")
+    val frames = Multimodal.frameSampleFrom(Multimodal.mediaTableFrom(docs))
+    val embs = (0L until 997L).map(i => (i, Seq(0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val noPairs = Seq.empty[(Long, Long)].toDF("vec_a", "vec_b")
+    // the audit view names exactly the slate's vec_id at occupancy 150
+    val skipped = Multimodal.crossModalSkippedVecsFrom(frames, embs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def vecOf(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 997L
+    }
+    assert(skipped.toSeq === Seq((vecOf(slate), 150L)))
+    // without the guard sameVec would emit 150*149/2 = 11175 pairs and
+    // collapse the popular family to one keeper; WITH it the oversized
+    // vec_id contributes zero edges — all 150 stay kept — while the
+    // under-cap pair (200, 201) still dedups to its min id
+    val kept = Multimodal.crossModalKeepFrom(frames, embs, noPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 150L).forall(kept.contains))
+    assert(kept.contains(200L) && !kept.contains(201L))
+    assert(kept.contains(300L))
+    assert(kept.size === 152)
+    // an oversized vec_id must not bridge through the pair table
+    // either: publish a pair touching the slate's content — still no
+    // popular-family edges
+    val other = vecOf(seg)
+    val bridge = Seq((math.min(vecOf(slate), other),
+      math.max(vecOf(slate), other))).toDF("vec_a", "vec_b")
+    val keptB = Multimodal.crossModalKeepFrom(frames, embs, bridge)
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 150L).forall(keptB.contains))
+    assert(keptB.size === 152)
+  }
+
   test("q128 on the fixture: deterministic, keepers are cluster " +
        "minima, frame counts match q66") {
     val a = Multimodal.crossModalKeep(spark, sf).collect()
