@@ -1285,14 +1285,31 @@ object Corpus {
   // corpus again:
   //   1. ONE corpus-scale pass builds the distinct-word table
   //      (vocab-sized; Zipf skew collapses map-side);
-  //   2. each round is an explode+partial-agg over the WORD table, a
-  //      1-row TakeOrderedAndProject collect (fixed-size — the
+  //   2. the PAIR-COUNT table is maintained by signed deltas (the
+  //      q94 turnstile discipline, VERDICT r13 item 5): only the
+  //      words CONTAINING the just-merged pair change their pair
+  //      multiset, so each round explodes pairs from the affected
+  //      slice only — old repr negative, merged repr positive — and
+  //      folds the tiny delta into the checkpointed pair table. The
+  //      corpus-shaped explode happens ONCE (the round-0 recount);
+  //      from then on per-round shuffle volume is proportional to
+  //      the merged pair's support, not the vocabulary, which is
+  //      what lets a 30k-merge production train finish: late rounds
+  //      merge rare pairs and cost almost nothing;
+  //   3. each round is then a 1-row TakeOrderedAndProject collect
+  //      off the materialized pair leaf (fixed-size — the
   //      clusterLabels checksum discipline, not a driver loop over
-  //      data), and a row-local literal replace;
-  //   3. one eager checkpoint materializes the word table; each
-  //      round then stacks ONE row-local replace on that leaf (a
-  //      bounded projection chain — no self-reference, so the CC
-  //      loop's per-round truncation is unnecessary).
+  //      data) and a row-local literal replace on the word table;
+  //   4. one eager checkpoint materializes the word table; each
+  //      round stacks ONE row-local replace on that leaf (a bounded
+  //      projection chain — no self-reference, so the CC loop's
+  //      per-round truncation is unnecessary); a long merge budget
+  //      compacts the chain every BpeWordsCompactEvery rounds so the
+  //      per-round re-derivation stays O(vocab), never O(rounds ×
+  //      vocab). The pair table IS self-referencing (pc_r reads
+  //      pc_{r-1}), so it checkpoints eagerly every round — it is
+  //      about to be collected from anyway, and the leaf is
+  //      pair-vocabulary-sized, independent of corpus size.
   //
   // Greedy-merge encoding shared with the DuckDB oracle: a word's
   // symbols are joined by a DOUBLE space and padded with one space at
@@ -1305,8 +1322,106 @@ object Corpus {
 
   val BpeMergeRounds = 10
 
+  /** Word-chain compaction period: every this-many rounds the
+    * replace chain over the word table is re-checkpointed so round
+    * r's plan applies at most this many row-local replaces over a
+    * materialized leaf. A no-op at BpeMergeRounds = 10; the knob that
+    * keeps a 30k-merge budget's cumulative word-table work linear in
+    * rounds instead of quadratic. */
+  val BpeWordsCompactEvery = 32
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrainFrom(spark, Tables.documents(spark, dir))
+
+  /** The checkpointed distinct-word table (repr, cnt) — the one
+    * corpus-scale pass; every training round after this reads words,
+    * never documents. */
+  private[graft] def bpeInitialWords(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextOps.tokens($"text")).as("token"))
+      .filter(length($"token") >= 1)
+      .select(array_join(expr(
+        "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+        "  ").as("repr"))
+      .groupBy($"repr").agg(count(lit(1)).as("cnt"))
+
+  /** Full pair recount over a word table: (pair, pair_count). Runs
+    * once at round 0; afterwards the table is maintained by
+    * [[bpePairDeltas]] — the per-round equivalence is spec-pinned. */
+  private[graft] def bpePairRecount(words: DataFrame): DataFrame =
+    words
+      .select(split($"repr", "  ").as("l"), $"cnt")
+      .filter(size($"l") >= 2)
+      .select(explode(expr("transform(sequence(1, size(l) - 1), " +
+        "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .as("pair"), $"cnt")
+      .groupBy($"pair").agg(sum($"cnt").as("pair_count"))
+
+  /** The padded-double-space (search, replacement) literals for a
+    * merge — symbols never contain whitespace (tokens are \s+
+    * splits), so the pair's single space is its only space. */
+  private def bpeLiterals(pair: String): (String, String) =
+    (" " + pair.replace(" ", "  ") + " ", " " + pair.replace(" ", "") + " ")
+
+  /** One merge round's word-table update: the greedy left-to-right
+    * literal replace, row-local on every word. No re-group: duplicate
+    * reprs (distinct words converging on one symbol sequence) keep
+    * separate cnt rows, exactly like the oracle's w{r} CTE — pair
+    * totals are sums either way, and skipping the regroup keeps the
+    * round shuffle-free. */
+  private[graft] def bpeApplyMerge(words: DataFrame, pair: String): DataFrame = {
+    val (search, merged) = bpeLiterals(pair)
+    words.select(trim(replace(
+      concat(lit(" "), $"repr", lit(" ")),
+      lit(search), lit(merged))).as("repr"), $"cnt")
+  }
+
+  /** Signed pair-count deltas for merging `pair` (the q94 turnstile
+    * shape): only words whose padded repr CONTAINS the search literal
+    * change their pair multiset, so the explode runs over that slice
+    * alone — each affected word emits its old pairs at -cnt and its
+    * merged pairs at +cnt, folded to (pair, d) with zero-deltas
+    * dropped. Output size is proportional to the merged pair's
+    * support, not the vocabulary. */
+  private[graft] def bpePairDeltas(words: DataFrame, pair: String): DataFrame =
+    bpePairDeltaRows(words, pair)
+      .groupBy($"pair").agg(sum($"d").as("d"))
+      .filter($"d" =!= 0L)
+
+  /** The ungrouped (pair, ±cnt) delta rows — what [[bpeTrainFrom]]
+    * folds directly, so the per-round plan pays ONE exchange (the
+    * fold's groupBy subsumes the delta aggregation; summing raw rows
+    * and summing pre-aggregated deltas are the same totals). */
+  private[graft] def bpePairDeltaRows(words: DataFrame,
+                                      pair: String): DataFrame = {
+    val (search, merged) = bpeLiterals(pair)
+    // zip_with over (l, tail(l)) instead of transform(sequence(...)):
+    // slice yields an empty array for single-symbol words, so no
+    // size-guard filter is needed on either side
+    def pairRows(col: String, sign: String) =
+      s"zip_with(slice($col, 1, size($col) - 1), slice($col, 2, size($col) - 1), " +
+        s"(a, b) -> named_struct('pair', concat(a, ' ', b), 'd', CAST($sign AS BIGINT)))"
+    words
+      .filter(concat(lit(" "), $"repr", lit(" ")).contains(search))
+      .select(split($"repr", "  ").as("lo"),
+        split(trim(replace(concat(lit(" "), $"repr", lit(" ")),
+          lit(search), lit(merged))), "  ").as("ln"),
+        $"cnt")
+      .select(explode(expr(
+        s"concat(${pairRows("lo", "-cnt")}, ${pairRows("ln", "cnt")})")).as("pd"))
+      .select($"pd.pair".as("pair"), $"pd.d".as("d"))
+  }
+
+  /** Fold a delta table into the maintained pair counts; pairs driven
+    * to zero leave the table (a recount would not list them), new
+    * adjacencies enter it. Counts can never go negative — a delta
+    * subtracts at most the occurrences the recount put there. */
+  private[graft] def bpeFoldDeltas(pairCounts: DataFrame,
+                                   deltas: DataFrame): DataFrame =
+    pairCounts.select($"pair", $"pair_count".as("d"))
+      .unionByName(deltas)
+      .groupBy($"pair").agg(sum($"d").as("pair_count"))
+      .filter($"pair_count" > 0L)
 
   /** (round, pair, pair_count) for BpeMergeRounds merge rounds (fewer
     * if the corpus exhausts its pairs), ordered by round. */
@@ -1314,52 +1429,49 @@ object Corpus {
     // only the Seq→DF lift — the full implicits would shadow
     // graft.syntax's $ interpolator
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    var words = docs
-      .select(explode(TextOps.tokens($"text")).as("token"))
-      .filter(length($"token") >= 1)
-      .select(array_join(expr(
-        "transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
-        "  ").as("repr"))
-      .groupBy($"repr").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+    var words = bpeInitialWords(docs).localCheckpoint(true)
+    // round 0: the ONLY full recount — every later round folds
+    // support-sized deltas into this table. cache(), not an eager
+    // checkpoint: each round's 1-row top-1 collect is the FIRST
+    // action on the folded table, so it populates the cache as a
+    // side effect and the round stays ONE job (fold + TakeOrdered
+    // fused) — an eager checkpoint would split it into two.
+    // Consumption is strictly sequential (no racing-clone hazard),
+    // and the periodic eager checkpoint below bounds the recompute
+    // chain if blocks were ever evicted.
+    var pairCounts = bpePairRecount(words).cache()
+    var prev: DataFrame = null // unpersisted only AFTER the successor
+                               // materializes (its fold reads this)
     val merges = Seq.newBuilder[(Long, String, Long)]
     var round = 0
     var exhausted = false
     while (round < BpeMergeRounds && !exhausted) {
-      round += 1
-      val top = words
-        .select(split($"repr", "  ").as("l"), $"cnt")
-        .filter(size($"l") >= 2)
-        .select(explode(expr("transform(sequence(1, size(l) - 1), " +
-          "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
-          .as("pair"), $"cnt")
-        .groupBy($"pair").agg(sum($"cnt").as("pair_count"))
+      // the ONE per-round job: fold(pc, deltas) + TakeOrdered, which
+      // also populates pairCounts' cache for the next round's fold
+      val top = pairCounts
         .orderBy($"pair_count".desc, $"pair".asc)
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
+        round += 1
         val pair = top(0).getString(0)
         merges += ((round.toLong, pair, top(0).getLong(1)))
-        // symbols never contain whitespace (tokens are \s+ splits),
-        // so the pair's single space is its only space
-        val search = " " + pair.replace(" ", "  ") + " "
-        val merged = " " + pair.replace(" ", "") + " "
-        // no re-group: duplicate reprs (distinct words converging on
-        // one symbol sequence) keep separate cnt rows, exactly like
-        // the oracle's w{r} CTE — pair totals are sums either way,
-        // and skipping the regroup keeps the round shuffle-free.
-        // No per-round checkpoint either: each round adds ONE
-        // row-local replace over the single initial leaf, so round
-        // r's plan is a depth-r projection chain (bounded by
-        // BpeMergeRounds, single-consumer, linear re-analysis) —
-        // unlike the CC loop there is no self-reference to truncate,
-        // and dropping the barrier halves the per-round job count
-        words = words
-          .select(trim(replace(
-            concat(lit(" "), $"repr", lit(" ")),
-            lit(search), lit(merged))).as("repr"), $"cnt")
+        // fold the affected-slice deltas BEFORE updating words: the
+        // deltas read the pre-merge reprs; RAW delta rows, so the
+        // fold's groupBy is the round's only exchange
+        prev = pairCounts
+        pairCounts = bpeFoldDeltas(pairCounts, bpePairDeltaRows(words, pair))
+          .cache()
+        words = bpeApplyMerge(words, pair)
+        if (round % BpeWordsCompactEvery == 0) {
+          words = words.localCheckpoint(true)
+          pairCounts = pairCounts.localCheckpoint(true)
+        }
       }
     }
+    if (prev != null) prev.unpersist(false)
+    pairCounts.unpersist(false)
     merges.result().toDF("round", "pair", "pair_count")
       .orderBy($"round")
   }

@@ -262,6 +262,22 @@ object Multimodal {
     * (the q69 output). */
   def crossModalKeepFrom(frames: DataFrame, embeddings: DataFrame,
                          vecPairs: DataFrame): DataFrame = {
+    val edges = crossModalEdges(frames, embeddings, vecPairs)
+    val dropList = Dedup.clusterLabels(edges)
+      .filter($"doc_id" =!= $"lbl") // keepers label themselves
+      .select($"doc_id")
+    frames.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_frames")
+      .orderBy($"doc_id")
+  }
+
+  /** The deduped video-level edge table (doc_a < doc_b) feeding the
+    * q62 CC — exposed for the ScaleStress receipt (edge counts under
+    * amplification probe exactly the [[MaxDocsPerVec]] bound). */
+  private[graft] def crossModalEdges(frames: DataFrame,
+                                     embeddings: DataFrame,
+                                     vecPairs: DataFrame): DataFrame = {
     // the lookup map, distinct per (video, content): referenced three
     // times below (same-vec both sides + the pair bridge), so one
     // eager checkpoint materializes the frame scan once
@@ -287,14 +303,7 @@ object Multimodal {
       .filter($"x.doc_id" =!= $"y.doc_id")
       .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
               greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
-    val edges = sameVec.unionByName(simVec).distinct()
-    val dropList = Dedup.clusterLabels(edges)
-      .filter($"doc_id" =!= $"lbl") // keepers label themselves
-      .select($"doc_id")
-    frames.groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
-      .join(broadcast(dropList), Seq("doc_id"), "left_anti")
-      .select($"doc_id", $"n_frames")
-      .orderBy($"doc_id")
+    sameVec.unionByName(simVec).distinct()
   }
 
   /** The (doc_id, vec_id) frame→embedding lookup map, distinct per

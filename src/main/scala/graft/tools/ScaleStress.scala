@@ -30,6 +30,62 @@ object ScaleStress {
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // opt-in EXCLUSIVE mode: the q126 delta-vs-recount CROSSOVER at a
+    // PRODUCTION vocabulary. The fixture corpus has ~41 distinct
+    // words, so the per-round recount is floor-bound and the delta
+    // arm's extra bookkeeping can't pay for itself — the regime that
+    // motivates delta maintenance is a real tokenizer train (millions
+    // of distinct words, 30k merge rounds). This mode synthesizes a
+    // V-word Zipf vocabulary directly at the word-table level (the
+    // corpus pass is not what's being measured) and runs 5 rounds of
+    // both arms. Args: "<dir> <V> bpevocab", e.g. 2000000.
+    if (args.contains("bpevocab")) {
+      def secs[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val v = reps.toLong.max(1000L)
+      // word i = the base-20 digits of i spelled as letters, so word
+      // lengths grow log(V) and pair structure is realistic; Zipf-ish
+      // counts keep a meaningful top pair
+      var words = spark.range(v)
+        .select(array_join(expr(
+          "transform(sequence(1, length(conv(id, 10, 20))), " +
+            "i -> chr(97 + CAST(conv(substring(conv(id, 10, 20), i, 1), 20, 10) AS INT)))"),
+          "  ").as("repr"),
+          (lit(v) / (col("id") + 1L)).cast("long").as("cnt"))
+        .groupBy($"repr").agg(sum($"cnt").as("cnt"))
+        .localCheckpoint(true)
+      println(s"synthetic vocab: ${words.count()} distinct words")
+      var pc: DataFrame = null
+      time("round-0 full pair recount (paid once either way)") {
+        pc = Corpus.bpePairRecount(words).localCheckpoint(true)
+        println(s"  distinct pairs: ${pc.count()}")
+      }
+      var dSum = 0.0; var rSum = 0.0
+      for (round <- 1 to 5) {
+        val top = pc.orderBy($"pair_count".desc, $"pair".asc)
+          .limit(1).collect()(0)
+        val pair = top.getString(0); val support = top.getLong(1)
+        var pcNext: DataFrame = null
+        val tDelta = secs {
+          pcNext = Corpus.bpeFoldDeltas(pc,
+            Corpus.bpePairDeltas(words, pair)).localCheckpoint(true)
+        }
+        words = Corpus.bpeApplyMerge(words, pair).localCheckpoint(true)
+        val tRecount = secs(
+          Corpus.bpePairRecount(words).localCheckpoint(true))
+        pc = pcNext
+        dSum += tDelta; rSum += tRecount
+        println(f"  round $round: merged '$pair' support $support%9d | " +
+          f"delta-fold $tDelta%.2f s vs full recount $tRecount%.2f s")
+      }
+      println(f"bpe vocab=$v: 5-round delta-fold sum $dSum%.2f s vs " +
+        f"recount sum $rSum%.2f s, ratio ${dSum / rSum}%.2f")
+      spark.stop()
+      return
+    }
+
     // events ×reps: shift each replica by `rep` months of seconds so
     // hour-group density stays constant while group count scales
     val events = graft.Tables.events(spark, dir)
@@ -352,13 +408,17 @@ object ScaleStress {
       return
     }
 
-    // opt-in EXCLUSIVE mode: the r12 SHARED-TF classifier rewrite at
-    // 10× (VERDICT r12 item 3). nbClassifyFrom tokenizes the corpus
-    // ONCE (the scoring tf doubles as the fit input); the pre-r12
-    // shape fit from a re-tokenized train slice (a second text pass
-    // over ~3/4 of the corpus), reconstructed here from the published
-    // fit API the streaming path still uses. Interleaved passes,
-    // per-side min, ratio of mins. Arg: "nbshared".
+    // opt-in EXCLUSIVE mode: shared-tf vs two-pass classifier fit at
+    // 10× (VERDICT r12 item 3, reshaped r13). The SHARED-TF arm is
+    // the r12 "tokenize once" shape, reconstructed EXPLICITLY here
+    // (ADVICE r13: nbClassifyFrom itself became the two-pass
+    // pipeline, so calling it from both arms measured nothing):
+    // checkpoint the corpus docTf once, derive wc from that
+    // checkpoint via the train-meta join, score from the same
+    // checkpoint. The TWO-PASS arm is HEAD's nbClassifyFrom (fit
+    // tokenizes the train slice eagerly, score pipelines the corpus).
+    // Interleaved passes, per-side min, ratio of mins.
+    // Arg: "nbshared".
     if (args.contains("nbshared")) {
       import graft.operators.Classify
       val shared = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -369,17 +429,230 @@ object ScaleStress {
       }
       val docsLd = docs.localCheckpoint(true)
       for (p <- 1 to 3) {
-        val tS = secs(Classify.nbClassifyFrom(docsLd).count())
-        val tT = secs {
-          val model = Classify.nbModelFrom(Classify.trainSlice(docsLd))
-          Classify.nbScore(docsLd, Classify.docTf(docsLd), model).count()
+        val tS = secs {
+          // r12 shape: ONE corpus tokenize, materialized; both the
+          // fit (via the doc_id→lang train-meta join) and the score
+          // read the checkpointed tf
+          val tf = Classify.docTf(docsLd).localCheckpoint(true)
+          val meta = Classify.trainSlice(docsLd).select($"doc_id", $"lang")
+          val wc = tf.join(meta, Seq("doc_id"))
+            .groupBy($"lang", $"token").agg(sum($"tf").as("cnt"))
+            .localCheckpoint(true)
+          val model = Classify.nbModelOf(wc,
+            meta.groupBy($"lang").agg(count(lit(1)).as("n_docs_c")))
+          Classify.nbScore(docsLd, tf, model).count()
         }
+        val tT = secs(Classify.nbClassifyFrom(docsLd).count())
         shared += tS; twoPass += tT
         println(f"  pass $p: shared-tf $tS%.2f s, two-pass $tT%.2f s")
       }
       println(f"nb shared-tf ${reps}x: shared min ${shared.min}%.2f s, " +
         f"two-pass min ${twoPass.min}%.2f s, ratio " +
         f"${shared.min / twoPass.min}%.2f")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q126 BPE training at 10× (VERDICT r13
+    // items 3+5). Per merge round, measures the signed-delta pair
+    // maintenance (HEAD) against the full pair recount (the pre-r14
+    // shape) from the SAME word table, printing the merged pair's
+    // support, the affected-word slice size, and the delta row count —
+    // the receipt that per-round cost is proportional to the merged
+    // pair's support while the recount stays vocab-sized forever.
+    // Arg: "bpedeltas".
+    if (args.contains("bpedeltas")) {
+      def secs[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val docsLd = docs.localCheckpoint(true)
+      var words: DataFrame = null
+      time(s"bpe word table (the ONE corpus pass, ${reps}x)") {
+        words = Corpus.bpeInitialWords(docsLd).localCheckpoint(true)
+        println(s"  distinct words: ${words.count()}")
+      }
+      var pc: DataFrame = null
+      time("round-0 full pair recount (paid once)") {
+        pc = Corpus.bpePairRecount(words).localCheckpoint(true)
+        println(s"  distinct pairs: ${pc.count()}")
+      }
+      var dSum = 0.0; var rSum = 0.0
+      for (round <- 1 to 10) {
+        val top = pc.orderBy($"pair_count".desc, $"pair".asc)
+          .limit(1).collect()(0)
+        val pair = top.getString(0); val support = top.getLong(1)
+        val search = " " + pair.replace(" ", "  ") + " "
+        val affected = words
+          .filter(concat(lit(" "), $"repr", lit(" ")).contains(search))
+          .count()
+        var pcNext: DataFrame = null
+        var deltaRows = -1L
+        val tDelta = secs {
+          val d = Corpus.bpePairDeltas(words, pair).localCheckpoint(true)
+          deltaRows = d.count()
+          pcNext = Corpus.bpeFoldDeltas(pc, d).localCheckpoint(true)
+        }
+        words = Corpus.bpeApplyMerge(words, pair).localCheckpoint(true)
+        val tRecount = secs(
+          Corpus.bpePairRecount(words).localCheckpoint(true))
+        pc = pcNext
+        dSum += tDelta; rSum += tRecount
+        println(f"  round $round%2d: merged '$pair' support $support%7d, " +
+          f"affected words $affected%7d, delta rows $deltaRows%5d | " +
+          f"delta-fold $tDelta%.2f s vs full recount $tRecount%.2f s")
+      }
+      println(f"bpe ${reps}x: 10-round delta-fold sum $dSum%.2f s vs " +
+        f"recount sum $rSum%.2f s, ratio ${dSum / rSum}%.2f")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q129 BPE encode at 10× (VERDICT r13
+    // item 3). The merge table is the published artifact (trained
+    // once, not charged per encode); the receipt prices the encode
+    // against ONE plain streaming token pass over the same corpus —
+    // the claim is "encode ≈ one corpus scan". Interleaved passes,
+    // per-side min. Arg: "q129encode".
+    if (args.contains("q129encode")) {
+      def secs[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val docsLd = docs.localCheckpoint(true)
+      var merges: Seq[String] = null
+      time(s"q126 train at ${reps}x (the published merge table, " +
+           "amortized across every encode)") {
+        merges = Corpus.bpeTrainFrom(spark, docsLd).collect()
+          .map(_.getString(1)).toSeq
+      }
+      val encs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val scans = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (p <- 1 to 3) {
+        val tE = secs(Corpus.bpeEncodeFrom(docsLd, merges).count())
+        val tS = secs(docsLd
+          .select($"doc_id",
+            explode(graft.operators.TextOps.tokens($"text")).as("token"))
+          .groupBy($"doc_id").agg(count(lit(1))).count())
+        encs += tE; scans += tS
+        println(f"  pass $p: encode $tE%.2f s, plain token scan $tS%.2f s")
+      }
+      println(f"q129 ${reps}x: encode min ${encs.min}%.2f s vs one " +
+        f"token-scan min ${scans.min}%.2f s, ratio " +
+        f"${encs.min / scans.min}%.2f")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q128 cross-modal dedup at 10× (VERDICT
+    // r13 items 1+3). Reports the docs-per-vector occupancy histogram
+    // and the video-edge count — the two numbers that probe the
+    // MaxDocsPerVec bound — then times the keep. The vec pair table
+    // is fitted from the amplified store (offline write path, not
+    // charged). Arg: "q128deep".
+    if (args.contains("q128deep")) {
+      import graft.operators.{Multimodal, VectorOps}
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val emb10 = graft.Tables.embeddings(spark, dir)
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .withColumn("vec_id", $"vec_id" * reps + $"rep")
+        .drop("rep").localCheckpoint(true)
+      val frames = Multimodal
+        .frameSampleFrom(Multimodal.mediaTableFrom(docs))
+        .localCheckpoint(true)
+      println(s"frames: ${frames.count()}")
+      val fv = Multimodal.frameVecLookup(frames, emb10)
+        .localCheckpoint(true)
+      // occupancy histogram: docs-per-vector → number of vec_ids
+      println("docs-per-vector histogram (occupancy -> vec_ids):")
+      fv.groupBy($"vec_id").agg(count(lit(1)).as("occ"))
+        .groupBy($"occ").agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"occ").collect()
+        .foreach(r => println(f"  ${r.getLong(0)}%4d -> ${r.getLong(1)}"))
+      val skipped = Multimodal.crossModalSkippedVecsFrom(frames, emb10)
+        .count()
+      println(s"vec_ids over MaxDocsPerVec=${Multimodal.MaxDocsPerVec}: " +
+        s"$skipped (guard fires iff > 0)")
+      graft.functions.VectorExpressions.register(spark)
+      var pairs: DataFrame = null
+      time("vec pair table fit+build (offline write path, not charged)") {
+        val corpus = VectorOps.vecsFrom(emb10).localCheckpoint(true)
+        val cb = VectorOps.fittedCentroids(corpus).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        pairs = VectorOps.ivfNearDupPairsFrom(corpus, cb)
+          .select($"vec_a", $"vec_b").localCheckpoint(true)
+        println(s"  published vec pairs: ${pairs.count()}")
+      }
+      for (p <- 1 to 3) {
+        val (tE, nE) = secs(
+          Multimodal.crossModalEdges(frames, emb10, pairs).count())
+        val (tK, nK) = secs(
+          Multimodal.crossModalKeepFrom(frames, emb10, pairs).count())
+        println(f"  pass $p: edges $nE in $tE%.2f s; keep $nK docs " +
+          f"in $tK%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: q127 streaming vector write path at 10×
+    // (VERDICT r13 item 3). Models are fitted from the amplified
+    // store ONCE (the offline write path, not charged); the receipt
+    // compares draining the same 10× corpus through ten micro-batches
+    // of ingest-time encoding against the one-shot batch encode, and
+    // requires row parity — the per-batch cost is the batch plan paid
+    // incrementally, so streaming ≈ batch + per-batch scheduling.
+    // Arg: "q127stream".
+    if (args.contains("q127stream")) {
+      import graft.operators.VectorOps
+      import graft.streaming.{StreamingClean, StreamingCorpus}
+      def secs(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      graft.functions.VectorExpressions.register(spark)
+      val emb10 = graft.Tables.embeddings(spark, dir)
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .withColumn("vec_id", $"vec_id" * reps + $"rep")
+        .drop("rep").localCheckpoint(true)
+      println(s"embeddings rows: ${emb10.count()}")
+      var books: Array[(Int, Long, Seq[Double])] = null
+      var cents: Array[(Long, Seq[Double])] = null
+      time("PQ + IVF model fit (offline write path, not charged)") {
+        val corpus = VectorOps.vecsFrom(emb10).localCheckpoint(true)
+        books = VectorOps.pqCodebooksFrom(corpus).collect()
+          .map(r => (r.getInt(0), r.getLong(1),
+            r.getSeq[Double](2).toIndexedSeq: Seq[Double]))
+        cents = VectorOps.fittedCentroids(corpus).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+        println(s"  books: ${books.length} rows, cells: ${cents.length}")
+      }
+      val staged = StreamingClean.trackedTempDir("graft-pq10-in-") + "/embs"
+      emb10.repartitionByRange(10, $"vec_id")
+        .write.mode("overwrite").parquet(staged)
+      val (tB, nB) = secs(
+        VectorOps.streamEncodeBatch(emb10, books, cents).count())
+      println(f"  one-shot batch encode: $nB rows in $tB%.2f s")
+      val (tS, nS) = secs(StreamingCorpus
+        .pqEncodeStream(spark, staged, books, cents,
+          maxFilesPerTrigger = Some(1)).count())
+      println(f"  streaming drain (10 micro-batches): $nS rows in $tS%.2f s")
+      require(nB == nS, s"streaming/batch row parity broke: $nS vs $nB")
+      // same data, ONE micro-batch: isolates the fixed streaming
+      // machinery cost from the per-batch scheduling — the overhead
+      // is per-BATCH, not per-row, so it amortizes with batch size
+      val (t1, n1) = secs(StreamingCorpus
+        .pqEncodeStream(spark, staged, books, cents,
+          maxFilesPerTrigger = None).count())
+      println(f"  streaming drain (1 micro-batch): $n1 rows in $t1%.2f s")
+      require(nB == n1, s"1-batch row parity broke: $n1 vs $nB")
+      println(f"q127 ${reps}x: 10-batch/batch ratio ${tS / tB}%.2f, " +
+        f"1-batch/batch ratio ${t1 / tB}%.2f — the gap is per-batch " +
+        "scheduling + the append/dedup tail, constant per batch")
       spark.stop()
       return
     }

@@ -591,6 +591,41 @@ class CorpusSpec extends AnyFunSuite {
       (4L, 18L), (5L, 48L)))
   }
 
+  test("q126 delta maintenance: the signed-delta pair table equals a " +
+       "full recount after every merge round (VERDICT r13 item 5)") {
+    // drive the maintained table and the from-scratch recount side by
+    // side over the Sennrich corpus + the aaaa overlap case — the
+    // hand corpus that exercises greedy non-overlapping replacement,
+    // count ties, and pairs driven to zero mid-train
+    val docs = docsFrame(
+      1L -> "low low low low low",
+      2L -> "lower lower",
+      3L -> "newest newest newest newest newest newest",
+      4L -> "widest widest widest",
+      5L -> "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa")
+    var words = Corpus.bpeInitialWords(docs)
+    var pc = Corpus.bpePairRecount(words)
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    for (round <- 1 to 10) {
+      val top = pc.orderBy($"pair_count".desc, $"pair".asc).limit(1).collect()
+      assert(top.nonEmpty, s"round $round exhausted unexpectedly")
+      val pair = top(0).getString(0)
+      val deltas = Corpus.bpePairDeltas(words, pair)
+      // a delta never touches a pair it doesn't need to: every delta
+      // row's |d| is bounded by the merged pair's support
+      val support = top(0).getLong(1)
+      deltas.collect().foreach(r =>
+        assert(math.abs(r.getLong(1)) <= support,
+          s"round $round: delta ${r.getString(0)} -> ${r.getLong(1)} " +
+            s"exceeds support $support"))
+      pc = Corpus.bpeFoldDeltas(pc, deltas)
+      words = Corpus.bpeApplyMerge(words, pair)
+      assert(table(pc) === table(Corpus.bpePairRecount(words)),
+        s"round $round: maintained pair table diverged from recount")
+    }
+  }
+
   test("q126 bpe train: exhaustion stops the loop early; single-char " +
        "tokens never produce a merge") {
     val out = Corpus.bpeTrainFrom(spark, docsFrame(1L -> "ab ab cd"))
