@@ -87,8 +87,12 @@ object Bench {
             .map(_.getFormattedMessage).getOrElse("")
           val thrown = Option(event.getThrown)
             .flatMap(t => Option(t.getMessage)).getOrElse("")
-          msg.contains("Failed to update accumulator") ||
-            msg.contains("non-existent accumulator") ||
+          // ONLY the known benign race is denied (ADVICE r13: a bare
+          // "Failed to update accumulator" match would also hide
+          // genuine accumulator-merge failures) — the race always
+          // names the non-existent accumulator in the message or the
+          // attached throwable
+          msg.contains("non-existent accumulator") ||
             thrown.contains("non-existent accumulator")
         }
         override def filter(event: LogEvent): Filter.Result =
@@ -310,10 +314,23 @@ object Bench {
     // the denominator for value_oracle_subset is the DuckDB total over
     // the same timed oracle SQLs at the same sf. The engine cannot run
     // DuckDB itself (driver-side only), so the hint carries the last
-    // judge-measured number with its provenance; override when a
-    // fresher measurement exists.
-    val duckdbHint = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_SUBSET_HINT",
-      """{"value":58.5,"unit":"sec","source":"judge r12 best-of-3 per query, sf0.1, 32 threads, loadavg 0.04"}""")
+    // judge-measured numbers with their provenance (VERDICT r13
+    // item 2: BOTH the full-suite total and the total excluding the
+    // three DuckDB-hostile r13 queries, so the headline is honest
+    // about what carries it); override when a fresher measurement
+    // exists.
+    val defaultDuckdbHint =
+      """{"value":343.9,"unit":"sec","source":"judge r13 best-of-3 per query over the 117-query timed oracle subset, sf0.1, 32 threads, quiet box","ex_new_trio_value":67.0,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 31.2/117.0/128.6 s where Spark pays ~1.4/2.5/0.3 s"}"""
+    // a malformed override would corrupt the artifact line and break
+    // the driver's tail JSON parse (ADVICE r13) — shallow-validate:
+    // one-line JSON object, balanced braces, a numeric "value" field
+    val duckdbHint = sys.env.get("SPARK_GRAFT_DUCKDB_SUBSET_HINT")
+      .map(_.trim)
+      .filter(h => h.startsWith("{") && h.endsWith("}") &&
+        !h.exists(c => c == '\n' || c == '\r') &&
+        h.count(_ == '{') == h.count(_ == '}') &&
+        """"value"\s*:\s*[0-9]+(\.[0-9]+)?""".r.findFirstIn(h).isDefined)
+      .getOrElse(defaultDuckdbHint)
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"duckdb_subset_hint":$duckdbHint,"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
     // The driver parses the LAST JSON line it finds in a bounded TAIL

@@ -82,7 +82,14 @@ object Classify {
     * every scale. q116 still stores doc-level tf — there the table
     * is the carry state itself, not a cache. */
   def nbClassifyFrom(docs: DataFrame): DataFrame =
-    nbScore(docs, docTf(docs), nbModelFrom(trainSlice(docs)))
+    nbClassifyFrom(docs, broadcastModel)
+
+  /** Testing seam for the broadcast/keyed-join choice: the spec
+    * drives the fallback through this parameter instead of mutating
+    * the JVM-global system property mid-suite (ADVICE r13). */
+  private[graft] def nbClassifyFrom(docs: DataFrame,
+                                    useBroadcast: Boolean): DataFrame =
+    nbScore(docs, docTf(docs), nbModelFrom(trainSlice(docs)), useBroadcast)
 
   /** The train-split slice (q58's hash buckets — doc-local, no
     * shuffle). */
@@ -134,7 +141,9 @@ object Classify {
 
   /** Score every document against every class; predict the argmax. */
   private[graft] def nbScore(docs: DataFrame, tf: DataFrame,
-                             model: NbModel): DataFrame = {
+                             model: NbModel,
+                             useBroadcast: Boolean = broadcastModel)
+      : DataFrame = {
     val perTok = tf
       .crossJoin(broadcast(model.classes.select($"lang".as("cand"),
         $"tot_c", $"prior_lp")))
@@ -152,7 +161,7 @@ object Classify {
       // trade the row-local lookup for a (cand, token)-keyed shuffle
       // of the tf stream — correct at any model size, priced at one
       // corpus-scale exchange.
-      .join(if (Classify.broadcastModel)
+      .join(if (useBroadcast)
           broadcast(model.wc.select($"lang".as("cand"), $"token", $"cnt"))
         else model.wc.select($"lang".as("cand"), $"token", $"cnt"),
         Seq("cand", "token"), "left")

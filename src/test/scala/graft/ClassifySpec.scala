@@ -58,25 +58,23 @@ class ClassifySpec extends AnyFunSuite {
        "false) scores identically to the broadcast path") {
     // the escape hatch for a model past the 8 GB broadcast limit
     // (ADVICE r12): same verdicts, one keyed join instead of the
-    // broadcast lookup
+    // broadcast lookup. The flag is threaded as an explicit parameter
+    // and the conf change lives in a CHILD session (own SQLConf, same
+    // SparkContext), so no JVM-global or shared-session state mutates
+    // mid-suite (ADVICE r13).
     val viaBroadcast = Classify.nbClassify(spark, sf).collect()
-    System.setProperty("graft.nb.broadcastModel", "false")
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // without the forced hint the planner may still auto-broadcast a
-      // small wc (fine — the hatch's point is removing the FORCE);
-      // disabling auto-broadcast proves the keyed-join path exists and
-      // is correct, the shape a >8 GB model would actually take
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val keyed = Classify.nbClassify(spark, sf)
-      val p = keyed.queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"fallback must key-shuffle the model join:\n${p.take(3000)}")
-      assert(keyed.collect().toSeq === viaBroadcast.toSeq)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      System.clearProperty("graft.nb.broadcastModel")
-    }
+    val isolated = spark.newSession()
+    // without the forced hint the planner may still auto-broadcast a
+    // small wc (fine — the hatch's point is removing the FORCE);
+    // disabling auto-broadcast proves the keyed-join path exists and
+    // is correct, the shape a >8 GB model would actually take
+    isolated.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val keyed = Classify.nbClassifyFrom(
+      Tables.documents(isolated, sf), useBroadcast = false)
+    val p = keyed.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"fallback must key-shuffle the model join:\n${p.take(3000)}")
+    assert(keyed.collect().toSeq === viaBroadcast.toSeq)
   }
 
   test("q116 incremental NB == full recompute over the new snapshot") {
