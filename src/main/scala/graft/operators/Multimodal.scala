@@ -21,6 +21,68 @@ import graft.syntax._
   * from `spark.sql.files.maxPartitionBytes`, not row counts, because
   * rows are fat.
   */
+/** The pluggable decoder seam (VERDICT r13 item 6): everything the
+  * media family needs from a codec, so a real image/video decoder
+  * drops into q52 (decode), q66 (frame enumeration), and q128 (the
+  * frame→embedding lookup) without touching the dedup machinery. The
+  * row-level `decode` is what a per-partition codec init would wrap;
+  * the two plan-level methods exist because a production codec is a
+  * PLANNING choice in Spark (a Generator, a `mapInPandas` stage, an
+  * ANN index join) — not just a scalar function. [[StubCodec]] is the
+  * deterministic test implementation (the container has no codecs). */
+trait MediaCodec extends Serializable {
+
+  /** payload bytes → (width, height, feature) — e.g. JPEG decode +
+    * resize + embed. */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float])
+
+  /** Plan-level frame enumeration: media (doc_id, payload) → one row
+    * per sampled frame (doc_id, frame_idx, frame_md5, frame_chars).
+    * A real video codec emits codec frame boundaries / keyframes. */
+  def frames(media: DataFrame, frameChars: Int, stride: Int): DataFrame
+
+  /** Plan-level frame→embedding lookup: the q66 frame shape →
+    * distinct (doc_id, vec_id) against the published vector store. A
+    * real pipeline runs the frame encoder + an ANN lookup here. */
+  def frameVecs(frames: DataFrame, embeddings: DataFrame): DataFrame
+}
+
+/** Deterministic STUB codec — stands in for e.g. JPEG decode + resize
+  * + embed. Dimensions/features derive from payload bytes, frames are
+  * fixed-width codepoint slices (a Catalyst Generator), and the frame
+  * "embedding" is the md5-mod lookup — all reproducible without
+  * codecs and all mirrored exactly in the DuckDB oracles. */
+object StubCodec extends MediaCodec {
+
+  def decode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = payload.length
+    val w = 64 + (n % 64)
+    val h = 64 + ((n / 64) % 64)
+    val feat = Array.tabulate(8)(i =>
+      (if (n == 0) 0f else payload(i % n).toFloat / 127f))
+    (w, h, feat)
+  }
+
+  def frames(media: DataFrame, frameChars: Int, stride: Int): DataFrame = {
+    graft.functions.MediaExpressions.register(media.sparkSession)
+    media
+      .select($"doc_id",
+        expr(s"graft_frames(payload, $frameChars, $stride)")
+          .as(Seq("frame_idx", "frame_md5", "frame_chars")))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  def frameVecs(frames: DataFrame, embeddings: DataFrame): DataFrame = {
+    val nv = embeddings.agg((max($"vec_id") + 1L).as("nv"))
+    frames
+      .crossJoin(broadcast(nv))
+      .select($"doc_id",
+        (expr("CAST(conv(substring(frame_md5, 1, 8), 16, 10) AS BIGINT)")
+          % $"nv").as("vec_id"))
+      .distinct()
+  }
+}
+
 object Multimodal {
 
   /** Typed decoded-media record (what a real image decoder would
@@ -29,17 +91,10 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, head_byte: Int,
       width: Int, height: Int, feature: Array[Float])
 
-  /** Deterministic STUB decoder — stands in for e.g. JPEG decode +
-    * resize + embed. Derives "dimensions" and a "feature" from the
-    * payload bytes so tests are reproducible without codecs. */
-  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
-    val n = payload.length
-    val w = 64 + (n % 64)
-    val h = 64 + ((n / 64) % 64)
-    val feat = Array.tabulate(8)(i =>
-      (if (n == 0) 0f else payload(i % n).toFloat / 127f))
-    (w, h, feat)
-  }
+  /** The deterministic stub decode — kept as the named row-level
+    * kernel ([[StubCodec.decode]]); see [[MediaCodec]] for the seam. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Array[Float]) =
+    StubCodec.decode(payload)
 
   /** Media table synthesized from `documents`: the text payload as an
     * opaque binary column (UTF-8), exactly how an image/audio bytes
@@ -54,7 +109,8 @@ object Multimodal {
   /** Batched decode pass: one decoder instance per partition, typed
     * output. This is the real plumbing under a `mapInPandas`-style
     * pipeline — swap `stubDecode` for a codec and nothing else moves. */
-  def decodeMedia(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+  def decodeMedia(spark: SparkSession, dir: String,
+                  codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     import spark.implicits.{newProductEncoder, newSequenceEncoder}
     mediaTable(spark, dir)
       .select(col("doc_id"), col("payload"))
@@ -62,7 +118,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would go here (codec ctx / model load)
         rows.map { case (id, payload) =>
-          val (w, h, feat) = stubDecode(payload)
+          val (w, h, feat) = codec.decode(payload)
           // head_byte = first Unicode codepoint of the decoded text —
           // matches mediaMeta's ascii(substring(text,1,1)) for
           // non-ASCII payloads too (a raw first-byte read would
@@ -121,14 +177,9 @@ object Multimodal {
     frameSampleFrom(mediaTable(spark, dir))
 
   def frameSampleFrom(media: DataFrame, frameChars: Int = FrameChars,
-                      stride: Int = FrameStride): DataFrame = {
-    graft.functions.MediaExpressions.register(media.sparkSession)
-    media
-      .select($"doc_id",
-        expr(s"graft_frames(payload, $frameChars, $stride)")
-          .as(Seq("frame_idx", "frame_md5", "frame_chars")))
-      .orderBy($"doc_id", $"frame_idx")
-  }
+                      stride: Int = FrameStride,
+                      codec: MediaCodec = StubCodec): DataFrame =
+    codec.frames(media, frameChars, stride)
 
   val frameSampleSql: String =
     s"""SELECT doc_id, i AS frame_idx,
@@ -261,8 +312,9 @@ object Multimodal {
     * the vector store, `vecPairs` = its published near-dup pair table
     * (the q69 output). */
   def crossModalKeepFrom(frames: DataFrame, embeddings: DataFrame,
-                         vecPairs: DataFrame): DataFrame = {
-    val edges = crossModalEdges(frames, embeddings, vecPairs)
+                         vecPairs: DataFrame,
+                         codec: MediaCodec = StubCodec): DataFrame = {
+    val edges = crossModalEdges(frames, embeddings, vecPairs, codec)
     val dropList = Dedup.clusterLabels(edges)
       .filter($"doc_id" =!= $"lbl") // keepers label themselves
       .select($"doc_id")
@@ -277,11 +329,13 @@ object Multimodal {
     * amplification probe exactly the [[MaxDocsPerVec]] bound). */
   private[graft] def crossModalEdges(frames: DataFrame,
                                      embeddings: DataFrame,
-                                     vecPairs: DataFrame): DataFrame = {
+                                     vecPairs: DataFrame,
+                                     codec: MediaCodec = StubCodec)
+      : DataFrame = {
     // the lookup map, distinct per (video, content): referenced three
     // times below (same-vec both sides + the pair bridge), so one
     // eager checkpoint materializes the frame scan once
-    val fv = frameVecLookup(frames, embeddings).localCheckpoint(true)
+    val fv = frameVecLookup(frames, embeddings, codec).localCheckpoint(true)
     // mega-bucket guard (q47 discipline): skip vec_ids whose video
     // list exceeds the cap — the oversized list is tiny (usually
     // empty), so the anti-join broadcasts and fv is not reshuffled
@@ -307,18 +361,13 @@ object Multimodal {
   }
 
   /** The (doc_id, vec_id) frame→embedding lookup map, distinct per
-    * (video, content) — the md5-mod stand-in for encoder + ANN lookup
-    * (see the q128 header comment). */
+    * (video, content) — the codec's encoder + ANN lookup stand-in
+    * (see [[MediaCodec.frameVecs]] and the q128 header comment). */
   private[graft] def frameVecLookup(frames: DataFrame,
-                                    embeddings: DataFrame): DataFrame = {
-    val nv = embeddings.agg((max($"vec_id") + 1L).as("nv"))
-    frames
-      .crossJoin(broadcast(nv))
-      .select($"doc_id",
-        (expr("CAST(conv(substring(frame_md5, 1, 8), 16, 10) AS BIGINT)")
-          % $"nv").as("vec_id"))
-      .distinct()
-  }
+                                    embeddings: DataFrame,
+                                    codec: MediaCodec = StubCodec)
+      : DataFrame =
+    codec.frameVecs(frames, embeddings)
 
   /** q128 oracle: the q66 frame enumeration + the q58 md5-mod lookup
     * arithmetic + the [[MaxDocsPerVec]] guard (mirrored like the q47

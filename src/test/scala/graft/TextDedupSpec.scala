@@ -446,6 +446,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(keptBridged.toSeq === Seq((1L, 1L)))
   }
 
+  test("q128 codec seam: a custom MediaCodec drops into the cross-" +
+       "modal dedup without touching the dedup machinery") {
+    import spark.implicits._
+    import graft.operators.{MediaCodec, StubCodec}
+    // a codec whose "encoder" maps EVERY frame to vector 0: all
+    // framed videos become same-content duplicates, so the keep must
+    // collapse to the min doc_id — a behavior the stub codec would
+    // never produce on these distinct texts
+    object AllSameCodec extends MediaCodec {
+      def decode(p: Array[Byte]) = StubCodec.decode(p)
+      def frames(m: org.apache.spark.sql.DataFrame, fc: Int, st: Int) =
+        StubCodec.frames(m, fc, st)
+      def frameVecs(fr: org.apache.spark.sql.DataFrame,
+                    em: org.apache.spark.sql.DataFrame) =
+        fr.select($"doc_id", lit(0L).as("vec_id")).distinct()
+    }
+    val docs = Seq((7L, "x" * 64), (8L, "y" * 64), (9L, "z" * 64))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.frameSampleFrom(Multimodal.mediaTableFrom(docs))
+    val embs = (0L until 997L).map(i => (i, Seq(0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val noPairs = Seq.empty[(Long, Long)].toDF("vec_a", "vec_b")
+    // stub codec: three distinct contents, nothing clusters
+    val stubKept = Multimodal.crossModalKeepFrom(frames, embs, noPairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(stubKept === Set(7L, 8L, 9L))
+    // custom codec: everything is the same content, min id survives
+    val kept = Multimodal
+      .crossModalKeepFrom(frames, embs, noPairs, AllSameCodec)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(7L))
+  }
+
   test("q128 docs-per-vector guard: a pathologically shared frame " +
        "content (one vec_id in 150 videos) is skipped — its quadratic " +
        "edge family never materializes; under-cap content still dedups") {
