@@ -375,8 +375,13 @@ object SparkEntry {
     // q129's oracle re-derives the q126 merge list via the same CTE
     // chain, then applies the identical nested replaces.
     "q129_bpe_encode"       -> Corpus.bpeEncodeSql,
-    // No oracle by design: q30 (MLlib WLS fit isn't bit-reproducible
-    // in SQL — shape/bounds pinned in ForecastSpec), q35 (payload
-    // construction isn't SQL-mirrored).
+    // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
+    // fit IS bit-reproducible once the features are floor-quantized,
+    // the sufficient statistics are exact BIGINT sums, and the 5×5
+    // Cholesky is generated from the same index loops the Scala
+    // solver runs — see the Forecast.forecastMlSql header.
+    "q30_forecast_ml"       -> Forecast.forecastMlSql,
+    // No oracle by design: q35 (payload construction isn't
+    // SQL-mirrored).
   )
 }
