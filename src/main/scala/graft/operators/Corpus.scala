@@ -1423,35 +1423,42 @@ object Corpus {
       .groupBy($"pair").agg(sum($"d").as("pair_count"))
       .filter($"pair_count" > 0L)
 
-  /** (round, pair, pair_count) for BpeMergeRounds merge rounds (fewer
-    * if the corpus exhausts its pairs), ordered by round. */
-  def bpeTrainFrom(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** (round, pair, pair_count) for `rounds` merge rounds (fewer if
+    * the corpus exhausts its pairs), ordered by round. The named q126
+    * query trains the default BpeMergeRounds; the parameter exists so
+    * a long-budget train (and the spec pinning the
+    * BpeWordsCompactEvery compaction path it crosses) runs through
+    * the same loop. */
+  def bpeTrainFrom(spark: SparkSession, docs: DataFrame,
+                   rounds: Int = BpeMergeRounds): DataFrame = {
     // only the Seq→DF lift — the full implicits would shadow
     // graft.syntax's $ interpolator
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     var words = bpeInitialWords(docs).localCheckpoint(true)
     // round 0: the ONLY full recount — every later round folds
-    // support-sized deltas into this table. cache(), not an eager
-    // checkpoint: each round's 1-row top-1 collect is the FIRST
-    // action on the folded table, so it populates the cache as a
+    // support-sized deltas into this table. LAZY localCheckpoint, not
+    // cache(): each round's 1-row top-1 collect is the FIRST action
+    // on the folded table, so it materializes the checkpoint as a
     // side effect and the round stays ONE job (fold + TakeOrdered
-    // fused) — an eager checkpoint would split it into two.
-    // Consumption is strictly sequential (no racing-clone hazard),
-    // and the periodic eager checkpoint below bounds the recompute
-    // chain if blocks were ever evicted.
-    var pairCounts = bpePairRecount(words).cache()
-    var prev: DataFrame = null // unpersisted only AFTER the successor
-                               // materializes (its fold reads this)
+    // fused; an eager checkpoint would split it into two), while the
+    // plan is a LogicalRDD LEAF from the start — a cache() chain
+    // nests each round's plan inside the next and the SQL listener's
+    // plan-string rendering grows superlinearly with rounds (observed
+    // OOM near round 30 on an 8 GB heap). Consumption is strictly
+    // sequential, so the r13 racing-clone hazard (concurrent
+    // consumers each recomputing a lazy subtree) does not apply;
+    // blocks free with the plan (ContextCleaner), no unpersist
+    // bookkeeping.
+    var pairCounts = bpePairRecount(words).localCheckpoint(false)
     val merges = Seq.newBuilder[(Long, String, Long)]
     var round = 0
     var exhausted = false
-    while (round < BpeMergeRounds && !exhausted) {
+    while (round < rounds && !exhausted) {
       // the ONE per-round job: fold(pc, deltas) + TakeOrdered, which
-      // also populates pairCounts' cache for the next round's fold
+      // also materializes pairCounts for the next round's fold
       val top = pairCounts
         .orderBy($"pair_count".desc, $"pair".asc)
         .limit(1).collect()
-      if (prev != null) { prev.unpersist(false); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         round += 1
@@ -1460,18 +1467,16 @@ object Corpus {
         // fold the affected-slice deltas BEFORE updating words: the
         // deltas read the pre-merge reprs; RAW delta rows, so the
         // fold's groupBy is the round's only exchange
-        prev = pairCounts
         pairCounts = bpeFoldDeltas(pairCounts, bpePairDeltaRows(words, pair))
-          .cache()
+          .localCheckpoint(false)
         words = bpeApplyMerge(words, pair)
-        if (round % BpeWordsCompactEvery == 0) {
+        // the words chain has no self-reference, but its depth-r
+        // projection still costs O(r) analysis per round — compact it
+        // periodically so a long merge budget stays linear in rounds
+        if (round % BpeWordsCompactEvery == 0)
           words = words.localCheckpoint(true)
-          pairCounts = pairCounts.localCheckpoint(true)
-        }
       }
     }
-    if (prev != null) prev.unpersist(false)
-    pairCounts.unpersist(false)
     merges.result().toDF("round", "pair", "pair_count")
       .orderBy($"round")
   }

@@ -626,6 +626,49 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q126 long-budget train: 35 rounds cross the round-32 words " +
+       "compaction and match a driver-side reference BPE exactly") {
+    // a 36-symbol word supports up to 35 merges, so the loop runs
+    // past BpeWordsCompactEvery = 32 and the compaction branch (dead
+    // at the named query's 10 rounds) is actually exercised; the
+    // reference implements Sennrich greedy left-to-right merging on
+    // symbol vectors, independently of the padded-replace encoding
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val corpus = Seq(1L -> s"$base $base", 2L -> base, 3L -> "zz zz zz")
+    val out = Corpus.bpeTrainFrom(spark, docsFrame(corpus: _*), rounds = 35)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length === 35)
+    // --- driver-side reference ---
+    var words: Vector[(Vector[String], Long)] = corpus
+      .flatMap(_._2.trim.split("\\s+"))
+      .groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector, g.size.toLong)
+      }.toVector
+    val ref = Vector.newBuilder[(Long, String, Long)]
+    for (r <- 1 to 35) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((syms, cnt) <- words; i <- 0 until syms.length - 1)
+        counts(syms(i) + " " + syms(i + 1)) += cnt
+      assert(counts.nonEmpty, s"reference exhausted at round $r")
+      val (pair, support) = counts.toSeq
+        .minBy { case (p, c) => (-c, p) }
+      ref += ((r.toLong, pair, support))
+      val Array(a, b) = pair.split(" ", 2)
+      words = words.map { case (syms, cnt) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2 // greedy non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), cnt)
+      }
+    }
+    assert(out.toSeq === ref.result())
+  }
+
   test("q126 bpe train: exhaustion stops the loop early; single-char " +
        "tokens never produce a merge") {
     val out = Corpus.bpeTrainFrom(spark, docsFrame(1L -> "ab ab cd"))
