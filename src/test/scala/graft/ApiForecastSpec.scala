@@ -132,6 +132,27 @@ class ForecastSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 fit is partition-order-invariant: identical coefficient " +
+       "BITS under any repartitioning (the exact-statistics pin)") {
+    // the hash gate rests on the sufficient statistics being exact
+    // integer sums — order-independent by construction. Pin it: a
+    // float-sum formulation would drift in the last ulps across
+    // partitionings and this comparison is BIT equality, not a
+    // tolerance.
+    val train = Forecast.buildTrain(Forecast.history(spark, sf))
+      .localCheckpoint(true)
+    val a = Forecast.fitNormal(train.repartition(1))
+    val b = Forecast.fitNormal(train.repartition(13))
+    Seq("pv", "wind").foreach { v =>
+      val (ba, ra) = a(v); val (bb, rb) = b(v)
+      assert(ba.map(java.lang.Double.doubleToLongBits).toSeq ===
+        bb.map(java.lang.Double.doubleToLongBits).toSeq,
+        s"$v coefficients drifted across partitionings")
+      assert(java.lang.Double.doubleToLongBits(ra) ===
+        java.lang.Double.doubleToLongBits(rb), s"$v rmse drifted")
+    }
+  }
+
   test("q29/q30 satisfy every mart_forecast DDL CHECK; created_at is the " +
        "site's newest feature audit stamp (init.sql:61-73)") {
     import graft.schema.{Schemas, Validator}
