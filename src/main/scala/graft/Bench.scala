@@ -231,12 +231,24 @@ object Bench {
     // the 1-minute average to fall below the threshold (bounded; skip
     // via SPARK_GRAFT_QUIESCE=0) makes the recorded number mean what
     // the reader assumes: external load present when the pass began.
+    // Threshold 1.0 (VERDICT r14 item 7): four r14 runs differed by
+    // 15% on unchanged code purely by box load, and the quietest
+    // window (loadavg 0.16 at pass 1) was the only one that
+    // reconciled with the floors attribution — quiet-window artifacts
+    // should come from waiting, not luck. Each pass records how long
+    // it waited (quiesce_wait_s in the artifact), so a run that hit
+    // the 300 s bound on a busy box is self-describing.
     val quiesceBelow =
-      sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "2.0").toDouble
-    def quiesce(): Unit = if (quiesceBelow > 0) {
-      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
-      while (loadavg() >= quiesceBelow && System.nanoTime() < deadline)
-        Thread.sleep(5000)
+      sys.env.getOrElse("SPARK_GRAFT_QUIESCE", "1.0").toDouble
+    val quiesceWaits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def quiesce(): Unit = {
+      val t0 = System.nanoTime()
+      if (quiesceBelow > 0) {
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        while (loadavg() >= quiesceBelow && System.nanoTime() < deadline)
+          Thread.sleep(5000)
+      }
+      quiesceWaits += (System.nanoTime() - t0) / 1e9
     }
     def runPass(): Unit = {
       quiesce() // pass 1 included: sbt's own compile/startup load counts
@@ -244,7 +256,8 @@ object Bench {
       val p = onePass()
       passes += p
       System.err.println(
-        f"[bench] pass ${passes.size} total ${p.values.filter(_ >= 0).sum}%.1f s (loadavg ${loads.last}%.2f at start)")
+        f"[bench] pass ${passes.size} total ${p.values.filter(_ >= 0).sum}%.1f s " +
+          f"(loadavg ${loads.last}%.2f at start, quiesce wait ${quiesceWaits.last}%.0f s)")
     }
     // spread compares pass totals over the queries that succeeded in
     // EVERY pass — a query failing in just one pass must not read as
@@ -301,6 +314,7 @@ object Bench {
     }
     val passJson = passTotals.map(v => f"$v%.3f").mkString("[", ",", "]")
     val loadJson = loads.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val waitJson = quiesceWaits.map(v => f"$v%.0f").mkString("[", ",", "]")
     val skippedJson = skip.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // the artifact names its own posture (VERDICT r6 "What's missing"
@@ -320,19 +334,33 @@ object Bench {
     // about what carries it); override when a fresher measurement
     // exists.
     val defaultDuckdbHint =
-      """{"value":343.9,"unit":"sec","source":"judge r13 best-of-3 per query over the 117-query timed oracle subset, sf0.1, 32 threads, quiet box","ex_new_trio_value":67.0,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 31.2/117.0/128.6 s where Spark pays ~1.4/2.5/0.3 s"}"""
+      """{"value":325.4,"unit":"sec","source":"judge r14 best-of-3 per query over the 118-query timed oracle subset (q30 joined the subset at 0.48 s), sf0.1, 32 threads","ex_new_trio_value":69.1,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 30.9/98.6/126.8 s where Spark pays ~1.6/2.8/0.3 s"}"""
     // a malformed override would corrupt the artifact line and break
-    // the driver's tail JSON parse (ADVICE r13) — shallow-validate:
-    // one-line JSON object, balanced braces, a numeric "value" field
+    // the driver's tail JSON parse (ADVICE r13) — validate with a real
+    // JSON parse (jackson ships with Spark), not brace counting, which
+    // rejected valid overrides containing '{' inside quoted strings
+    // and accepted brace-balanced garbage (ADVICE r14): the override
+    // must be a one-line JSON OBJECT whose top-level "value" is a
+    // number. A rejected override is logged, never silently replaced.
     val duckdbHint = sys.env.get("SPARK_GRAFT_DUCKDB_SUBSET_HINT")
       .map(_.trim)
-      .filter(h => h.startsWith("{") && h.endsWith("}") &&
-        !h.exists(c => c == '\n' || c == '\r') &&
-        h.count(_ == '{') == h.count(_ == '}') &&
-        """"value"\s*:\s*[0-9]+(\.[0-9]+)?""".r.findFirstIn(h).isDefined)
+      .flatMap { h =>
+        val ok = !h.exists(c => c == '\n' || c == '\r') &&
+          (try {
+            val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(h)
+            node != null && node.isObject &&
+              node.get("value") != null && node.get("value").isNumber
+          } catch { case _: Throwable => false })
+        if (!ok) System.err.println(
+          "[bench] SPARK_GRAFT_DUCKDB_SUBSET_HINT rejected (not a " +
+            "one-line JSON object with a numeric top-level \"value\") " +
+            "— falling back to the committed default hint")
+        if (ok) Some(h) else None
+      }
       .getOrElse(defaultDuckdbHint)
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"duckdb_subset_hint":$duckdbHint,"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_oracle_subset":$oracleTotal%.3f,"oracle_failed":${oracleFailed.size},"duckdb_subset_hint":$duckdbHint,"queries":$qs,"sf":"$sfDir","posture":$postureJson,"pass_totals":$passJson,"loadavg_at_pass_start":$loadJson,"quiesce_wait_s":$waitJson,"pass_spread":$spread%.2f,"skipped":$skippedJson,"skipped_reason":"$skipReason"}"""
     // The driver parses the LAST JSON line it finds in a bounded TAIL
     // of stdout (~2 KB): BENCH_r01 lost the line under sbt log
     // prefixes, and BENCH_r07 lost it again when the full-name queries

@@ -1423,18 +1423,41 @@ object Corpus {
       .groupBy($"pair").agg(sum($"d").as("pair_count"))
       .filter($"pair_count" > 0L)
 
+  /** Adaptive arm threshold (VERDICT r14 item 1): maintain the pair
+    * table by signed deltas only when the distinct-word table is at
+    * least this large; below it, the per-round full recount is
+    * cheaper — the delta arm's bookkeeping (contains-filter + dual
+    * explode + fold union) is a fixed plan cost that a small word
+    * table cannot amortize. Calibrated on this box via
+    * `ScaleStress <dir> <V> bpevocab` (5-round delta/recount ratio):
+    * 41 words ≈ 3×, 50k → 1.26×, 200k → 0.84×, 500k → 0.60×,
+    * 2M → 0.46× — the crossover sits between 50k and 200k. Both arms
+    * produce IDENTICAL merges (delta == recount is spec-pinned per
+    * round), so the choice can never change output. */
+  val BpeDeltaMinVocab = 100000L
+
   /** (round, pair, pair_count) for `rounds` merge rounds (fewer if
     * the corpus exhausts its pairs), ordered by round. The named q126
-    * query trains the default BpeMergeRounds; the parameter exists so
-    * a long-budget train (and the spec pinning the
-    * BpeWordsCompactEvery compaction path it crosses) runs through
-    * the same loop. */
+    * query trains the default BpeMergeRounds; `rounds` exists so a
+    * long-budget train (and the spec pinning the BpeWordsCompactEvery
+    * compaction path it crosses) runs through the same loop;
+    * `deltaMinVocab` so specs can force either arm through the loop
+    * (0 = always delta, Long.MaxValue = always recount). */
   def bpeTrainFrom(spark: SparkSession, docs: DataFrame,
-                   rounds: Int = BpeMergeRounds): DataFrame = {
+                   rounds: Int = BpeMergeRounds,
+                   deltaMinVocab: Long = BpeDeltaMinVocab): DataFrame = {
     // only the Seq→DF lift — the full implicits would shadow
     // graft.syntax's $ interpolator
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     var words = bpeInitialWords(docs).localCheckpoint(true)
+    // arm choice, decided ONCE: the word-table row count never changes
+    // across rounds (merges are row-local replaces, no regroup), so
+    // one cheap count on the just-materialized leaf settles which arm
+    // every round uses. Below the calibrated crossover the recount is
+    // the cheaper round; above it the delta fold's support-
+    // proportional cost wins and keeps growing its lead as late
+    // rounds merge rare pairs (the 30k-merge production shape).
+    val useDeltas = words.count() >= deltaMinVocab
     // round 0: the ONLY full recount — every later round folds
     // support-sized deltas into this table. LAZY localCheckpoint, not
     // cache(): each round's 1-row top-1 collect is the FIRST action
@@ -1464,12 +1487,19 @@ object Corpus {
         round += 1
         val pair = top(0).getString(0)
         merges += ((round.toLong, pair, top(0).getLong(1)))
-        // fold the affected-slice deltas BEFORE updating words: the
-        // deltas read the pre-merge reprs; RAW delta rows, so the
-        // fold's groupBy is the round's only exchange
-        pairCounts = bpeFoldDeltas(pairCounts, bpePairDeltaRows(words, pair))
-          .localCheckpoint(false)
-        words = bpeApplyMerge(words, pair)
+        if (useDeltas) {
+          // fold the affected-slice deltas BEFORE updating words: the
+          // deltas read the pre-merge reprs; RAW delta rows, so the
+          // fold's groupBy is the round's only exchange
+          pairCounts = bpeFoldDeltas(pairCounts, bpePairDeltaRows(words, pair))
+            .localCheckpoint(false)
+          words = bpeApplyMerge(words, pair)
+        } else {
+          // recount arm: update words first, recount the (small) word
+          // table wholesale — spec-pinned equal to the fold above
+          words = bpeApplyMerge(words, pair)
+          pairCounts = bpePairRecount(words).localCheckpoint(false)
+        }
         // the words chain has no self-reference, but its depth-r
         // projection still costs O(r) analysis per round — compact it
         // periodically so a long merge budget stays linear in rounds

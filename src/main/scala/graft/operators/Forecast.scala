@@ -187,11 +187,39 @@ object Forecast {
         yield sum(x(i) * x(j)).as(s"${v}_xx_${i}_$j")
       val xty = (0 until Dims).map(i => sum(x(i) * y).as(s"${v}_xy_$i"))
       xtx ++ xty :+ sum(y * y).as(s"${v}_yy")
-    } :+ count(lit(1)).as("n")
+    } ++ Seq(count(lit(1)).as("n"),
+      // overflow/exactness guard input (ADVICE r14): the largest
+      // |scaled value| across every feature AND label of both vars,
+      // from the same single pass
+      max(greatest(Seq("pv", "wind").flatMap { v =>
+        (sxs(v) :+ scaled(col(s"y_$v"))).map(abs)
+      }: _*)).as("max_s"))
     val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
     require(row.getAs[Long]("n") > 0,
       "forecastMl: empty training frame — every site needs > 48 hours " +
         "of history for the seasonal lags")
+    // The 'overflow-free BIGINT' claim is a PRECONDITION, not a
+    // property (ADVICE r14): Spark (non-ANSI) wraps silently on both
+    // the per-row scaled products and their sums, while DuckDB errors
+    // or promotes — a production label magnitude that crosses 2^63
+    // would silently corrupt the fit and desync the engines. Enforce
+    // both preconditions loudly from the statistics already in hand:
+    //   (a) quantization exactness — x·1e4 must sit where doubles are
+    //       exact integers with margin for the +0.5 floor trick
+    //       (|s| < 2^50, far below the 2^53 exact-integer ceiling);
+    //   (b) no wraparound — n · max_s² < 2^63 bounds every X'X / X'y
+    //       / y'y sum (each term ≤ max_s², at most n terms). Checked
+    //       in BigInt so the guard itself cannot overflow.
+    val maxS = BigInt(row.getAs[Long]("max_s"))
+    require(maxS < (BigInt(1) << 50),
+      s"forecastMl: scaled magnitude $maxS >= 2^50 — the 4dp FLOOR " +
+        "quantization is no longer exact at this feature/label scale; " +
+        "rescale the inputs or lower QScale")
+    require(BigInt(row.getAs[Long]("n")) * maxS * maxS < (BigInt(1) << 63),
+      s"forecastMl: n*max_s^2 would overflow the BIGINT sufficient " +
+        s"statistics (n=${row.getAs[Long]("n")}, max_s=$maxS) — the " +
+        "exact-statistics fit cannot run at this magnitude; rescale " +
+        "the labels or shard the fit")
     val n = row.getAs[Long]("n").toDouble
 
     def fit(v: String): (Array[Double], Double) = {

@@ -508,6 +508,35 @@ object ScaleStress {
       return
     }
 
+    // opt-in EXCLUSIVE mode: the q126 ADAPTIVE arm receipt (VERDICT
+    // r14 item 1) — the full bpeTrainFrom loop end-to-end on the real
+    // fixture corpus (possibly amplified), forced down each arm,
+    // interleaved so co-load hits both sides symmetrically. The
+    // fixture's 41-word vocabulary sits below BpeDeltaMinVocab, so
+    // the default must match the recount side. Arg: "bpearm".
+    if (args.contains("bpearm")) {
+      def secs[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val docsLd = docs.localCheckpoint(true)
+      println(s"docs: ${docsLd.count()}")
+      var dBest = Double.MaxValue; var rBest = Double.MaxValue
+      for (pass <- 1 to 3) {
+        val tD = secs(Corpus.bpeTrainFrom(spark, docsLd,
+          deltaMinVocab = 0L).count())
+        val tR = secs(Corpus.bpeTrainFrom(spark, docsLd,
+          deltaMinVocab = Long.MaxValue).count())
+        dBest = dBest.min(tD); rBest = rBest.min(tR)
+        println(f"  pass $pass: delta arm $tD%.2f s vs recount arm $tR%.2f s")
+      }
+      println(f"bpearm ${reps}x: best delta $dBest%.2f s vs best " +
+        f"recount $rBest%.2f s (default arm = recount below " +
+        f"${Corpus.BpeDeltaMinVocab} words)")
+      spark.stop()
+      return
+    }
+
     // opt-in EXCLUSIVE mode: q129 BPE encode at 10× (VERDICT r13
     // item 3). The merge table is the published artifact (trained
     // once, not charged per encode); the receipt prices the encode

@@ -669,6 +669,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.toSeq === ref.result())
   }
 
+  test("q126 adaptive arm: forcing delta or recount through the loop " +
+       "yields the identical merge table (arm choice cannot change " +
+       "output)") {
+    val docs = docsFrame(
+      1L -> "low low low low low lower lower",
+      2L -> "newest newest newest widest widest",
+      3L -> "aaaa aaaa aaaa aaaa aaaa aaaa")
+    def run(minVocab: Long) =
+      Corpus.bpeTrainFrom(spark, docs, deltaMinVocab = minVocab)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    val deltaArm = run(0L)              // always delta
+    val recountArm = run(Long.MaxValue) // always recount
+    val default = run(Corpus.BpeDeltaMinVocab)
+    assert(deltaArm.nonEmpty)
+    assert(deltaArm === recountArm)
+    assert(default === recountArm,
+      "the fixture vocabulary sits below the crossover — the default " +
+        "must take the recount arm and still match")
+  }
+
   test("q126 bpe train: exhaustion stops the loop early; single-char " +
        "tokens never produce a merge") {
     val out = Corpus.bpeTrainFrom(spark, docsFrame(1L -> "ab ab cd"))
