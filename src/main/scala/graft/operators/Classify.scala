@@ -71,9 +71,9 @@ object Classify {
     * ordered by doc_id.
     *
     * Shape (r13, measured — the `nbshared` ScaleStress receipt): the
-    * fit tokenizes the TRAIN slice inside the one eager vocab-sized
-    * wc job, the score tokenizes the corpus inside its own pipelined
-    * pass — ~1.75 streaming text passes total and NOTHING
+    * fit tokenizes the TRAIN slice inside the one vocab-sized wc/
+    * stats job, the score tokenizes the corpus inside its own
+    * pipelined pass — ~1.75 streaming text passes total and NOTHING
     * corpus-sized is ever materialized. The r12 "tokenize once"
     * shape (share one checkpointed corpus tf between fit and score)
     * measured SLOWER at 10× (3.70 vs 2.83 s): sharing saves 0.75 of
@@ -88,8 +88,27 @@ object Classify {
     * drives the fallback through this parameter instead of mutating
     * the JVM-global system property mid-suite (ADVICE r13). */
   private[graft] def nbClassifyFrom(docs: DataFrame,
-                                    useBroadcast: Boolean): DataFrame =
-    nbScore(docs, docTf(docs), nbModelFrom(trainSlice(docs)), useBroadcast)
+                                    useBroadcast: Boolean): DataFrame = {
+    // instance-level scoring (VERDICT r14 item 2): no (doc_id, token)
+    // pre-aggregation — every model join is broadcast (row-local),
+    // the per-(doc, cand) partial aggregate collapses instances
+    // map-side before its exchange, and the TRUE lang rides the
+    // stream as a doc-constant grouping key, so the doc-keyed join
+    // back to `documents` is gone too. Summing per-instance lp
+    // equals summing tf·lp (exact decimal integer arithmetic), so
+    // the output is byte-identical to the tf-collapsed shape.
+    val tok = docs.select($"doc_id", $"lang",
+        explode(TextOps.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"lang", $"token")
+      .agg(count(lit(1)).as("tf"))
+    nbBestOf(tok, Seq("doc_id", "lang"),
+        nbModelFrom(trainSlice(docs)), useBroadcast)
+      .select($"doc_id", $"lang",
+        $"cand".as("pred_lang"),
+        round($"score".cast(DoubleType), 6).as("score"),
+        ($"lang" === $"cand").as("correct"))
+      .orderBy($"doc_id")
+  }
 
   /** The train-split slice (q58's hash buckets — doc-local, no
     * shuffle). */
@@ -111,40 +130,91 @@ object Classify {
   private[graft] def nbModelFrom(train: DataFrame): NbModel = {
     val ttok = train.select($"lang",
       explode(TextOps.tokens($"text")).as("token"))
-    // four consumers read wc (totals, vocab size, the classes join,
-    // and the scoring left join), and the model broadcasts build
-    // CONCURRENTLY — EAGER, because under a lazy barrier the racing
-    // broadcast builds each re-run the train-tokenize subtree before
-    // any has cached it (r13 floor attribution: three ~0.5 s clone
-    // jobs at sf0.1). One serial vocab-sized job; every consumer then
-    // reads the leaf in milliseconds.
+    // LAZY checkpoint: nbModelOf's single stats collect is the first,
+    // strictly SEQUENTIAL action on this frame — it materializes the
+    // leaf before any of the scoring plan's concurrent broadcast
+    // builds read it, so the r13 racing-clone hazard cannot occur,
+    // and the old eager barrier's separate materialization job fuses
+    // into the stats job (VERDICT r14 item 2).
     val wc = ttok.groupBy($"lang", $"token").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     nbModelOf(wc, train.groupBy($"lang").agg(count(lit(1)).as("n_docs_c")))
   }
 
   /** Derive the scoring-ready class table (totals + priors) and vocab
     * size from the two COUNT tables — the part shared by the batch
     * fit and q116's delta-maintained fit (both maintain only counts;
-    * everything derived is recomputed from them, one artifact). */
+    * everything derived is recomputed from them, one artifact).
+    *
+    * The derivation is ONE multi-aggregate collect (the q30 fitNormal
+    * discipline, VERDICT r14 item 2): class totals, doc counts, and
+    * the vocab size union into a single lang-sized job — which also
+    * materializes a lazily-checkpointed wc, being its first
+    * sequential action — where the old chain paid a separate
+    * broadcast-build job for each of classes / n_train / vocab size,
+    * every one re-deriving its inputs. The collected rows come back
+    * as broadcast LocalRelations; the prior arithmetic stays in Spark
+    * expressions over those locals (collapsed at optimization time),
+    * so the scoring plan consumes the model without scheduling a
+    * single extra job and the priors are bit-identical to the old
+    * distributed chain. */
   private[graft] def nbModelOf(wc: DataFrame, cdoc: DataFrame): NbModel = {
-    val ctot = wc.groupBy($"lang").agg(sum($"cnt").as("tot_c"))
-    val nTrain = cdoc.agg(sum($"n_docs_c").as("n_train"))
-    val classes = cdoc.join(ctot, Seq("lang"))
-      .crossJoin(broadcast(nTrain))
-      .select($"lang", $"tot_c",
-        round(log($"n_docs_c".cast(DoubleType) / $"n_train"), 6)
-          .cast(DecimalType(18, 6)).as("prior_lp"))
-    val vocabSize = wc.agg(countDistinct($"token").as("v"))
+    import wc.sparkSession.implicits.{localSeqToDatasetHolder,
+      newProductEncoder}
+    val stats = wc.groupBy($"lang").agg(sum($"cnt").as("c"))
+      .select(lit("tot").as("k"), $"lang", $"c")
+      .unionByName(cdoc.select(lit("doc").as("k"), $"lang",
+        $"n_docs_c".as("c")))
+      .unionByName(wc.agg(countDistinct($"token").as("c"))
+        .select(lit("v").as("k"), lit(null).cast(StringType).as("lang"),
+          $"c"))
+      .collect()
+    val tot = stats.filter(_.getString(0) == "tot")
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val docC = stats.filter(_.getString(0) == "doc")
+      .map(r => r.getString(1) -> r.getLong(2)).toSeq
+    val v = stats.find(_.getString(0) == "v").map(_.getLong(2)).getOrElse(0L)
+    // n_train sums ALL cdoc rows (the old nTrain aggregate's input),
+    // BEFORE the inner-join restriction to langs that have tokens
+    val nTrain = docC.map(_._2).sum
+    // raw joined counts — pure data motion; no arithmetic leaves Spark
+    val raw = docC.collect { case (lang, n) if tot.contains(lang) =>
+      (lang, n, tot(lang))
+    }.toDF("lang", "n_docs_c", "tot_c")
+    val classes = raw.select($"lang", $"tot_c",
+      round(log($"n_docs_c".cast(DoubleType) / lit(nTrain)), 6)
+        .cast(DecimalType(18, 6)).as("prior_lp"))
+    val vocabSize = Seq(Tuple1(v)).toDF("v")
     NbModel(wc, classes, vocabSize)
   }
 
-  /** Score every document against every class; predict the argmax. */
+  /** Score every document against every class; predict the argmax.
+    * Kept as the stored-tf entry point (q116, whose tf table is the
+    * carry state itself; streaming q123; the nbshared receipt) —
+    * delegates to [[nbBestOf]] so the scoring arithmetic has exactly
+    * one home. */
   private[graft] def nbScore(docs: DataFrame, tf: DataFrame,
                              model: NbModel,
                              useBroadcast: Boolean = broadcastModel)
       : DataFrame = {
-    val perTok = tf
+    val best = nbBestOf(tf, Seq("doc_id"), model, useBroadcast)
+    docs.select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"))
+      .select($"doc_id", $"lang",
+        $"cand".as("pred_lang"),
+        round($"score".cast(DoubleType), 6).as("score"),
+        ($"lang" === $"cand").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  /** The per-key argmax scoring core shared by q114's fused
+    * instance-level path and the stored-tf path: `tokRows` carries
+    * `keys`..., token, tf; returns one row per key group with the
+    * winning (cand, score). */
+  private[graft] def nbBestOf(tokRows: DataFrame, keys: Seq[String],
+                              model: NbModel,
+                              useBroadcast: Boolean): DataFrame = {
+    val perTok = tokRows
       .crossJoin(broadcast(model.classes.select($"lang".as("cand"),
         $"tot_c", $"prior_lp")))
       .crossJoin(broadcast(model.vocabSize))
@@ -169,24 +239,20 @@ object Classify {
         round(log((coalesce($"cnt", lit(0L)) + 1).cast(DoubleType)
           / ($"tot_c" + $"v").cast(DoubleType)), 6)
           .cast(DecimalType(18, 6)))
-    val perDoc = perTok.groupBy($"doc_id", $"cand", $"prior_lp")
+    val perDoc = perTok
+      .groupBy((keys.map(col) ++ Seq($"cand", $"prior_lp")): _*)
       .agg(sum($"tf" * $"lp").as("sum_lp"))
-      .select($"doc_id", $"cand", ($"prior_lp" + $"sum_lp").as("score"))
+      .select((keys.map(col) :+ $"cand" :+
+        ($"prior_lp" + $"sum_lp").as("score")): _*)
     // argmax (score DESC, cand ASC) as a struct-min aggregate — the
     // q103 keeper trick: min over (-score, cand) is the same total
     // order as rank-1 under the window, but partial-aggregates
     // map-side and never sorts |classes| rows per doc (VERDICT r10
     // item 2; scores are exact decimals, so negation is lossless)
-    val best = perDoc.groupBy($"doc_id")
+    perDoc.groupBy(keys.map(col): _*)
       .agg(min(struct((-$"score").as("ns"), $"cand".as("cand"))).as("m"))
-      .select($"doc_id", $"m.cand".as("cand"), (-$"m.ns").as("score"))
-    docs.select($"doc_id", $"lang")
-      .join(best, Seq("doc_id"))
-      .select($"doc_id", $"lang",
-        $"cand".as("pred_lang"),
-        round($"score".cast(DoubleType), 6).as("score"),
-        ($"lang" === $"cand").as("correct"))
-      .orderBy($"doc_id")
+      .select((keys.map(col) :+ $"m.cand".as("cand") :+
+        (-$"m.ns").as("score")): _*)
   }
 
   // ---------------------------------------------------------------
@@ -289,11 +355,10 @@ object Classify {
       .unionByName(lostTf.select($"lang", $"token", (-$"tf").as("cnt")))
       .groupBy($"lang", $"token").agg(sum($"cnt").as("cnt"))
       .filter($"cnt" > 0)
-      // the same four consumers as the batch wc — LAZY, unlike the
-      // batch barrier: here the racing broadcast builds duplicate
-      // only the vocab-sized delta merge (cheap, absorbed by idle
-      // cores), and serializing it behind an eager barrier measured
-      // slower (r13 floors A/B: 3.0 s lazy vs 3.2-4.6 s eager)
+      // LAZY: nbModelOf's single stats collect is the first,
+      // strictly sequential action — it materializes this leaf (and
+      // the upstream freshTf checkpoint) inside the one stats job,
+      // so no scoring-plan broadcast can racing-clone the delta merge
       .localCheckpoint(false)
     val newCdoc = prevCdoc.select($"lang", $"n_docs_c")
       .unionByName(freshTrainMeta.select($"lang", lit(1L).as("n_docs_c")))

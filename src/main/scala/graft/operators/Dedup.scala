@@ -1829,11 +1829,12 @@ object Dedup {
       .join(broadcast(dirty), Seq("doc_id"), "left_anti")
       .unionByName(freshSpans)
     // fps that lost (stored rows of dirty docs) or gained (fresh
-    // rows) an occurrence — their counts/canonicals may have moved
+    // rows) an occurrence — their counts/canonicals may have moved.
+    // Single consumer (the candDocs semi-join): no checkpoint, it
+    // computes inline inside candDocs' own materialization
     val affectedFps = prevSpans.join(broadcast(dirty), Seq("doc_id"))
       .select($"fp")
       .unionByName(freshSpans.select($"fp")).distinct()
-      .localCheckpoint(false)
     // docs whose coverage can change: holders of an affected fp,
     // plus the fresh slice itself (short fresh docs carry no spans
     // but still need fresh output rows)

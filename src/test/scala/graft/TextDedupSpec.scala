@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Dedup, Multimodal, TextOps, VectorOps}
+import graft.operators.{Corpus, Dedup, JdkImageCodec, Multimodal, TextOps, VectorOps}
 
 class TextDedupSpec extends AnyFunSuite {
   import TestSpark._
@@ -573,6 +573,46 @@ class TextDedupSpec extends AnyFunSuite {
       assert(m.height.toLong === r.getLong(4))
       assert(m.feature.length === 8)
     }
+  }
+
+  test("multimodal: JdkImageCodec decodes a real in-memory PNG through " +
+       "the full q52 typed path — true dimensions, gradient feature " +
+       "bands, stub default untouched") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // 100×40 vertical gradient: top band black, bottom band white
+    val img = new BufferedImage(100, 40, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 100) {
+      val g = math.min(255, y * 255 / 39)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val media = Seq((1L, png)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMediaFrom(media, JdkImageCodec).collect()
+    assert(out.length === 1)
+    val m = out.head
+    assert(m.width === 100 && m.height === 40,
+      "the codec must report the image's TRUE dimensions, not the stub's")
+    assert(m.n_bytes === png.length)
+    assert(m.feature.length === 8)
+    // bands ascend with the gradient, spanning near-black to near-white
+    assert(m.feature.head < 0.1f && m.feature.last > 0.85f)
+    m.feature.sliding(2).foreach { case Array(a, b) =>
+      assert(a < b, s"gradient bands must ascend: ${m.feature.toSeq}")
+    }
+    // the stub default is untouched: same payload, stub dimensions
+    val stub = Multimodal.decodeMediaFrom(media).collect().head
+    assert(stub.width === 64 + png.length % 64 &&
+      stub.height === 64 + (png.length / 64) % 64)
+    // a non-image payload fails loudly, never silently
+    val bad = Seq((2L, "just text".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMediaFrom(bad, JdkImageCodec).collect()
+    }
+    assert(e.getMessage.contains("JdkImageCodec") ||
+      Option(e.getCause).exists(_.getMessage.contains("JdkImageCodec")))
   }
 
   test("q82 repeated spans: planted boilerplate flags, unique docs keep, " +
