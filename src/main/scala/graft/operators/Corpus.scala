@@ -857,17 +857,31 @@ object Corpus {
   /** q108's scoring tail over an explicit (docBg, model) pair: the
     * context totals and the continuation marginal both derive from
     * the model table, so maintenance has ONE table to keep fresh.
-    * Shared by the full recompute and the q109 rescore. */
+    * Shared by the full recompute and the q109 rescore.
+    *
+    * The model is checkpointed HERE (its four readers — ctx, cont,
+    * total, and the scoring join — would otherwise each re-derive
+    * it); the 1-row total+size stats collect is the leaf's first,
+    * strictly sequential action, and the measured row count drives
+    * the q74 adaptive-broadcast choice: an observed-bigram model
+    * that fits its scorers joins row-locally (no corpus-scale
+    * exchange of docBg at all), one that doesn't falls back to the
+    * keyed shuffle joins — correct at any model size. */
   private[graft] def scoreBigrams(docBg: DataFrame,
                                   model: DataFrame): DataFrame = {
-    val ctx = model.groupBy($"w1").agg(sum($"bcnt").as("ccnt"))
-    val cont = model.groupBy($"w2").agg(sum($"bcnt").as("mcnt"))
-    val total = model.agg(sum($"bcnt").as("total"))
+    val m = model.localCheckpoint(false)
+    val stats = m.agg(sum($"bcnt").as("total"), count(lit(1)).as("nm"))
+      .collect()(0)
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    def side(df: DataFrame) =
+      if (stats.getLong(1) <= VocabBroadcastMaxRows) broadcast(df) else df
+    val ctx = m.groupBy($"w1").agg(sum($"bcnt").as("ccnt"))
+    val cont = m.groupBy($"w2").agg(sum($"bcnt").as("mcnt"))
     val scored = docBg
-      .join(model, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .crossJoin(broadcast(total))
+      .join(side(m), Seq("w1", "w2"), "left")
+      .join(side(ctx), Seq("w1"), "left")
+      .join(side(cont), Seq("w2"), "left")
+      .withColumn("total", lit(total))
       .withColumn("lp",
         // the backoff floors the continuation count at 1: a token the
         // model never saw anywhere would otherwise yield ln(0) → NULL
@@ -992,11 +1006,11 @@ object Corpus {
       .localCheckpoint(false)
     val newBg = prevBgTf.join(broadcast(dirty), Seq("doc_id"), "left_anti")
       .unionByName(freshBg)
+    // scoreBigrams checkpoints the model itself (four readers) and
+    // its stats collect materializes the freshBg checkpoint too
     val newModel = maintainedBigramModel(prevModel,
       lost = prevBgTf.join(broadcast(dirty), Seq("doc_id")),
       gained = freshBg)
-      .localCheckpoint(false) // scoreBigrams derives ctx, cont, total
-                              // and joins it — four readers
     scoreBigrams(newBg, newModel)
   }
 
@@ -1179,8 +1193,17 @@ object Corpus {
     }
     val repKeepF = thin(repetitionStatsFrom(docs)
       .filter($"keep").select($"doc_id"))
-    val lpKeepF = thin(unigramLogProbFrom(docs)
-      .filter($"keep").select($"doc_id"))
+    // the lp gate keeps the SINGLE-JOB tf-based shape here: inside
+    // this concurrent composition, unigramScoredFrom's sequential
+    // model-stats barrier would put two corpus passes on one stage's
+    // critical path, while the fused job's duplicated subtrees run as
+    // parallel stages the composition's idle slots absorb (measured:
+    // the r15 standalone reshape cost q76 ~1 s). Output is identical
+    // either way — both shapes are hash-pinned against q74's SQL.
+    val lpKeepF = thin {
+      val tf = tfFrom(docs)
+      scoreTf(tf, vocabFromTf(tf)).filter($"keep").select($"doc_id")
+    }
     val contaminatedF = thin(decontaminateFrom(docs)
       .filter($"contamination" >= DecontamMaxRate).select($"doc_id"))
     val sampledF = thin(mixtureSampleFrom(docs, MixtureRates,
