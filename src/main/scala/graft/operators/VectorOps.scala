@@ -828,12 +828,13 @@ object VectorOps {
   //
   // 100 TB shape: the fresh fit is the offline sample fit (the fit is
   // already sample-seeded at every-100th vector; production subsamples
-  // its input stream the same way), and both assignment passes are
-  // broadcast-codebook × corpus row-local scans — the q50 shape, no
-  // corpus shuffle; the verdict itself is one global aggregate row.
-  // Running the gate costs two assignment scans; skipping it risks a
-  // silently stale index, which is why the vocab side grew the same
-  // knob first.
+  // its input stream the same way), and both assignments compute in
+  // ONE broadcast-codebook × corpus row-local scan (the two codebooks
+  // ride one tagged broadcast union) — the q50 shape, no corpus
+  // shuffle; the verdict itself is one global aggregate row. Running
+  // the gate costs one assignment scan; skipping it risks a silently
+  // stale index, which is why the vocab side grew the same knob
+  // first.
   // ---------------------------------------------------------------
 
   /** Churn share above which the codebook refits: a fifth of the
@@ -861,11 +862,30 @@ object VectorOps {
     * One verdict row. */
   def centroidDriftStatsOf(cur: DataFrame, storedCb: DataFrame,
                            freshCb: DataFrame): DataFrame = {
-    val s = assignCells(cur, storedCb)
-      .select($"vec_id", $"cell_id".as("cell_s"), $"dist2".as("d_s"))
-    val f = assignCells(cur, freshCb)
-      .select($"vec_id", $"cell_id".as("cell_f"), $"dist2".as("d_f"))
-    s.join(f, Seq("vec_id"))
+    // ONE corpus scan computes BOTH argmins (r15): the stored and
+    // fresh codebooks ride a single broadcast union tagged by origin,
+    // and a conditional min(struct) per tag replaces the former
+    // two-assignCells + vec_id-equi-join shape — that join was the
+    // only corpus-scale exchange in the gate. Arithmetic is
+    // bit-identical: same 6dp round, same (dist2, centroid_id)
+    // lexicographic tie-break, same inner-join row set (both sides
+    // carried every vec_id of `cur`), so the verdict row hashes
+    // unchanged. min(struct) ignores the null rows the `when`
+    // produces for the other tag, and the aggregate still combines
+    // map-side — one row per vec_id shuffles, nothing else.
+    val tagged = storedCb
+      .select($"centroid_id", $"cv", lit(true).as("st"))
+      .unionByName(freshCb
+        .select($"centroid_id", $"cv", lit(false).as("st")))
+    cur.crossJoin(broadcast(tagged))
+      .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
+      .groupBy($"vec_id")
+      .agg(
+        min(when($"st", struct($"dist2", $"centroid_id"))).as("s"),
+        min(when(!$"st", struct($"dist2", $"centroid_id"))).as("f"))
+      .select(
+        $"s.centroid_id".as("cell_s"), $"s.dist2".as("d_s"),
+        $"f.centroid_id".as("cell_f"), $"f.dist2".as("d_f"))
       .agg(
         count(lit(1)).as("n_vecs"),
         sum(when($"cell_s" =!= $"cell_f", 1L).otherwise(0L)).as("n_moved"),
@@ -950,7 +970,8 @@ object VectorOps {
   // verdict in SQL and gates each branch's SELECT on it — the
   // DECISION is inside the hash gate, not just the branches.
   //
-  // 100 TB shape: the gate costs two broadcast-codebook scans (q105);
+  // 100 TB shape: the gate costs one fused broadcast-codebook scan
+  // (q105);
   // the carry branch is q91's dirty-slice cost; the refit branch is
   // the q50 full pass it genuinely requires. Nothing new shuffles.
   // ---------------------------------------------------------------

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Dedup, JdkImageCodec, Multimodal, TextOps, VectorOps}
+import graft.operators.{Corpus, Dedup, JdkImageCodec, JdkWavCodec, Multimodal, TextOps, VectorOps}
 
 class TextDedupSpec extends AnyFunSuite {
   import TestSpark._
@@ -613,6 +613,62 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("JdkImageCodec") ||
       Option(e.getCause).exists(_.getMessage.contains("JdkImageCodec")))
+  }
+
+  test("multimodal: JdkWavCodec decodes a real in-memory WAV through " +
+       "the full q52 typed path — channels/rate dimensions, RMS time " +
+       "bands, stub default untouched") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    // 1 s mono 8 kHz 440 Hz sine whose amplitude steps up by eighth:
+    // band b spans exactly 55 full cycles at amplitude (b+1)/8, so
+    // its RMS is (b+1)/8/sqrt(2) exactly — an ascending staircase
+    val rate = 8000
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val band = math.min(7, i * 8 / n)
+      val amp = (band + 1) / 8.0
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767)
+        .toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = Seq((1L, wav)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMediaFrom(media, JdkWavCodec).collect()
+    assert(out.length === 1)
+    val m = out.head
+    assert(m.width === 1 && m.height === rate,
+      "the codec must report the stream's TRUE (channels, sample rate)")
+    assert(m.n_bytes === wav.length)
+    assert(m.feature.length === 8)
+    m.feature.zipWithIndex.foreach { case (v, b) =>
+      val expected = (b + 1) / 8.0 / math.sqrt(2)
+      assert(math.abs(v - expected) < 0.02,
+        s"band $b RMS $v must be ~$expected")
+    }
+    m.feature.sliding(2).foreach { case Array(a, b) =>
+      assert(a < b, s"RMS bands must ascend: ${m.feature.toSeq}")
+    }
+    // the stub default is untouched: same payload, stub dimensions
+    val stub = Multimodal.decodeMediaFrom(media).collect().head
+    assert(stub.width === 64 + wav.length % 64 &&
+      stub.height === 64 + (wav.length / 64) % 64)
+    // a non-audio payload fails loudly, never silently
+    val bad = Seq((2L, "just text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMediaFrom(bad, JdkWavCodec).collect()
+    }
+    assert(e.getMessage.contains("JdkWavCodec") ||
+      Option(e.getCause).exists(_.getMessage.contains("JdkWavCodec")))
   }
 
   test("q82 repeated spans: planted boilerplate flags, unique docs keep, " +
