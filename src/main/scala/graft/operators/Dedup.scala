@@ -112,19 +112,26 @@ object Dedup {
   private[operators] def pairOverlap(
       items: DataFrame, itemCol: String,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
+    // The item subtree (shingle scan + hashing) is materialized ONCE,
+    // eagerly: the hot-set broadcast build and the kept-frame
+    // materialization are separate jobs that each re-derived it under
+    // the old lazy-only shape (r15 floors: a ~0.35 s clone of q45's
+    // shingle scan inside the broadcast build) — the r15 read-once
+    // rule (SCALE.md drift-gate receipt: fuse when the shared input
+    // is a real storage read). localCheckpoint rather than cache() —
+    // a cache() here would pin a CacheManager entry the caller can
+    // never unpersist (the handle is function-local); checkpointed
+    // blocks are instead released by the ContextCleaner once the
+    // returned plan is unreachable.
+    val src = items.localCheckpoint(true)
     // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
     // same shape as the q47 mega-bucket guard. Only the kept frame is
-    // materialized: it feeds three consumers (sizes + both join
-    // sides). LAZY localCheckpoint rather than cache() — a cache()
-    // here would pin a CacheManager entry the caller can never
-    // unpersist (the handle is function-local); checkpointed blocks
-    // are instead released by the ContextCleaner once the returned
-    // plan is unreachable. Lazy, so merely BUILDING the plan (explain
-    // tooling, plan specs) runs no job — materialization happens at
-    // the first action, like the cache it replaces.
-    val hot = items.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+    // materialized (LAZY: its first consumer triggers the one
+    // anti-join pass over the resident src): it feeds three consumers
+    // (sizes + both join sides).
+    val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select(col(itemCol))
-    val it = items.join(broadcast(hot), Seq(itemCol), "left_anti")
+    val it = src.join(broadcast(hot), Seq(itemCol), "left_anti")
       .localCheckpoint(false)
     val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = it.select($"doc_id".as("doc_a"), col(itemCol))
@@ -357,7 +364,8 @@ object Dedup {
     // main band job built CONCURRENTLY, each racing to compute the
     // signing subtree before any had cached it — five ~0.4-0.5 s
     // clone jobs at sf0.1; eager signs once)
-    lshNearDupPairsFrom(shingleFps(spark, dir).localCheckpoint(true))
+    lshNearDupPairsFrom(shingleFps(spark, dir).localCheckpoint(true),
+      eagerBands = true)
 
   /** (doc_id, band_id, band_val) — each doc's LSH band keys. Wide
     * conditional-min aggregation instead of a collect_list object
@@ -398,11 +406,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
-  def lshNearDupPairsFrom(shf: DataFrame): DataFrame = {
-    // materialized once (lazy localCheckpoint): the self-join below
-    // would otherwise compute the whole signature subtree once per side
-    val bands = lshBands(shf).localCheckpoint(false)
+  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]].
+    *
+    * `eagerBands` picks the checkpoint posture for the band frame
+    * (the minhash wide-aggregate, the chain's second data pass):
+    * STANDALONE callers sign eagerly — under the lazy posture the
+    * oversized-bucket broadcast build and the main job race to
+    * materialize it, each paying the signing aggregate (r15 floors:
+    * twin ~320 ms jobs inside q47; the q56 clone receipt at 4× the
+    * size) — while COMPOSED callers (q76's concurrent stage build)
+    * keep the lazy default: there the barrier lands on one stage's
+    * critical path and the clone runs in idle slots the composition
+    * absorbs (the SCALE.md r15 decision rule, measured ~0.5 s against
+    * q76). */
+  def lshNearDupPairsFrom(shf: DataFrame,
+                          eagerBands: Boolean = false): DataFrame = {
+    // materialized once: the self-join below would otherwise compute
+    // the whole signature subtree once per side
+    val bands = lshBands(shf).localCheckpoint(eagerBands)
     // mega-bucket guard: the oversized-bucket list is tiny (usually
     // empty), so the anti-join broadcasts and `bands` is not reshuffled
     val oversized = bands.groupBy($"band_id", $"band_val")
@@ -506,11 +527,15 @@ object Dedup {
     // eager localCheckpoint: shf feeds bands + both verification joins,
     // which build concurrently (the r13 lshNearDupPairs discipline —
     // a lazy barrier let them race the signing subtree)
-    containmentOverLshFrom(shingleFps(spark, dir).localCheckpoint(true))
+    containmentOverLshFrom(shingleFps(spark, dir).localCheckpoint(true),
+      eagerBands = true)
 
-  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. */
-  def containmentOverLshFrom(shf: DataFrame): DataFrame = {
-    val bands = lshBands(shf).localCheckpoint(false)
+  /** Input: distinct (doc_id, fp) — see [[shingleFpsFrom]]. Band
+    * checkpoint posture as in [[lshNearDupPairsFrom]]: eager for
+    * standalone use (sign once), lazy inside concurrent compositions. */
+  def containmentOverLshFrom(shf: DataFrame,
+                             eagerBands: Boolean = false): DataFrame = {
+    val bands = lshBands(shf).localCheckpoint(eagerBands)
     val cand = bandCandidates(bands).select($"doc_a", $"doc_b").distinct()
     verifyContainment(cand, shf)
   }
@@ -1307,7 +1332,17 @@ object Dedup {
     val sigCol = (1 to 32)
       .map(p => when(col(s"v$p") > 0, lit(1L << (32 - p))).otherwise(0L))
       .reduce(_ + _)
+    // EAGER checkpoint of the doc-sized signature frame: the votes
+    // aggregate (shingle scan + md5 + 32 conditional sums) is the
+    // query's whole data cost, and under the old lazy-bands shape the
+    // oversized-bucket broadcast build and the main band job raced to
+    // compute it CONCURRENTLY — r15 floors measured two ~1.3 s clone
+    // jobs (job-sum 2.85 s vs wall 1.90 s). Signing once is the r13
+    // q47 fix applied here; the band explode below is row-local over
+    // the resident frame, so its three consumers recompute it for
+    // pennies and no second checkpoint is needed.
     val sims = simhashVotes(spark, dir).select($"doc_id", sigCol.as("sig"))
+      .localCheckpoint(true)
     val bandStructs = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band_id"),
         (shiftright($"sig", b * SimhashBandBits) % lit(BandMask + 1))
@@ -1317,8 +1352,6 @@ object Dedup {
       .select($"doc_id", $"sig", explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"sig",
         $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
-      .localCheckpoint(false) // function-local multi-consumer frame:
-                              // see jaccardPairsOver for the discipline
     val oversized = bands.groupBy($"band_id", $"band_val")
       .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
       .select($"band_id", $"band_val")
@@ -1423,7 +1456,11 @@ object Dedup {
     simhashPairs64From(Tables.documents(spark, dir))
 
   def simhashPairs64From(docs: DataFrame): DataFrame = {
-    val sims = simhash64Sigs(docs)
+    // eager: sign ONCE — the q56 receipt (two concurrent ~0.85 s
+    // clones of the 64-vote aggregate under the lazy-bands shape,
+    // r15 floors); the explode below is row-local over the resident
+    // doc-sized frame, cheap for all three consumers.
+    val sims = simhash64Sigs(docs).localCheckpoint(true)
     val bandStructs = (0 until Simhash64Bands).map { b =>
       val half = if (b < 2) $"sig_lo" else $"sig_hi"
       struct(lit(b).as("band_id"),
@@ -1435,7 +1472,6 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bnd"))
       .select($"doc_id", $"sig_hi", $"sig_lo",
         $"bnd.band_id".as("band_id"), $"bnd.band_val".as("band_val"))
-      .localCheckpoint(false) // see jaccardPairsOver for the discipline
     val oversized = bands.groupBy($"band_id", $"band_val")
       .agg(count(lit(1)).as("bn")).filter($"bn" > MaxBucketDocs)
       .select($"band_id", $"band_val")
