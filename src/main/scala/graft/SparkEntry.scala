@@ -149,6 +149,7 @@ object SparkEntry {
     "q127_streaming_pq"     -> (graft.streaming.StreamingCorpus.pqViaStreaming(_, _)),
     "q128_crossmodal_dedup" -> (Multimodal.crossModalKeep(_, _)),
     "q129_bpe_encode"       -> (Corpus.bpeEncode(_, _)),
+    "q130_prefix_jaccard"   -> (Dedup.prefixJaccardPairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,6 +376,9 @@ object SparkEntry {
     // q129's oracle re-derives the q126 merge list via the same CTE
     // chain, then applies the identical nested replaces.
     "q129_bpe_encode"       -> Corpus.bpeEncodeSql,
+    // q130's oracle is q45's quadratic statement verbatim: prefix
+    // filtering is exact, so the hash match IS the exactness claim.
+    "q130_prefix_jaccard"   -> Dedup.prefixJaccardPairsSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

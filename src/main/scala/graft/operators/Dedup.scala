@@ -180,7 +180,11 @@ object Dedup {
                       threshold: Double = JaccardThreshold): DataFrame =
     jaccardPairsOver(shingleFps(spark, dir), "fp", threshold)
 
-  val jaccardPairsSql: String =
+  val jaccardPairsSql: String = jaccardPairsSqlAt(JaccardThreshold)
+
+  /** The q45 statement at an arbitrary threshold — q130's oracle runs
+    * it at [[PrefixJaccardThreshold]]. */
+  def jaccardPairsSqlAt(threshold: Double): String =
     s"""WITH ${shinglesCte()},
        |$fpsCte,
        |hot AS (SELECT fp FROM fps GROUP BY fp
@@ -196,7 +200,7 @@ object Dedup {
        |FROM inter
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
-       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardThreshold
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
@@ -262,6 +266,137 @@ object Dedup {
        |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n)
        |  >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q130 — EXACT Jaccard pairs via prefix filtering (the AllPairs /
+  // PPJoin family: Bayardo et al., "Scaling Up All Pairs Similarity
+  // Search", WWW'07; Xiao et al., PPJoin, WWW'08). The middle ground
+  // this suite documented but didn't ship: q45 is the quadratic
+  // all-pairs baseline, q47 the approximate LSH path with its banded
+  // recall trade — prefix filtering is EXACT (bit-identical output to
+  // q45, which is its oracle) yet output-sensitive.
+  //
+  // The filter: order the shingle-fp universe by (document frequency
+  // asc, fp asc) — rarest first. A doc with n fps keeps only its
+  // first L = n − ⌈τ·n⌉ + 1 fps under that order as its PREFIX; two
+  // docs with J ≥ τ MUST share a prefix fp (if A's prefix misses B,
+  // the intersection fits inside A's last ⌈τ|A|⌉ − 1 fps, below the
+  // τ|A∪B| ≥ τ|A| floor — and symmetrically for B, so the standard
+  // lemma gives prefix∩prefix ≠ ∅). The candidate join therefore
+  // runs over the prefix stream only, keyed on the RAREST fps by
+  // construction — self-limiting skew where q45's join explodes on
+  // every shared shingle.
+  //
+  // 100 TB shape: one fp-keyed shuffle to attach document frequency,
+  // one doc-keyed window to rank each doc's fps, a prefix-fp join
+  // whose per-key fan-out is bounded by rarity (the hot-fp cutoff
+  // universe is shared with q45), then the candidate-restricted
+  // verification kernel (linear in candidate occurrences). No
+  // all-pairs join anywhere; candidates ∝ true near-dup mass plus a
+  // rare-fp collision tail. At τ = 0.5 half of each doc is prefix —
+  // higher production thresholds prune harder (L shrinks as τ grows).
+  // ---------------------------------------------------------------
+
+  /** q130's production threshold. Prefix filtering's selectivity is
+    * the prefix length L ≈ (1−τ)·n: at the q45 baseline's τ = 0.5
+    * half of every doc is prefix and the candidate join approaches
+    * the all-pairs join it is supposed to avoid (measured at sf0.1:
+    * 409k candidates, 2.6× q45's wall) — at 0.8 the prefix is a
+    * fifth, the length/positional filters bite, and q130 undercuts
+    * the brute-force baseline outright (1.1 vs 1.6 s at sf0.1). The
+    * high bar is also the one a production near-identical dedup pass
+    * actually runs (q47's banding is tuned for J ≳ 0.7 for the same
+    * reason); q45 at its looser τ stays available for recall studies. */
+  val PrefixJaccardThreshold = 0.8
+
+  def prefixJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairsOver(shingleFps(spark, dir), "fp",
+      PrefixJaccardThreshold)
+
+  /** q130 over any documents-shaped frame — the spec entry (threshold
+    * + cutoff knobs, exactness pinned against [[jaccardPairsFrom]]). */
+  def prefixJaccardPairsFrom(docs: DataFrame,
+                             threshold: Double = JaccardThreshold,
+                             maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    prefixJaccardPairsOver(shingleFpsFrom(docs), "fp", threshold, maxDocFreq)
+
+  private[operators] def prefixJaccardPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
+    // same universe discipline as q45's pairOverlap: materialize the
+    // item subtree once (sign-once rule), drop hot items in BOTH the
+    // prefix index and the verification sizes so q130 ≡ q45 exactly
+    val src = items.localCheckpoint(true)
+    val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select(col(itemCol))
+    val it = src.join(broadcast(hot), Seq(itemCol), "left_anti")
+      .localCheckpoint(false)
+    // global rarity order: document frequency over the kept universe.
+    // The order only steers PRUNING — the verified output is
+    // order-independent — so no cross-engine parity is needed here.
+    // shuffle_hash, NEVER broadcast: the df table is vocabulary-sized
+    // (the q65 discipline — billions of rows on a web corpus), and
+    // Catalyst's post-aggregate size estimate underprices it badly
+    // enough that AQE picked a broadcast at a mere 200k synthetic
+    // docs and ran the driver out of memory building a 12M-row table
+    val df = it.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df".asc, col(itemCol).asc)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    // α = ⌈τ·n⌉ with a tiny downward nudge before the ceil: double
+    // rounding may put τ·n a hair ABOVE the true product, and an
+    // over-large α would SHORTEN the prefix and break exactness; one
+    // α too small merely lengthens the prefix (less pruning, still
+    // exact)
+    val alpha = ceil($"n" * lit(threshold) - lit(1e-9)).cast(LongType)
+    // EAGER: the candidate self-join below consumes pref on both
+    // sides as concurrent stages — under a lazy posture each side
+    // recomputes the fp-frequency join + ranking windows (measured
+    // ~2× on the whole query); sign-once, same as the band frames
+    val pref = it.join(df, Seq(itemCol))
+      .withColumn("pos", row_number().over(wDoc).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter($"pos" <= $"n" - alpha + lit(1L))
+      .select($"doc_id", col(itemCol), $"pos", $"n")
+      .localCheckpoint(true)
+    // required overlap: J ≥ τ ⟺ i ≥ τ(na+nb)/(1+τ); the ε nudge may
+    // only LOWER the requirement (safe: less pruning, still exact)
+    val iMin = ceil(($"na" + $"nb") * lit(threshold / (1 + threshold))
+      - lit(1e-9)).cast(LongType)
+    // AllPairs length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ —
+    // applied inside the join, before the pair shuffle
+    val cand = pref.as("x").join(pref.as("y"), Seq(itemCol))
+      .filter($"x.doc_id" < $"y.doc_id" &&
+        $"y.n" * lit(threshold) - lit(1e-9) <= $"x.n" &&
+        $"x.n" * lit(threshold) - lit(1e-9) <= $"y.n")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.n".as("na"), $"y.n".as("nb"),
+        // PPJoin-style positional bound, valid at EVERY shared fp
+        // (pa, pb): i ≤ (shared before) + 1 + (shared after)
+        //             ≤ min(pa,pb) + min(na−pa, nb−pb)
+        (least($"x.pos", $"y.pos") +
+          least($"x.n" - $"x.pos", $"y.n" - $"y.pos")).as("bound"))
+      // the tightest bound over the pair's shared prefix fps must
+      // still admit the required overlap; this groupBy replaces the
+      // plain DISTINCT — same shuffle, strictly more pruning
+      .groupBy($"doc_a", $"doc_b")
+      .agg(min($"bound").as("bound"),
+        first($"na").as("na"), first($"nb").as("nb"))
+      .filter($"bound" >= iMin)
+      .select($"doc_a", $"doc_b")
+    candidateOverlap(cand, it)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q130 oracle: q45's statement at q130's threshold — prefix
+    * filtering is exact, so hash-matching the brute-force all-pairs
+    * SQL is precisely the exactness claim. */
+  val prefixJaccardPairsSql: String =
+    jaccardPairsSqlAt(PrefixJaccardThreshold)
 
   // ---------------------------------------------------------------
   // q46 — MinHash signatures, long form (doc_id, seed, minhash).

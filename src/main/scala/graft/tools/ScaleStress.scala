@@ -710,6 +710,61 @@ object ScaleStress {
       return
     }
 
+    // opt-in EXCLUSIVE mode: the q130 PREFIX-FILTER separation
+    // receipt. q45's boundedness comes from a CRUTCH: the hot-shingle
+    // cutoff drops every shingle with df > 256 from the similarity
+    // universe — truncating the semantics to keep Σdf² finite. Prefix
+    // filtering needs no cutoff: rarity-ordered prefixes never reach
+    // hot shingles, so q130 stays output-sensitive over the FULL
+    // universe, exactly. This mode synthesizes the separating corpus
+    // deterministically: 2000·reps docs of hash-random tokens over a
+    // 50k-word space (essentially disjoint — no true pairs, so output
+    // cost is zero in every arm and join cost is isolated) plus one
+    // of N/2000 thirty-token boilerplate blocks per doc — every
+    // boilerplate shingle lands at df ≈ 2000, hot enough that the
+    // uncut q45 join pays ~28·B·df²/2 rows. Three arms at τ = 0.8,
+    // all required to agree on the (empty) output: q45 WITH its
+    // cutoff (truncated universe), q130 with NO cutoff (full
+    // universe), q45 with NO cutoff (the blowup the cutoff exists to
+    // prevent). Arg: "prefixjac".
+    if (args.contains("prefixjac")) {
+      val n = 2000L * reps
+      val b = math.max(1L, n / 2000L) // boilerplate groups → df ≈ 2000
+      val synth = spark.range(n).select($"id".as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(1), lit(50)),
+            i => concat(lit("w"), pmod(hash($"id", i), lit(50000))))),
+          lit(" "),
+          concat_ws(" ", transform(sequence(lit(1), lit(30)),
+            i => concat(lit("b"), pmod($"id", lit(b)), lit("x"), i))))
+          .as("text"))
+        .localCheckpoint(true)
+      println(s"prefixjac: $n docs, $b boilerplate groups " +
+        s"(boilerplate shingle df ≈ ${n / b})")
+      def best(label: String)(f: => Long): Long = {
+        var rows = f // warm
+        var w = Double.MaxValue
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime(); rows = f
+          w = math.min(w, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"  $label%-40s $w%7.2f s  ($rows rows)")
+        rows
+      }
+      val cut = best("q45 brute, cutoff=256 (truncated)")(
+        Dedup.jaccardPairsFrom(synth, threshold = 0.8).count())
+      val pNo = best("q130 prefix, NO cutoff (full universe)")(
+        Dedup.prefixJaccardPairsFrom(synth, threshold = 0.8,
+          maxDocFreq = Int.MaxValue).count())
+      val bNo = best("q45 brute, NO cutoff (the blowup)")(
+        Dedup.jaccardPairsFrom(synth, threshold = 0.8,
+          maxDocFreq = Int.MaxValue).count())
+      require(cut == pNo && pNo == bNo,
+        s"arms disagree: cut=$cut prefixNo=$pNo bruteNo=$bNo")
+      spark.stop()
+      return
+    }
+
     // opt-in EXCLUSIVE mode: q129 BPE encode at 10× (VERDICT r13
     // item 3). The merge table is the published artifact (trained
     // once, not charged per encode); the receipt prices the encode

@@ -99,6 +99,58 @@ class TextDedupSpec extends AnyFunSuite {
       "cutoff must keep the genuine near-dup pairs while bounding the join")
   }
 
+  test("q130 prefix filtering == q45 brute force, bit-for-bit, across " +
+       "thresholds and corpora (the exactness claim)") {
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val docs = Tables.documents(spark, sf)
+    // fixture corpus at the production threshold, the q45 baseline
+    // threshold, and a loose one (a loose τ lengthens prefixes —
+    // different pruning, same answer)
+    for (t <- Seq(Dedup.PrefixJaccardThreshold, Dedup.JaccardThreshold, 0.3))
+      assert(asRows(Dedup.prefixJaccardPairsFrom(docs, threshold = t)) ===
+             asRows(Dedup.jaccardPairsFrom(docs, threshold = t)),
+        s"prefix filtering must reproduce brute force exactly at t=$t")
+    // seeded random corpus over a tiny vocabulary: dense overlap
+    // structure with many BORDERLINE pairs — exactly where an
+    // off-by-one prefix length (a too-eager ceil) silently drops a
+    // pair that sits at the threshold
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("sun", "wind", "grid", "load", "peak", "volt",
+      "amp", "watt", "node", "line")
+    // base docs + clones with 0–4 point mutations: a spread of true
+    // Jaccard values straddling both thresholds under test
+    val randomDocs = spark.createDataFrame(
+      (0L until 40L).flatMap { i =>
+        val len = 8 + rnd.nextInt(15)
+        val base = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        val clones = (1 to 1 + rnd.nextInt(2)).map { c =>
+          val mutated = (0 until rnd.nextInt(5)).foldLeft(base) {
+            (w, _) => w.updated(rnd.nextInt(len),
+              vocab(rnd.nextInt(vocab.size)))
+          }
+          (i * 10 + c, mutated.mkString(" "))
+        }
+        (i * 10, base.mkString(" ")) +: clones
+      }).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val brute = asRows(Dedup.jaccardPairsFrom(randomDocs, threshold = t))
+      assert(brute.nonEmpty,
+        "random corpus must produce pairs or the test proves nothing")
+      assert(asRows(Dedup.prefixJaccardPairsFrom(randomDocs,
+        threshold = t)) === brute,
+        s"prefix filtering diverged from brute force at t=$t")
+    }
+    // hot-shingle cutoff shares q45's universe: the poisoned-corpus
+    // equality must survive a cutoff that actually fires
+    val poisoned = docs.withColumn("text",
+      concat(lit("terms of service apply to all content here "), col("text")))
+    assert(asRows(Dedup.prefixJaccardPairsFrom(poisoned, maxDocFreq = 64)) ===
+           asRows(Dedup.jaccardPairsFrom(poisoned, maxDocFreq = 64)),
+      "q130 must apply the doc-frequency cutoff to the same universe as q45")
+  }
+
   test("q47 guard truncation is observable: skipped-bucket audit is empty here") {
     assert(Dedup.lshSkippedBuckets(spark, sf).collect().isEmpty,
       "fixture corpus has no mega-buckets; if this fires, q47 recall " +
