@@ -150,6 +150,7 @@ object SparkEntry {
     "q128_crossmodal_dedup" -> (Multimodal.crossModalKeep(_, _)),
     "q129_bpe_encode"       -> (Corpus.bpeEncode(_, _)),
     "q130_prefix_jaccard"   -> (Dedup.prefixJaccardPairs(_, _)),
+    "q131_prefix_containment" -> (Dedup.prefixContainmentPairs(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -379,6 +380,7 @@ object SparkEntry {
     // q130's oracle is q45's quadratic statement verbatim: prefix
     // filtering is exact, so the hash match IS the exactness claim.
     "q130_prefix_jaccard"   -> Dedup.prefixJaccardPairsSql,
+    "q131_prefix_containment" -> Dedup.prefixContainmentPairsSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

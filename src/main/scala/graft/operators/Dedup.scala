@@ -320,12 +320,19 @@ object Dedup {
                              maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
     prefixJaccardPairsOver(shingleFpsFrom(docs), "fp", threshold, maxDocFreq)
 
-  private[operators] def prefixJaccardPairsOver(
-      items: DataFrame, itemCol: String, threshold: Double,
-      maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
-    // same universe discipline as q45's pairOverlap: materialize the
-    // item subtree once (sign-once rule), drop hot items in BOTH the
-    // prefix index and the verification sizes so q130 ≡ q45 exactly
+  /** Shared prefix-filter index for q130/q131: (kept items, ranked)
+    * where ranked = (doc_id, item, pos, n) — pos is the item's rarity
+    * rank inside its doc (global df-ascending order), n the doc's
+    * kept-item count. Same universe discipline as q45's pairOverlap:
+    * the item subtree is materialized once (sign-once rule) and hot
+    * items are dropped from BOTH the index and the verification
+    * sizes, so the prefix operators ≡ their brute-force twins
+    * exactly. `ranked` is EAGERLY checkpointed — the candidate joins
+    * consume it on both sides as concurrent stages, which under a
+    * lazy posture raced the frequency join + ranking windows
+    * (measured ~2× on the whole query, the r15 clone signature). */
+  private def rarityRanked(items: DataFrame, itemCol: String,
+                           maxDocFreq: Int): (DataFrame, DataFrame) = {
     val src = items.localCheckpoint(true)
     val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
       .filter($"df" > maxDocFreq).select(col(itemCol))
@@ -343,23 +350,37 @@ object Dedup {
       .hint("shuffle_hash")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"df".asc, col(itemCol).asc)
-    val wN = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-    // α = ⌈τ·n⌉ with a tiny downward nudge before the ceil: double
-    // rounding may put τ·n a hair ABOVE the true product, and an
-    // over-large α would SHORTEN the prefix and break exactness; one
-    // α too small merely lengthens the prefix (less pruning, still
-    // exact)
-    val alpha = ceil($"n" * lit(threshold) - lit(1e-9)).cast(LongType)
-    // EAGER: the candidate self-join below consumes pref on both
-    // sides as concurrent stages — under a lazy posture each side
-    // recomputes the fp-frequency join + ranking windows (measured
-    // ~2× on the whole query); sign-once, same as the band frames
-    val pref = it.join(df, Seq(itemCol))
+    // the doc-size count rides the SAME ordered spec with a full
+    // frame, so rank and size evaluate in one Window operator over
+    // one sort — a second (unordered) spec would add an operator
+    val wFull = wDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = it.join(df, Seq(itemCol))
       .withColumn("pos", row_number().over(wDoc).cast(LongType))
-      .withColumn("n", count(lit(1)).over(wN))
-      .filter($"pos" <= $"n" - alpha + lit(1L))
+      .withColumn("n", count(lit(1)).over(wFull))
       .select($"doc_id", col(itemCol), $"pos", $"n")
       .localCheckpoint(true)
+    (it, ranked)
+  }
+
+  /** α = ⌈τ·n⌉ with a tiny downward nudge before the ceil: double
+    * rounding may put τ·n a hair ABOVE the true product, and an
+    * over-large α would SHORTEN the prefix and break exactness; one
+    * α too small merely lengthens the prefix (less pruning, still
+    * exact). */
+  private def ceilTauN(n: Column, threshold: Double): Column =
+    ceil(n * lit(threshold) - lit(1e-9)).cast(LongType)
+
+  private[operators] def prefixJaccardPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
+    val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
+    // prefix = the doc's first L = n − ⌈τ·n⌉ + 1 rarity-ranked items;
+    // a row-local filter over the resident ranked leaf, cheap on
+    // both sides of the self-join
+    val pref = ranked
+      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
     // required overlap: J ≥ τ ⟺ i ≥ τ(na+nb)/(1+τ); the ε nudge may
     // only LOWER the requirement (safe: less pruning, still exact)
     val iMin = ceil(($"na" + $"nb") * lit(threshold / (1 + threshold))
@@ -397,6 +418,78 @@ object Dedup {
     * SQL is precisely the exactness claim. */
   val prefixJaccardPairsSql: String =
     jaccardPairsSqlAt(PrefixJaccardThreshold)
+
+  // ---------------------------------------------------------------
+  // q131 — EXACT containment pairs via prefix filtering: the
+  // asymmetric twin of q130, and the direct answer to the recall gap
+  // the q90 notes document (banded MinHash under-recalls the
+  // high-containment/low-Jaccard subset pairs containment exists
+  // for; q90's fix until now was "run q85's quadratic baseline").
+  //
+  // The asymmetric lemma: greatest(C(A|B), C(B|A)) ≥ τ means the
+  // overlap i ≥ ⌈τ·min(|A|,|B|)⌉, so the SMALLER doc's prefix (first
+  // n − ⌈τ·n⌉ + 1 rarity-ordered fps) must intersect the larger
+  // doc's FULL fp list — a prefix-vs-full-list join, not prefix-vs-
+  // prefix (there is no length filter here: a 10-shingle doc inside
+  // a 10 000-shingle doc is precisely the pair this operator exists
+  // to catch). The positional bound still applies at every shared
+  // fp. Exact: oracle = q85's brute-force SQL, bit-for-bit.
+  //
+  // 100 TB shape: the probe side is prefix-sized (rarity-ordered, so
+  // hot fps never enter it) joined against the full occurrence list;
+  // per-fp fan-out is prefix_df(fp) × df(fp), bounded by the same
+  // rarity that bounds q130 — no Σdf² term, no all-pairs join, no
+  // hot-shingle cutoff required for boundedness.
+  // ---------------------------------------------------------------
+
+  def prefixContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    prefixContainmentPairsOver(shingleFps(spark, dir), "fp",
+      ContainmentThreshold)
+
+  /** q131 over any documents-shaped frame — the spec entry (exactness
+    * pinned against [[containmentPairsFrom]]). */
+  def prefixContainmentPairsFrom(
+      docs: DataFrame,
+      threshold: Double = ContainmentThreshold,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    prefixContainmentPairsOver(shingleFpsFrom(docs), "fp", threshold,
+      maxDocFreq)
+
+  private[operators] def prefixContainmentPairsOver(
+      items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
+    val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
+    val pref = ranked
+      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
+    // smaller-side prefix probes the larger side's full list; ties in
+    // size probe both ways and the (least, greatest) normalization +
+    // pair groupBy collapse the duplicates
+    val cand = pref.as("x").join(ranked.as("y"), Seq(itemCol))
+      .filter($"x.doc_id" =!= $"y.doc_id" && $"x.n" <= $"y.n")
+      .select(
+        least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"),
+        // the q130 positional bound, valid at every shared fp
+        (least($"x.pos", $"y.pos") +
+          least($"x.n" - $"x.pos", $"y.n" - $"y.pos")).as("bound"),
+        // required overlap: i ≥ ⌈τ·min(na, nb)⌉ (constant per pair)
+        ceilTauN(least($"x.n", $"y.n"), threshold).as("need"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(min($"bound").as("bound"), first($"need").as("need"))
+      .filter($"bound" >= $"need")
+      .select($"doc_a", $"doc_b")
+    candidateOverlap(cand, it)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / $"na").as("containment_a"),
+        ($"i" * lit(1.0) / $"nb").as("containment_b"))
+      .filter(greatest($"containment_a", $"containment_b") >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q131 oracle: q85's brute-force statement VERBATIM (both run at
+    * [[ContainmentThreshold]]) — the hash match is the exactness
+    * claim, as with q130. */
+  val prefixContainmentPairsSql: String = containmentPairsSql
 
   // ---------------------------------------------------------------
   // q46 — MinHash signatures, long form (doc_id, seed, minhash).

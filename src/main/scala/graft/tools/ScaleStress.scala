@@ -761,6 +761,18 @@ object ScaleStress {
           maxDocFreq = Int.MaxValue).count())
       require(cut == pNo && pNo == bNo,
         s"arms disagree: cut=$cut prefixNo=$pNo bruteNo=$bNo")
+      // containment twins over the same corpus (q131 vs q85): the
+      // asymmetric prefix probe must show the same separation
+      val cCut = best("q85 brute, cutoff=256 (truncated)")(
+        Dedup.containmentPairsFrom(synth).count())
+      val cPNo = best("q131 prefix, NO cutoff (full universe)")(
+        Dedup.prefixContainmentPairsFrom(synth,
+          maxDocFreq = Int.MaxValue).count())
+      val cBNo = best("q85 brute, NO cutoff (the blowup)")(
+        Dedup.containmentPairsFrom(synth,
+          maxDocFreq = Int.MaxValue).count())
+      require(cCut == cPNo && cPNo == cBNo,
+        s"containment arms disagree: cut=$cCut prefixNo=$cPNo bruteNo=$cBNo")
       spark.stop()
       return
     }

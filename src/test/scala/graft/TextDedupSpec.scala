@@ -151,6 +151,51 @@ class TextDedupSpec extends AnyFunSuite {
       "q130 must apply the doc-frequency cutoff to the same universe as q45")
   }
 
+  test("q131 prefix containment == q85 brute force, bit-for-bit, and " +
+       "catches the subset pairs LSH structurally misses") {
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val docs = Tables.documents(spark, sf)
+    assert(asRows(Dedup.prefixContainmentPairsFrom(docs)) ===
+           asRows(Dedup.containmentPairsFrom(docs)),
+      "prefix containment must reproduce brute force exactly on the fixture")
+    // base docs + TRUNCATED clones: a short doc wholly inside a much
+    // longer one — near-1 containment, low Jaccard. This is the pair
+    // family banded MinHash under-recalls (the q90 documented miss)
+    // and the asymmetric prefix lemma must still catch exactly.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("sun", "wind", "grid", "load", "peak", "volt",
+      "amp", "watt", "node", "line")
+    val subsetDocs = spark.createDataFrame(
+      (0L until 40L).flatMap { i =>
+        val len = 20 + rnd.nextInt(20)
+        val base = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+        // a prefix-slice clone (subset) and a point-mutated clone
+        val cut = 5 + rnd.nextInt(len - 6)
+        Seq((i * 10, base.mkString(" ")),
+          (i * 10 + 1, base.take(cut).mkString(" ")),
+          (i * 10 + 2, base.updated(rnd.nextInt(len),
+            vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      }).toDF("doc_id", "text")
+    for (t <- Seq(0.8, 0.5)) {
+      val brute = asRows(Dedup.containmentPairsFrom(subsetDocs, threshold = t))
+      assert(brute.nonEmpty, s"subset corpus must produce pairs at t=$t")
+      assert(asRows(Dedup.prefixContainmentPairsFrom(subsetDocs,
+        threshold = t)) === brute,
+        s"prefix containment diverged from brute force at t=$t")
+    }
+    // the subset corpus must actually contain the adversarial family:
+    // a pair with containment ≥ 0.8 whose Jaccard sits below 0.5
+    val cont = Dedup.prefixContainmentPairsFrom(subsetDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.jaccardPairsFrom(subsetDocs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((cont -- jac).nonEmpty,
+      "expected high-containment/low-Jaccard subset pairs in the corpus")
+  }
+
   test("q47 guard truncation is observable: skipped-bucket audit is empty here") {
     assert(Dedup.lshSkippedBuckets(spark, sf).collect().isEmpty,
       "fixture corpus has no mega-buckets; if this fires, q47 recall " +
