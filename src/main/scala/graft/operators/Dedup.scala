@@ -741,9 +741,9 @@ object Dedup {
   // the LSH-ensemble literature's subject; q85 stays the ground truth,
   // and TextDedupSpec measures q90's recall against it on the fixture
   // (subset property + recall floor). A deployment wanting the missed
-  // tail partitions by length and runs the exact kernel within short-
-  // vs-long length bands, or adopts an LSH-ensemble index — both
-  // compose from the pieces here.
+  // tail EXACTLY runs q131 ([[prefixContainmentPairs]]) — the
+  // asymmetric prefix-filter kernel that catches every subset pair
+  // with no all-pairs join and no hot-shingle cutoff.
   //
   // Sizes (na/nb) are computed over the FULL fp relation (the q47
   // verification universe); q85's baseline sizes are post-doc-freq-

@@ -33,6 +33,23 @@ class PlanSpec extends AnyFunSuite {
       s"lookup map must come from the eager checkpoint:\n${p.take(3000)}")
   }
 
+  test("q130/q131: prefix-filter verify stays keyed — candidates from " +
+       "the checkpointed rarity index, nothing cartesian") {
+    // the rarity-ranked index (df join + ranking window) lives behind
+    // its eager checkpoint; the visible plan is candidate join +
+    // verification, which must be keyed joins over ExistingRDD leaves
+    // with the pair aggregate hash-partitioned on the pair key
+    for (q <- Seq("q130_prefix_jaccard", "q131_prefix_containment")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q candidates must read the checkpointed index:\n${p.take(3000)}")
+      assert(p.contains("hashpartitioning(doc_a"),
+        s"$q pair aggregate must hash-partition on the pair key:\n${p.take(3000)}")
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q joins must stay keyed:\n${p.take(3000)}")
+    }
+  }
+
   test("q05: dimension joins broadcast, no sort-merge join of facts against dims") {
     val p = plan("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
