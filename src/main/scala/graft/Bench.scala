@@ -347,7 +347,13 @@ object Bench {
       .flatMap { h =>
         val ok = !h.exists(c => c == '\n' || c == '\r') &&
           (try {
+            // FAIL_ON_TRAILING_TOKENS: readTree otherwise accepts
+            // '{...}garbage' (parses the leading object, ignores the
+            // rest), and the raw string — trailing garbage included —
+            // is what gets spliced into the artifact line
             val node = new com.fasterxml.jackson.databind.ObjectMapper()
+              .enable(com.fasterxml.jackson.databind
+                .DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
               .readTree(h)
             node != null && node.isObject &&
               node.get("value") != null && node.get("value").isNumber

@@ -101,14 +101,20 @@ object Classify {
         explode(TextOps.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"lang", $"token")
       .agg(count(lit(1)).as("tf"))
-    nbBestOf(tok, Seq("doc_id", "lang"),
-        nbModelFrom(trainSlice(docs)), useBroadcast)
-      .select($"doc_id", $"lang",
+    presentPrediction(nbBestOf(tok, Seq("doc_id", "lang"),
+      nbModelFrom(trainSlice(docs)), useBroadcast))
+  }
+
+  /** The one home of the q114/q116/q123 output contract: column
+    * names, 6dp score rounding, correctness flag, doc order. Both
+    * the fused batch path and the stored-tf path present through
+    * this, so the contract cannot silently fork. */
+  private def presentPrediction(scored: DataFrame): DataFrame =
+    scored.select($"doc_id", $"lang",
         $"cand".as("pred_lang"),
         round($"score".cast(DoubleType), 6).as("score"),
         ($"lang" === $"cand").as("correct"))
       .orderBy($"doc_id")
-  }
 
   /** The train-split slice (q58's hash buckets — doc-local, no
     * shuffle). */
@@ -177,9 +183,14 @@ object Classify {
     // n_train sums ALL cdoc rows (the old nTrain aggregate's input),
     // BEFORE the inner-join restriction to langs that have tokens
     val nTrain = docC.map(_._2).sum
-    // raw joined counts — pure data motion; no arithmetic leaves Spark
-    val raw = docC.collect { case (lang, n) if tot.contains(lang) =>
-      (lang, n, tot(lang))
+    // raw joined counts — pure data motion; no arithmetic leaves Spark.
+    // lang != null mirrors the old INNER JOIN's semantics exactly: SQL
+    // equality never matches a NULL lang, so a null-lang class must
+    // not enter the model here either (a Scala Map would happily key
+    // on null and let a null class ride every doc's argmax)
+    val raw = docC.collect {
+      case (lang, n) if lang != null && tot.contains(lang) =>
+        (lang, n, tot(lang))
     }.toDF("lang", "n_docs_c", "tot_c")
     val classes = raw.select($"lang", $"tot_c",
       round(log($"n_docs_c".cast(DoubleType) / lit(nTrain)), 6)
@@ -198,13 +209,8 @@ object Classify {
                              useBroadcast: Boolean = broadcastModel)
       : DataFrame = {
     val best = nbBestOf(tf, Seq("doc_id"), model, useBroadcast)
-    docs.select($"doc_id", $"lang")
-      .join(best, Seq("doc_id"))
-      .select($"doc_id", $"lang",
-        $"cand".as("pred_lang"),
-        round($"score".cast(DoubleType), 6).as("score"),
-        ($"lang" === $"cand").as("correct"))
-      .orderBy($"doc_id")
+    presentPrediction(docs.select($"doc_id", $"lang")
+      .join(best, Seq("doc_id")))
   }
 
   /** The per-key argmax scoring core shared by q114's fused

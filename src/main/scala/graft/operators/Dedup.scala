@@ -109,30 +109,38 @@ object Dedup {
     * (containment): (doc_a, doc_b, i, na, nb) for every co-occurring
     * pair. Set sizes are computed AFTER the frequency cutoff (in both
     * engines), i.e. overlap measures are over the kept-item universe. */
+  /** The shared kept-universe prelude of every exact pair operator
+    * (q45/q85 via [[pairOverlap]], q130/q131 via [[rarityRanked]]):
+    * the item subtree (shingle scan + hashing) is materialized ONCE,
+    * eagerly — the hot-set broadcast build and the kept-frame
+    * materialization are separate jobs that each re-derived it under
+    * the old lazy-only shape (r15 floors: a ~0.35 s clone of q45's
+    * shingle scan inside the broadcast build); the r15 read-once rule
+    * (SCALE.md drift-gate receipt: fuse when the shared input is a
+    * real storage read). The hot set is tiny (boilerplate tail) →
+    * broadcast anti-join, same shape as the q47 mega-bucket guard;
+    * the kept frame comes back as a LAZY checkpoint (its first
+    * consumer triggers the one anti-join pass over the resident src;
+    * it feeds several consumers in every caller). localCheckpoint
+    * rather than cache() — a cache() here would pin a CacheManager
+    * entry the caller can never unpersist (the handle is
+    * function-local); checkpointed blocks are instead released by the
+    * ContextCleaner once the returned plan is unreachable. Being ONE
+    * function is what keeps the prefix operators' universe identical
+    * to their brute-force oracles' by construction. */
+  private def keptItems(items: DataFrame, itemCol: String,
+                        maxDocFreq: Int): DataFrame = {
+    val src = items.localCheckpoint(true)
+    val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDocFreq).select(col(itemCol))
+    src.join(broadcast(hot), Seq(itemCol), "left_anti")
+      .localCheckpoint(false)
+  }
+
   private[operators] def pairOverlap(
       items: DataFrame, itemCol: String,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
-    // The item subtree (shingle scan + hashing) is materialized ONCE,
-    // eagerly: the hot-set broadcast build and the kept-frame
-    // materialization are separate jobs that each re-derived it under
-    // the old lazy-only shape (r15 floors: a ~0.35 s clone of q45's
-    // shingle scan inside the broadcast build) — the r15 read-once
-    // rule (SCALE.md drift-gate receipt: fuse when the shared input
-    // is a real storage read). localCheckpoint rather than cache() —
-    // a cache() here would pin a CacheManager entry the caller can
-    // never unpersist (the handle is function-local); checkpointed
-    // blocks are instead released by the ContextCleaner once the
-    // returned plan is unreachable.
-    val src = items.localCheckpoint(true)
-    // hot-shingle set is tiny (boilerplate tail) → broadcast anti-join,
-    // same shape as the q47 mega-bucket guard. Only the kept frame is
-    // materialized (LAZY: its first consumer triggers the one
-    // anti-join pass over the resident src): it feeds three consumers
-    // (sizes + both join sides).
-    val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select(col(itemCol))
-    val it = src.join(broadcast(hot), Seq(itemCol), "left_anti")
-      .localCheckpoint(false)
+    val it = keptItems(items, itemCol, maxDocFreq)
     val sizes = it.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val a = it.select($"doc_id".as("doc_a"), col(itemCol))
     val b = it.select($"doc_id".as("doc_b"), col(itemCol))
@@ -323,21 +331,16 @@ object Dedup {
   /** Shared prefix-filter index for q130/q131: (kept items, ranked)
     * where ranked = (doc_id, item, pos, n) — pos is the item's rarity
     * rank inside its doc (global df-ascending order), n the doc's
-    * kept-item count. Same universe discipline as q45's pairOverlap:
-    * the item subtree is materialized once (sign-once rule) and hot
-    * items are dropped from BOTH the index and the verification
-    * sizes, so the prefix operators ≡ their brute-force twins
-    * exactly. `ranked` is EAGERLY checkpointed — the candidate joins
+    * kept-item count. The universe comes from [[keptItems]] — the
+    * SAME function q45/q85 use — so the prefix operators ≡ their
+    * brute-force twins exactly, by construction.
+    * `ranked` is EAGERLY checkpointed — the candidate joins
     * consume it on both sides as concurrent stages, which under a
     * lazy posture raced the frequency join + ranking windows
     * (measured ~2× on the whole query, the r15 clone signature). */
   private def rarityRanked(items: DataFrame, itemCol: String,
                            maxDocFreq: Int): (DataFrame, DataFrame) = {
-    val src = items.localCheckpoint(true)
-    val hot = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDocFreq).select(col(itemCol))
-    val it = src.join(broadcast(hot), Seq(itemCol), "left_anti")
-      .localCheckpoint(false)
+    val it = keptItems(items, itemCol, maxDocFreq)
     // global rarity order: document frequency over the kept universe.
     // The order only steers PRUNING — the verified output is
     // order-independent — so no cross-engine parity is needed here.

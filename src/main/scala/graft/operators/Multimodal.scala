@@ -107,13 +107,16 @@ object JdkImageCodec extends MediaCodec {
         "(javax.imageio handles PNG/JPEG/GIF/BMP)")
     val w = img.getWidth
     val h = img.getHeight
-    val sx = math.max(1, w / 64)
-    val sy = math.max(1, h / 64)
+    // CEILING division, so samples-per-axis ≤ 64 as documented (a
+    // floor stride of max(1, 127/64)=1 would admit 127 samples)
+    val sx = math.max(1, (w + 63) / 64)
+    val sy = math.max(1, (h + 63) / 64)
     val sums = Array.ofDim[Double](8)
     val counts = Array.ofDim[Long](8)
     var y = 0
     while (y < h) {
-      val band = math.min(7, y * 8 / h)
+      // Long math: y*8 wraps Int for images taller than 2^28 px
+      val band = math.min(7L, y.toLong * 8 / h).toInt
       var x = 0
       while (x < w) {
         val rgb = img.getRGB(x, y)
@@ -174,12 +177,15 @@ object JdkWavCodec extends MediaCodec {
       val nFrames = bytes.length / frameSize
       require(nFrames > 0, "JdkWavCodec: audio stream has no frames")
       val channels = fmt.getChannels
-      val stride = math.max(1, nFrames / 8192)
+      // CEILING division, so frames read ≤ 8192 as documented
+      val stride = math.max(1, (nFrames + 8191) / 8192)
       val sums = Array.ofDim[Double](8)
       val counts = Array.ofDim[Long](8)
       var f = 0
       while (f < nFrames) {
-        val band = math.min(7, f * 8 / nFrames)
+        // Long math: f*8 wraps Int past 2^28 frames (~101 min at
+        // 44.1 kHz — inside readAllBytes' 2 GB ceiling)
+        val band = math.min(7L, f.toLong * 8 / nFrames).toInt
         var c = 0
         while (c < channels) {
           val off = f * frameSize + c * 2

@@ -668,7 +668,7 @@ object ScaleStress {
     // scheduling floor — constant in data size — so the DuckDB ratio
     // inverts as data grows. This mode measures it instead of
     // extrapolating: q74 and q114 at `reps`× doc amplification
-    // (reps=100 → 5M docs from sf0.1), against the one-tokenize-scan
+    // (reps=100 → 500k docs from sf0.1's 5k), against the one-tokenize-scan
     // yardstick (the irreducible single pass ANY engine pays,
     // measured in-engine), with scheduler job counts — showing wall
     // grows with data while the job count (the floor) stays fixed,
