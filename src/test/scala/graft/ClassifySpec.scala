@@ -27,6 +27,36 @@ class ClassifySpec extends AnyFunSuite {
     assert(!r.getBoolean(4), "true lang 'xx' cannot be correct")
   }
 
+  test("q114 NB: a NULL-lang training class never enters the model " +
+       "(inner-join semantics, mirrored by the driver-side rebuild)") {
+    // untagged docs (lang=NULL) carry token counts and a doc count;
+    // SQL's inner join drops them (NULL never equals NULL), and the
+    // collect-based model rebuild must too — a Scala Map would
+    // happily key on null and let a null class ride every argmax
+    val wc = Seq(("en", "hello", 1L), (null, "hello", 9L),
+      (null, "null-only", 9L)).toDF("lang", "token", "cnt")
+    val cdoc = Seq(("en", 1L), (null, 9L)).toDF("lang", "n_docs_c")
+    val docs = Seq((1L, "en", "hello null-only"))
+      .toDF("doc_id", "lang", "text")
+    val model = Classify.nbModelOf(wc, cdoc)
+    assert(model.classes.filter($"lang".isNull).count() === 0L,
+      "null-lang class leaked into the model")
+    val r = Classify.nbScore(docs, Classify.docTf(docs), model)
+      .collect().head
+    assert(r.getString(2) === "en",
+      "prediction must come from a real class")
+    // the null-lang DOCS still count toward n_train (the old nTrain
+    // aggregate summed all of cdoc): prior = ln(1/10), and with
+    // tot_en=1, V=2: lp(hello)=ln(2/3), lp(null-only)=ln(1/3)
+    assert(r.getDouble(3) ===
+      BigDecimal(math.log(1.0 / 10)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +
+      BigDecimal(math.log(2.0 / 3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble +
+      BigDecimal(math.log(1.0 / 3)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q114 NB: exact score tie breaks to the lexicographically " +
        "first class") {
     // perfectly symmetric model: identical counts under both classes
