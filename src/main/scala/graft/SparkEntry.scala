@@ -151,6 +151,7 @@ object SparkEntry {
     "q129_bpe_encode"       -> (Corpus.bpeEncode(_, _)),
     "q130_prefix_jaccard"   -> (Dedup.prefixJaccardPairs(_, _)),
     "q131_prefix_containment" -> (Dedup.prefixContainmentPairs(_, _)),
+    "q132_incremental_prefixjac" -> (Dedup.incrementalPrefixJaccard(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -381,6 +382,7 @@ object SparkEntry {
     // filtering is exact, so the hash match IS the exactness claim.
     "q130_prefix_jaccard"   -> Dedup.prefixJaccardPairsSql,
     "q131_prefix_containment" -> Dedup.prefixContainmentPairsSql,
+    "q132_incremental_prefixjac" -> Dedup.incrementalPrefixJaccardSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

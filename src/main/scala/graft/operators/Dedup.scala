@@ -190,10 +190,12 @@ object Dedup {
 
   val jaccardPairsSql: String = jaccardPairsSqlAt(JaccardThreshold)
 
-  /** The q45 statement at an arbitrary threshold — q130's oracle runs
-    * it at [[PrefixJaccardThreshold]]. */
-  def jaccardPairsSqlAt(threshold: Double): String =
-    s"""WITH ${shinglesCte()},
+  /** The q45 statement at an arbitrary threshold and source — q130's
+    * oracle runs it at [[PrefixJaccardThreshold]]; q132's runs it
+    * over the current-snapshot subquery. */
+  def jaccardPairsSqlAt(threshold: Double,
+                        src: String = "documents"): String =
+    s"""WITH ${shinglesCte(src = src)},
        |$fpsCte,
        |hot AS (SELECT fp FROM fps GROUP BY fp
        |        HAVING COUNT(*) > $MaxShingleDocFreq),
@@ -493,6 +495,169 @@ object Dedup {
     * [[ContainmentThreshold]]) — the hash match is the exactness
     * claim, as with q130. */
   val prefixContainmentPairsSql: String = containmentPairsSql
+
+  // ---------------------------------------------------------------
+  // q132 — incremental prefix-Jaccard maintenance: the q130 verdict
+  // table brought up to date with a crawl diff from stored state
+  // alone — the q89/q107 discipline extended to the prefix-filter
+  // family, so every index type in the suite keeps its incremental
+  // path.
+  //
+  // Exactness decomposition. A pair of the NEW snapshot either
+  //   (a) has both endpoints CLEAN — present in both snapshots,
+  //       text unchanged, AND no shingle of theirs flipped hot-cutoff
+  //       status — so each endpoint's kept-fp set is unchanged, hence
+  //       i/na/nb and the verdict are byte-identical to the stored
+  //       ones: carried if it passed, correctly absent if it didn't;
+  //   (b) touches a DIRTY doc (added/changed, or containing a
+  //       flipped fp) — regenerated via the ASYMMETRIC prefix probe:
+  //       J ≥ τ gives i ≥ τ|A∪B| ≥ ⌈τ·n_d⌉ for the dirty endpoint d,
+  //       so d's prefix under ANY fixed total order must intersect
+  //       the other side's full kept list; probing with only the
+  //       dirty docs' prefixes therefore catches every such pair.
+  //
+  // The hot-cutoff FLIP set is computed exactly from stored state:
+  // df only changes for fps occurring in the diff docs, so
+  // new_df = stored_df + added − removed on that dirty-sized slice,
+  // and a flip marks every doc containing that fp as dirty. On
+  // corpora with no shingle near the cutoff (every fixture) the flip
+  // set is empty and dirty = the diff docs alone.
+  //
+  // 100 TB shape: the probe side (dirty prefixes) BROADCASTS by the
+  // operator's premise (|dirty| ≪ corpus — a diff dirtying most of
+  // the corpus is the documented rebuild trigger, as in q89), so the
+  // corpus-scale kept-fp relation streams through one broadcast join
+  // with zero shuffle; verification is endpoint-restricted (the q89
+  // fpsNeeded discipline); the stored df table is SCANNED once
+  // (semi-joined down to the dirty fp slice before any join) and
+  // never broadcast or reshuffled. No corpus-scale exchange anywhere.
+  // ---------------------------------------------------------------
+
+  /** q132 reads the stored index's published q130 table and maintains
+    * it against the published diff. */
+  def incrementalPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    incrementalPrefixJaccardOf(idx.fps, idx.prefixPass, idx.cur, idx.diff,
+      storedDf = Some(idx.prefixDf))
+  }
+
+  /** The general operator: `prevFps` = the stored fps relation of the
+    * previous snapshot, `prevPass` = the stored q130 verdicts
+    * (doc_a, doc_b, jaccard). Emits the full q130 shape for the new
+    * snapshot. */
+  def incrementalPrefixJaccardOf(prevFps: DataFrame, prevPass: DataFrame,
+                                 curDocs: DataFrame, diff: DataFrame,
+                                 threshold: Double = PrefixJaccardThreshold,
+                                 maxDocFreq: Int = MaxShingleDocFreq,
+                                 storedDf: Option[DataFrame] = None)
+      : DataFrame = {
+    val dirtyOut = diff.filter($"status".isin("removed", "changed"))
+      .select($"doc_id").localCheckpoint(true)
+    val deltaIds = diff.filter($"status".isin("added", "changed"))
+      .select($"doc_id").localCheckpoint(true)
+    // sign only the delta (the q89 discipline)
+    val deltaFps = shingleFpsFrom(
+      curDocs.join(broadcast(deltaIds), Seq("doc_id")))
+      .localCheckpoint(true)
+    // exact df maintenance on the touched slice: df changes only for
+    // fps occurring in outgoing or incoming docs
+    val dec = prevFps.join(broadcast(dirtyOut), Seq("doc_id"))
+      .groupBy($"fp").agg(count(lit(1)).as("dec"))
+    val inc = deltaFps.groupBy($"fp").agg(count(lit(1)).as("inc"))
+    val touched = dec.join(inc, Seq("fp"), "full_outer")
+      .select($"fp", coalesce($"dec", lit(0L)).as("dec"),
+        coalesce($"inc", lit(0L)).as("inc"))
+      .localCheckpoint(true) // dirty-sized; feeds two broadcast builds
+    // stored df (the published table when the caller has one; derived
+    // once here otherwise), scanned and semi-joined down to the
+    // touched fps BEFORE any further join — never reshuffled, never
+    // broadcast
+    val prevDf = storedDf.getOrElse(
+      prevFps.groupBy($"fp").agg(count(lit(1)).as("df"))
+        .localCheckpoint(false))
+    val touchedDf = prevDf
+      .join(broadcast(touched.select($"fp")), Seq("fp"), "left_semi")
+    val flips = touchedDf.join(touched, Seq("fp"), "full_outer")
+      .select($"fp", coalesce($"df", lit(0L)).as("df0"),
+        (coalesce($"df", lit(0L)) + coalesce($"inc", lit(0L))
+          - coalesce($"dec", lit(0L))).as("df1"))
+      .filter(($"df0" > maxDocFreq) =!= ($"df1" > maxDocFreq))
+      .select($"fp")
+      .localCheckpoint(true) // tiny (empty on every fixture)
+    // the new snapshot's raw fps and its hot set (stored hot XOR flips)
+    val curFps = prevFps.join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
+      .unionByName(deltaFps)
+    val hotPrev = prevDf.filter($"df" > maxDocFreq).select($"fp")
+    val hotCur = hotPrev.join(broadcast(flips), Seq("fp"), "left_anti")
+      .unionByName(flips.join(hotPrev, Seq("fp"), "left_anti"))
+      .localCheckpoint(true) // tiny; broadcast into the kept anti-join
+    val keptCur = curFps.join(broadcast(hotCur), Seq("fp"), "left_anti")
+      .localCheckpoint(false) // probe stream + endpoint slice share it
+    // dirty docs of the new snapshot: the delta plus every doc whose
+    // kept set changed under a cutoff flip
+    val flipDocs = curFps.join(broadcast(flips), Seq("fp"), "left_semi")
+      .select($"doc_id")
+    val dirtyCur = deltaIds.unionByName(flipDocs).distinct()
+      .localCheckpoint(true)
+    // carried verdicts: both endpoints clean — flip-affected docs are
+    // dirty on BOTH sides (a clean cur doc has the same id and fps it
+    // had in prev)
+    val dirtyPrev = dirtyOut.unionByName(flipDocs).distinct()
+      .localCheckpoint(true)
+    val carried = prevPass
+      .join(broadcast(dirtyPrev.withColumnRenamed("doc_id", "doc_a")),
+        Seq("doc_a"), "left_anti")
+      .join(broadcast(dirtyPrev.withColumnRenamed("doc_id", "doc_b")),
+        Seq("doc_b"), "left_anti")
+    // asymmetric prefix probe for the dirty slice: rank each dirty
+    // doc's kept fps by (stored df, fp) — rarity steers pruning only,
+    // so the PREVIOUS snapshot's df is a perfectly good total order
+    // and new fps (no stored row) simply rank first
+    val dirtyKept = keptCur.join(broadcast(dirtyCur), Seq("doc_id"),
+        "left_semi").localCheckpoint(true)
+    val dfNeeded = prevDf.join(
+      broadcast(dirtyKept.select($"fp").distinct()), Seq("fp"), "left_semi")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id")
+      .orderBy(coalesce($"df", lit(0L)).asc, $"fp".asc)
+    val wFull = wDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pref = dirtyKept.join(broadcast(dfNeeded), Seq("fp"), "left_outer")
+      .withColumn("pos", row_number().over(wDoc).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wFull))
+      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
+      .select($"doc_id".as("doc_p"), $"fp")
+    // the corpus-scale kept relation STREAMS through this broadcast
+    // join — the probe side is dirty-prefix-sized by premise
+    val cand = keptCur.join(broadcast(pref), Seq("fp"))
+      .filter($"doc_id" =!= $"doc_p")
+      .select(least($"doc_id", $"doc_p").as("doc_a"),
+        greatest($"doc_id", $"doc_p").as("doc_b"))
+      .distinct()
+      .localCheckpoint(true) // endpoint slice + verification share it
+    val endpoints = cand.select($"doc_a".as("doc_id"))
+      .unionByName(cand.select($"doc_b".as("doc_id")))
+    val fpsNeeded = keptCur.join(broadcast(endpoints), Seq("doc_id"),
+      "left_semi")
+    val fresh = candidateOverlap(cand, fpsNeeded)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+    carried.unionByName(fresh)
+      // the doc_b anti-join put its key first; restore the q130
+      // column order so the maintained table is drop-in
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q132 oracle: the FULL q130 statement (q45's brute force at
+    * q130's threshold) over the new snapshot — the maintained table
+    * must land byte-identically on rebuild-from-scratch. */
+  lazy val incrementalPrefixJaccardSql: String = jaccardPairsSqlAt(
+    PrefixJaccardThreshold,
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
 
   // ---------------------------------------------------------------
   // q46 — MinHash signatures, long form (doc_id, seed, minhash).
@@ -1171,6 +1336,18 @@ object Dedup {
       * quality argmax, q101's min-id keep) reads a label leaf instead
       * of re-running the iterative rounds per query. */
     lazy val labels: DataFrame = clusterLabels(pairs).localCheckpoint(true)
+    /** The stored q130 verdicts (values included) of the previous
+      * snapshot — the prefix-filter family's published table; q132
+      * maintains it against the diff. Built on first access, like
+      * [[contain]]. */
+    lazy val prefixPass: DataFrame =
+      prefixJaccardPairsOver(fps, "fp", PrefixJaccardThreshold)
+        .localCheckpoint(true)
+    /** The stored raw document-frequency table of the previous
+      * snapshot — q132's second published table (built once per
+      * snapshot; maintenance reads it, never recomputes it). */
+    lazy val prefixDf: DataFrame = fps.groupBy($"fp")
+      .agg(count(lit(1)).as("df")).localCheckpoint(true)
   }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50

@@ -196,6 +196,84 @@ class TextDedupSpec extends AnyFunSuite {
       "expected high-containment/low-Jaccard subset pairs in the corpus")
   }
 
+  test("q132 incremental prefix-Jaccard == full q130 recompute over " +
+       "the new snapshot; carried verdicts come from the store") {
+    val docs = Tables.documents(spark, sf)
+    val prev = Corpus.snapshotPrev(docs)
+    val cur = Corpus.snapshotCur(docs)
+    val diff = Corpus.snapshotDiffDerived(docs)
+    val prevFps = Dedup.shingleFpsFrom(prev)
+    val prevPass = Dedup.prefixJaccardPairsFrom(prev,
+      threshold = Dedup.PrefixJaccardThreshold)
+    def asRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val inc = asRows(Dedup.incrementalPrefixJaccardOf(
+      prevFps, prevPass, cur, diff).collect())
+    val full = asRows(Dedup.prefixJaccardPairsFrom(cur,
+      threshold = Dedup.PrefixJaccardThreshold).collect())
+    assert(full.nonEmpty, "snapshot must keep near-dup pairs")
+    assert(inc === full,
+      "maintained table must equal the rebuild-from-scratch bit-for-bit")
+    // sentinel poison: corrupt ONE clean carried pair's stored value;
+    // the incremental output must carry the poison — proof it reads
+    // the store instead of recomputing the clean slice
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val dirtyIds = diff.filter(col("status") =!= "unchanged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val victim = inc.find(p =>
+        !dirtyIds.contains(p._1) && !dirtyIds.contains(p._2))
+      .getOrElse(fail("fixture snapshot has no clean carried pair"))
+    val poisoned = prevPass.withColumn("jaccard",
+      when(col("doc_a") === victim._1 && col("doc_b") === victim._2,
+        lit(0.987654)).otherwise(col("jaccard")))
+    val got = Dedup.incrementalPrefixJaccardOf(prevFps, poisoned, cur, diff)
+      .filter(col("doc_a") === victim._1 && col("doc_b") === victim._2)
+      .collect()
+    assert(got.length === 1 && got.head.getDouble(2) === 0.987654,
+      "carried verdict must come from the stored table (sentinel)")
+  }
+
+  test("q132 cutoff flips mark affected docs dirty: maintained == " +
+       "rebuild when the diff pushes a shingle across the cutoff") {
+    // tiny cutoff (2) + a 12-token boilerplate block on docs {7, 8, 9}:
+    // doc 7 is removed by the snapshot filter (%19==7), so the 10
+    // boiler-internal shingles' df crosses 3 → 2 — hot in prev, kept
+    // in cur — and the kept universes of the UNTOUCHED docs 8 and 9
+    // change. Their 20-token bodies differ in exactly the last word,
+    // tuned so the pair sits at J=0.739 over the prev universe (below
+    // τ=0.8, not stored) and J=0.818 over the cur universe (above τ):
+    // a carry that misses the flip omits the pair the rebuild emits.
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val boiler = (0 until 12).map(j => s"b$j").mkString(" ")
+    val sharedBody = (0 until 19).map(j => s"body$j").mkString(" ")
+    val corpus = ((0L until 60L).map { i =>
+      val text =
+        if (i == 7L) s"$boiler seven only ${(0 until 18).map(j => s"s$j").mkString(" ")}"
+        else if (i == 8L) s"$boiler $sharedBody tail8"
+        else if (i == 9L) s"$boiler $sharedBody tail9"
+        else s"unique body $i " +
+          (0 until 12).map(j => s"u${i}x$j").mkString(" ")
+      (i, text)
+    }).toDF("doc_id", "text")
+    val prev = Corpus.snapshotPrev(corpus)
+    val cur = Corpus.snapshotCur(corpus)
+    val diff = Corpus.snapshotDiffDerived(corpus)
+    val k = 2
+    val prevFps = Dedup.shingleFpsFrom(prev)
+    val prevPass = Dedup.prefixJaccardPairsFrom(prev, threshold = 0.8,
+      maxDocFreq = k)
+    def asRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val inc = asRows(Dedup.incrementalPrefixJaccardOf(prevFps, prevPass,
+      cur, diff, threshold = 0.8, maxDocFreq = k).collect())
+    val full = asRows(Dedup.prefixJaccardPairsFrom(cur, threshold = 0.8,
+      maxDocFreq = k).collect())
+    assert(inc === full,
+      "a cutoff flip must dirty every doc containing the flipped shingle")
+  }
+
   test("q47 guard truncation is observable: skipped-bucket audit is empty here") {
     assert(Dedup.lshSkippedBuckets(spark, sf).collect().isEmpty,
       "fixture corpus has no mega-buckets; if this fires, q47 recall " +
