@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q132: maintenance carries via broadcast anti-joins and probes " +
+       "via broadcast — the kept fp relation is never fp-reshuffled") {
+    val p = plan("q132_incremental_prefixjac")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"carried verdicts must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(!p.contains("hashpartitioning(fp"),
+      s"the corpus-scale kept relation must stream through the " +
+        s"broadcast probe, never shuffle on fp:\n${p.take(3000)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"q132 joins must stay keyed:\n${p.take(3000)}")
+  }
+
   test("q05: dimension joins broadcast, no sort-merge join of facts against dims") {
     val p = plan("q05_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
