@@ -152,6 +152,7 @@ object SparkEntry {
     "q130_prefix_jaccard"   -> (Dedup.prefixJaccardPairs(_, _)),
     "q131_prefix_containment" -> (Dedup.prefixContainmentPairs(_, _)),
     "q132_incremental_prefixjac" -> (Dedup.incrementalPrefixJaccard(_, _)),
+    "q133_incremental_prefixcontain" -> (Dedup.incrementalPrefixContainment(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -383,6 +384,9 @@ object SparkEntry {
     "q130_prefix_jaccard"   -> Dedup.prefixJaccardPairsSql,
     "q131_prefix_containment" -> Dedup.prefixContainmentPairsSql,
     "q132_incremental_prefixjac" -> Dedup.incrementalPrefixJaccardSql,
+    // q133's oracle is the FULL q131/q85 brute force over the new
+    // snapshot — maintained == rebuild, bit for bit.
+    "q133_incremental_prefixcontain" -> Dedup.incrementalPrefixContainmentSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

@@ -257,7 +257,14 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
 
   val containmentPairsSql: String =
-    s"""WITH ${shinglesCte()},
+    containmentPairsSqlAt(ContainmentThreshold)
+
+  /** The q85 statement at an arbitrary threshold and source — q131's
+    * oracle runs it verbatim; q133's runs it over the
+    * current-snapshot subquery. */
+  def containmentPairsSqlAt(threshold: Double,
+                            src: String = "documents"): String =
+    s"""WITH ${shinglesCte(src = src)},
        |$fpsCte,
        |hot AS (SELECT fp FROM fps GROUP BY fp
        |        HAVING COUNT(*) > $MaxShingleDocFreq),
@@ -274,7 +281,7 @@ object Dedup {
        |JOIN sz sa ON sa.doc_id = doc_a
        |JOIN sz sb ON sb.doc_id = doc_b
        |WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n)
-       |  >= $ContainmentThreshold
+       |  >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------
@@ -369,33 +376,57 @@ object Dedup {
     (it, ranked)
   }
 
-  /** α = ⌈τ·n⌉ with a tiny downward nudge before the ceil: double
-    * rounding may put τ·n a hair ABOVE the true product, and an
-    * over-large α would SHORTEN the prefix and break exactness; one
-    * α too small merely lengthens the prefix (less pruning, still
-    * exact). */
-  private def ceilTauN(n: Column, threshold: Double): Column =
-    ceil(n * lit(threshold) - lit(1e-9)).cast(LongType)
+  /** τ as the exact reduced rational p/q of its shortest decimal
+    * representation (0.8 → 4/5). ALL prefix-filter pruning arithmetic
+    * runs over these longs — no floating point, so no epsilon whose
+    * validity degrades as n grows (an over-large ⌈τ·n⌉ would SHORTEN
+    * a prefix and silently drop a qualifying pair; a fixed 1e-9 nudge
+    * stops covering the representation error of τ·n once n reaches
+    * ~10^7). Consistency with the final double-compare verify filter
+    * (kept as-is for oracle parity): no fraction i/u with u < 2^26
+    * can separate the rational p/q (q ≤ 10^4) from its double
+    * rounding — |i/u − p/q| ≥ 1/(u·q) > 2^-40 ≫ ulp — so the pruning
+    * bound and the verify threshold admit exactly the same pairs at
+    * any realistic document size. */
+  private[operators] def tauFrac(threshold: Double): (Long, Long) = {
+    val bd = BigDecimal.valueOf(threshold)
+    val q0 = BigInt(10).pow(bd.scale.max(0))
+    val p0 = (bd * BigDecimal(q0)).toBigIntExact.getOrElse(
+      throw new IllegalArgumentException(s"not a short decimal: $threshold"))
+    val g = p0.gcd(q0)
+    require(q0 / g <= 10000,
+      s"threshold $threshold is not a short decimal (denominator ${q0 / g})")
+    ((p0 / g).toLong, (q0 / g).toLong)
+  }
+
+  /** α = ⌈τ·n⌉ = (n·p + q − 1) div q, exact over longs (n·p ≤ 2^31·10^4
+    * stays far under 2^63). */
+  private def ceilTauN(n: Column, threshold: Double): Column = {
+    val (p, q) = tauFrac(threshold)
+    call_function("div", n * lit(p) + lit(q - 1L), lit(q))
+  }
 
   private[operators] def prefixJaccardPairsOver(
       items: DataFrame, itemCol: String, threshold: Double,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
     val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
+    val (p, q) = tauFrac(threshold)
     // prefix = the doc's first L = n − ⌈τ·n⌉ + 1 rarity-ranked items;
     // a row-local filter over the resident ranked leaf, cheap on
     // both sides of the self-join
     val pref = ranked
       .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
-    // required overlap: J ≥ τ ⟺ i ≥ τ(na+nb)/(1+τ); the ε nudge may
-    // only LOWER the requirement (safe: less pruning, still exact)
-    val iMin = ceil(($"na" + $"nb") * lit(threshold / (1 + threshold))
-      - lit(1e-9)).cast(LongType)
+    // required overlap: J ≥ τ ⟺ i ≥ τ(na+nb)/(1+τ) = (na+nb)·p/(p+q),
+    // ceil'd exactly over longs (see tauFrac)
+    val iMin = call_function("div",
+      ($"na" + $"nb") * lit(p) + lit(p + q - 1L), lit(p + q))
     // AllPairs length filter: J ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ —
-    // applied inside the join, before the pair shuffle
+    // applied inside the join, before the pair shuffle; p·n ≤ q·m is
+    // the exact integer form of τ·n ≤ m
     val cand = pref.as("x").join(pref.as("y"), Seq(itemCol))
       .filter($"x.doc_id" < $"y.doc_id" &&
-        $"y.n" * lit(threshold) - lit(1e-9) <= $"x.n" &&
-        $"x.n" * lit(threshold) - lit(1e-9) <= $"y.n")
+        $"y.n" * lit(p) <= $"x.n" * lit(q) &&
+        $"x.n" * lit(p) <= $"y.n" * lit(q))
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         $"x.n".as("na"), $"y.n".as("nb"),
         // PPJoin-style positional bound, valid at EVERY shared fp
@@ -510,11 +541,11 @@ object Dedup {
   //       i/na/nb and the verdict are byte-identical to the stored
   //       ones: carried if it passed, correctly absent if it didn't;
   //   (b) touches a DIRTY doc (added/changed, or containing a
-  //       flipped fp) — regenerated via the ASYMMETRIC prefix probe:
-  //       J ≥ τ gives i ≥ τ|A∪B| ≥ ⌈τ·n_d⌉ for the dirty endpoint d,
-  //       so d's prefix under ANY fixed total order must intersect
-  //       the other side's full kept list; probing with only the
-  //       dirty docs' prefixes therefore catches every such pair.
+  //       flipped fp) — regenerated via the FULL-list probe
+  //       ([[maintFreshPairs]]): any qualifying pair shares ≥ 1 kept
+  //       fp, the probe join enumerates exactly the shared kept fps,
+  //       and the pair aggregate reads the exact intersection off the
+  //       join.
   //
   // The hot-cutoff FLIP set is computed exactly from stored state:
   // df only changes for fps occurring in the diff docs, so
@@ -523,12 +554,12 @@ object Dedup {
   // corpora with no shingle near the cutoff (every fixture) the flip
   // set is empty and dirty = the diff docs alone.
   //
-  // 100 TB shape: the probe side (dirty prefixes) BROADCASTS by the
+  // 100 TB shape: the probe side (dirty kept lists) BROADCASTS by the
   // operator's premise (|dirty| ≪ corpus — a diff dirtying most of
   // the corpus is the documented rebuild trigger, as in q89), so the
   // corpus-scale kept-fp relation streams through one broadcast join
-  // with zero shuffle; verification is endpoint-restricted (the q89
-  // fpsNeeded discipline); the stored df table is SCANNED once
+  // with zero shuffle; the size lookup is endpoint-restricted (the
+  // q89 fpsNeeded discipline); the stored df table is SCANNED once
   // (semi-joined down to the dirty fp slice before any join) and
   // never broadcast or reshuffled. No corpus-scale exchange anywhere.
   // ---------------------------------------------------------------
@@ -538,27 +569,43 @@ object Dedup {
   def incrementalPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
     val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
     incrementalPrefixJaccardOf(idx.fps, idx.prefixPass, idx.cur, idx.diff,
-      storedDf = Some(idx.prefixDf))
+      storedDf = Some(idx.prefixDf), storedSz = Some(idx.prefixSz))
   }
 
-  /** The general operator: `prevFps` = the stored fps relation of the
-    * previous snapshot, `prevPass` = the stored q130 verdicts
-    * (doc_a, doc_b, jaccard). Emits the full q130 shape for the new
-    * snapshot. */
-  def incrementalPrefixJaccardOf(prevFps: DataFrame, prevPass: DataFrame,
-                                 curDocs: DataFrame, diff: DataFrame,
-                                 threshold: Double = PrefixJaccardThreshold,
-                                 maxDocFreq: Int = MaxShingleDocFreq,
-                                 storedDf: Option[DataFrame] = None)
-      : DataFrame = {
+  /** Shared front end of the prefix-family maintenance (q132/q133):
+    * exact df maintenance on the touched fp slice, the hot-cutoff
+    * FLIP set, the new snapshot's kept relation, and the dirty doc
+    * sets on both snapshots.
+    *
+    * Checkpoint posture: ALL-LAZY (the q115 receipt, SCALE.md — eager
+    * `localCheckpoint(true)` barriers re-execute at query
+    * construction and serialized r15's q132 into a 33-job chain whose
+    * scheduling floor was most of its wall). Lazy checkpoints sit
+    * only on the subtrees that are BOTH multiply consumed AND
+    * non-trivial to recompute: `deltaFps` (delta signing), `touched`
+    * (a corpus-cached scan feeding two joins), `flips` (three
+    * consumers), `flipDocs` (a corpus-cached scan feeding both dirty
+    * sets), and `keptCur` (the corpus-scale kept relation every tail
+    * consumer streams). Trivial filters over stored tables
+    * (`dirtyOut`/`deltaIds`) carry no checkpoint at all — each
+    * broadcast build re-reads the stored diff, which is cheaper than
+    * a barrier. */
+  private case class PrefixMaintFront(keptCur: DataFrame,
+                                      dirtyCur: DataFrame,
+                                      dirtyPrev: DataFrame)
+
+  private def prefixMaintFront(prevFps: DataFrame, curDocs: DataFrame,
+                               diff: DataFrame, maxDocFreq: Int,
+                               storedDf: Option[DataFrame])
+      : PrefixMaintFront = {
     val dirtyOut = diff.filter($"status".isin("removed", "changed"))
-      .select($"doc_id").localCheckpoint(true)
+      .select($"doc_id")
     val deltaIds = diff.filter($"status".isin("added", "changed"))
-      .select($"doc_id").localCheckpoint(true)
+      .select($"doc_id")
     // sign only the delta (the q89 discipline)
     val deltaFps = shingleFpsFrom(
       curDocs.join(broadcast(deltaIds), Seq("doc_id")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // exact df maintenance on the touched slice: df changes only for
     // fps occurring in outgoing or incoming docs
     val dec = prevFps.join(broadcast(dirtyOut), Seq("doc_id"))
@@ -567,7 +614,7 @@ object Dedup {
     val touched = dec.join(inc, Seq("fp"), "full_outer")
       .select($"fp", coalesce($"dec", lit(0L)).as("dec"),
         coalesce($"inc", lit(0L)).as("inc"))
-      .localCheckpoint(true) // dirty-sized; feeds two broadcast builds
+      .localCheckpoint(false) // dirty-sized; feeds two joins below
     // stored df (the published table when the caller has one; derived
     // once here otherwise), scanned and semi-joined down to the
     // touched fps BEFORE any further join — never reshuffled, never
@@ -583,64 +630,143 @@ object Dedup {
           - coalesce($"dec", lit(0L))).as("df1"))
       .filter(($"df0" > maxDocFreq) =!= ($"df1" > maxDocFreq))
       .select($"fp")
-      .localCheckpoint(true) // tiny (empty on every fixture)
+      .localCheckpoint(false) // tiny (empty on every fixture)
     // the new snapshot's raw fps and its hot set (stored hot XOR flips)
     val curFps = prevFps.join(broadcast(dirtyOut), Seq("doc_id"), "left_anti")
       .unionByName(deltaFps)
     val hotPrev = prevDf.filter($"df" > maxDocFreq).select($"fp")
     val hotCur = hotPrev.join(broadcast(flips), Seq("fp"), "left_anti")
       .unionByName(flips.join(hotPrev, Seq("fp"), "left_anti"))
-      .localCheckpoint(true) // tiny; broadcast into the kept anti-join
     val keptCur = curFps.join(broadcast(hotCur), Seq("fp"), "left_anti")
       .localCheckpoint(false) // probe stream + endpoint slice share it
     // dirty docs of the new snapshot: the delta plus every doc whose
-    // kept set changed under a cutoff flip
+    // kept set changed under a cutoff flip (flip-affected docs are
+    // dirty on BOTH sides — a clean cur doc has the same id and fps
+    // it had in prev)
     val flipDocs = curFps.join(broadcast(flips), Seq("fp"), "left_semi")
       .select($"doc_id")
+      .localCheckpoint(false) // corpus-cached scan; both dirty sets
+    // lazy-checkpointed: each is consumed by 2+ broadcast builds, and
+    // an uncheckpointed distinct() re-pays a two-stage shuffle job per
+    // build; concurrent builds dedupe via the block manager's
+    // per-partition lock, so no eager barrier is needed
     val dirtyCur = deltaIds.unionByName(flipDocs).distinct()
-      .localCheckpoint(true)
-    // carried verdicts: both endpoints clean — flip-affected docs are
-    // dirty on BOTH sides (a clean cur doc has the same id and fps it
-    // had in prev)
+      .localCheckpoint(false)
     val dirtyPrev = dirtyOut.unionByName(flipDocs).distinct()
-      .localCheckpoint(true)
-    val carried = prevPass
+      .localCheckpoint(false)
+    PrefixMaintFront(keptCur, dirtyCur, dirtyPrev)
+  }
+
+  /** Carried verdicts: stored pairs with both endpoints clean keep
+    * their stored values byte-identically (each clean endpoint's
+    * kept-fp set is unchanged, hence i/na/nb are). */
+  private def prefixCarry(prevPass: DataFrame, dirtyPrev: DataFrame)
+      : DataFrame =
+    prevPass
       .join(broadcast(dirtyPrev.withColumnRenamed("doc_id", "doc_a")),
         Seq("doc_a"), "left_anti")
       .join(broadcast(dirtyPrev.withColumnRenamed("doc_id", "doc_b")),
         Seq("doc_b"), "left_anti")
-    // asymmetric prefix probe for the dirty slice: rank each dirty
-    // doc's kept fps by (stored df, fp) — rarity steers pruning only,
-    // so the PREVIOUS snapshot's df is a perfectly good total order
-    // and new fps (no stored row) simply rank first
-    val dirtyKept = keptCur.join(broadcast(dirtyCur), Seq("doc_id"),
-        "left_semi").localCheckpoint(true)
-    val dfNeeded = prevDf.join(
-      broadcast(dirtyKept.select($"fp").distinct()), Seq("fp"), "left_semi")
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id")
-      .orderBy(coalesce($"df", lit(0L)).asc, $"fp".asc)
-    val wFull = wDoc.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val pref = dirtyKept.join(broadcast(dfNeeded), Seq("fp"), "left_outer")
-      .withColumn("pos", row_number().over(wDoc).cast(LongType))
-      .withColumn("n", count(lit(1)).over(wFull))
-      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
-      .select($"doc_id".as("doc_p"), $"fp")
-    // the corpus-scale kept relation STREAMS through this broadcast
-    // join — the probe side is dirty-prefix-sized by premise
-    val cand = keptCur.join(broadcast(pref), Seq("fp"))
+
+  /** Fresh pairs of the dirty slice with their EXACT overlap stats:
+    * (doc_a, doc_b, i, na, nb) for every new-snapshot pair touching a
+    * dirty doc that shares ≥ 1 kept fp. Shared by q132/q133 — only
+    * the measure differs.
+    *
+    * The dirty docs probe with their FULL kept lists (not prefixes):
+    * any pair at τ > 0 shares ≥ ⌈τ·min(na,nb)⌉ ≥ 1 kept fps, so the
+    * any-shared-fp probe is complete for BOTH measures and both
+    * directions — and because both join sides are full kept lists,
+    * the probe join's rows are exactly the pair's shared kept fps, so
+    * the pair aggregate reads the true intersection straight off the
+    * join: no ranking window, no stored-df lookup, and no second
+    * candidate-restricted verification pass (r15's prefix-probe shape
+    * paid all three — a 33-job chain — to shrink a probe side that is
+    * broadcast-sized by premise either way). countDistinct collapses
+    * the double enumeration of both-dirty pairs (one row per
+    * direction).
+    *
+    * 100 TB shape: the probe and the endpoint-restricted size table
+    * are dirty-bounded broadcasts (Σ df(fp) ≤ |dirty fps|·maxDocFreq
+    * candidates); the corpus-scale kept relation streams through ONE
+    * broadcast join; zero corpus-scale exchange. */
+  private def maintFreshPairs(front: PrefixMaintFront,
+                              prevSz: DataFrame): DataFrame = {
+    val dirtyKept = front.keptCur.join(broadcast(front.dirtyCur),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(false) // probe + dirty re-count share it
+    val probe = dirtyKept.select($"doc_id".as("doc_p"), $"fp")
+    val inter = front.keptCur.join(broadcast(probe), Seq("fp"))
       .filter($"doc_id" =!= $"doc_p")
       .select(least($"doc_id", $"doc_p").as("doc_a"),
-        greatest($"doc_id", $"doc_p").as("doc_b"))
-      .distinct()
-      .localCheckpoint(true) // endpoint slice + verification share it
-    val endpoints = cand.select($"doc_a".as("doc_id"))
-      .unionByName(cand.select($"doc_b".as("doc_id")))
-    val fpsNeeded = keptCur.join(broadcast(endpoints), Seq("doc_id"),
-      "left_semi")
-    val fresh = candidateOverlap(cand, fpsNeeded)
+        greatest($"doc_id", $"doc_p").as("doc_b"), $"fp")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(countDistinct($"fp").as("i"))
+      // lazy is race-free here BECAUSE inter has exactly one
+      // consumer (the withNa broadcast below): the whole maintenance
+      // linearizes through the nested broadcast chain, so no two
+      // driver futures ever pull this subtree concurrently. (The r16
+      // first cut had a second consumer — an endpoint-sizes detour —
+      // whose two renamed broadcasts DID race into computing the ~1 s
+      // probe join twice; ReuseExchange cannot deduplicate subtrees
+      // hanging off checkpointed RDD-scan leaves, verified on the
+      // executed plan. The stored-size tail removed the second
+      // consumer instead of paying an eager barrier.)
+      .localCheckpoint(false)
+    // current-snapshot kept sizes WITHOUT touching inter or
+    // re-scanning the kept relation: clean docs carry their STORED
+    // size (clean ⟹ kept set unchanged, the q132 carry argument
+    // applied to n alone); dirty docs re-count from the dirty kept
+    // slice. The r16 first cut derived sizes by endpoint-restricting
+    // the kept relation, which hung two more ~300 ms corpus-cached
+    // scans and two dependency levels off `inter` — stored sizes are
+    // a thin 1-row-per-doc stream with no `inter` dependency at all.
+    val szCur = prevSz
+      .join(broadcast(front.dirtyPrev), Seq("doc_id"), "left_anti")
+      .unionByName(
+        dirtyKept.groupBy($"doc_id").agg(count(lit(1)).as("n")))
+      // two consumers (withNa build, final join) but they linearize —
+      // the final join waits on the withNa broadcast — so lazy is
+      // race-free and saves the dirty re-count shuffle a second run
+      .localCheckpoint(false)
+    // thin-stream joins: szCur streams through broadcast(inter) for
+    // each endpoint; the pair table stays candidate-sized throughout
+    val withNa = szCur
+      .join(broadcast(inter.withColumnRenamed("doc_a", "doc_id")),
+        Seq("doc_id"))
+      .select($"doc_id".as("doc_a"), $"doc_b", $"i", $"n".as("na"))
+    szCur
+      .join(broadcast(withNa.withColumnRenamed("doc_b", "doc_id")),
+        Seq("doc_id"))
+      .select($"doc_a", $"doc_id".as("doc_b"), $"i", $"na",
+        $"n".as("nb"))
+  }
+
+  /** The stored kept-size table (doc_id, n) when the caller has one;
+    * derived from the stored fps otherwise. */
+  private def prevSzOf(prevFps: DataFrame, maxDocFreq: Int,
+                       storedSz: Option[DataFrame]): DataFrame =
+    storedSz.getOrElse(
+      keptItems(prevFps, "fp", maxDocFreq)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false))
+
+  /** The general operator: `prevFps` = the stored fps relation of the
+    * previous snapshot, `prevPass` = the stored q130 verdicts
+    * (doc_a, doc_b, jaccard). Emits the full q130 shape for the new
+    * snapshot. */
+  def incrementalPrefixJaccardOf(prevFps: DataFrame, prevPass: DataFrame,
+                                 curDocs: DataFrame, diff: DataFrame,
+                                 threshold: Double = PrefixJaccardThreshold,
+                                 maxDocFreq: Int = MaxShingleDocFreq,
+                                 storedDf: Option[DataFrame] = None,
+                                 storedSz: Option[DataFrame] = None)
+      : DataFrame = {
+    val front = prefixMaintFront(prevFps, curDocs, diff, maxDocFreq,
+      storedDf)
+    val carried = prefixCarry(prevPass, front.dirtyPrev)
+    val fresh = maintFreshPairs(front,
+        prevSzOf(prevFps, maxDocFreq, storedSz))
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= threshold)
@@ -656,6 +782,73 @@ object Dedup {
     * must land byte-identically on rebuild-from-scratch. */
   lazy val incrementalPrefixJaccardSql: String = jaccardPairsSqlAt(
     PrefixJaccardThreshold,
+    s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
+      s" <> ${Corpus.SnapRemovedRes})")
+
+  // ---------------------------------------------------------------
+  // q133 — incremental prefix-CONTAINMENT maintenance: the q131
+  // verdict table brought up to date with a crawl diff from stored
+  // state alone — q132's machinery applied to the asymmetric measure,
+  // closing the family's last gap (q107 maintains only the
+  // LSH-candidate containment q90, which q131 exists to supersede).
+  //
+  // Exactness decomposition is q132's verbatim: clean-endpoint pairs
+  // carry their stored containment values byte-identically (na, nb
+  // and the intersection are functions of the two kept-fp sets, both
+  // unchanged); pairs touching a dirty doc are regenerated by the
+  // shared [[maintFreshPairs]] full-list probe. Note a PREFIX probe
+  // would be UNSOUND for this measure even as an optimization:
+  // greatest(C(A|B), C(B|A)) ≥ τ only bounds i ≥ ⌈τ·min(na, nb)⌉ —
+  // when the dirty doc is the LARGER endpoint, its prefix carries no
+  // guarantee of intersecting the pair's shared fps (the guarantee
+  // belongs to the SMALLER, possibly clean, endpoint, whose prefix
+  // only a corpus-scale ranking window could produce). The full-list
+  // probe is complete in both directions at any τ > 0.
+  //
+  // 100 TB shape: identical to q132 — dirty-sized broadcasts by the
+  // operator's premise, the corpus-scale kept relation streams
+  // through one broadcast join, stored df scanned once, zero
+  // corpus-scale exchange.
+  // ---------------------------------------------------------------
+
+  /** q133 reads the stored index's published q131 table and maintains
+    * it against the published diff. */
+  def incrementalPrefixContainment(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    incrementalPrefixContainmentOf(idx.fps, idx.prefixContainPass,
+      idx.cur, idx.diff, storedDf = Some(idx.prefixDf),
+      storedSz = Some(idx.prefixSz))
+  }
+
+  /** The general operator: `prevPass` = the stored q131 verdicts
+    * (doc_a, doc_b, containment_a, containment_b). Emits the full
+    * q131 shape for the new snapshot. */
+  def incrementalPrefixContainmentOf(
+      prevFps: DataFrame, prevPass: DataFrame,
+      curDocs: DataFrame, diff: DataFrame,
+      threshold: Double = ContainmentThreshold,
+      maxDocFreq: Int = MaxShingleDocFreq,
+      storedDf: Option[DataFrame] = None,
+      storedSz: Option[DataFrame] = None): DataFrame = {
+    val front = prefixMaintFront(prevFps, curDocs, diff, maxDocFreq,
+      storedDf)
+    val carried = prefixCarry(prevPass, front.dirtyPrev)
+    val fresh = maintFreshPairs(front,
+        prevSzOf(prevFps, maxDocFreq, storedSz))
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / $"na").as("containment_a"),
+        ($"i" * lit(1.0) / $"nb").as("containment_b"))
+      .filter(greatest($"containment_a", $"containment_b") >= threshold)
+    carried.unionByName(fresh)
+      .select($"doc_a", $"doc_b", $"containment_a", $"containment_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q133 oracle: the FULL q131/q85 brute-force statement over the
+    * new snapshot. */
+  lazy val incrementalPrefixContainmentSql: String = containmentPairsSqlAt(
+    ContainmentThreshold,
     s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
       s" <> ${Corpus.SnapRemovedRes})")
 
@@ -1348,6 +1541,19 @@ object Dedup {
       * snapshot; maintenance reads it, never recomputes it). */
     lazy val prefixDf: DataFrame = fps.groupBy($"fp")
       .agg(count(lit(1)).as("df")).localCheckpoint(true)
+    /** The stored q131 verdicts (values included) of the previous
+      * snapshot — the exact containment table q133 maintains. */
+    lazy val prefixContainPass: DataFrame =
+      prefixContainmentPairsOver(fps, "fp", ContainmentThreshold)
+        .localCheckpoint(true)
+    /** The stored kept-size table (doc_id, n) of the previous
+      * snapshot — thin (one row per doc), published next to the pair
+      * tables so maintenance never re-scans the kept relation for
+      * clean-endpoint sizes. */
+    lazy val prefixSz: DataFrame =
+      keptItems(fps, "fp", MaxShingleDocFreq)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
   }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50

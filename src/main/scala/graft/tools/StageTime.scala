@@ -46,9 +46,14 @@ object StageTime {
       import scala.jdk.CollectionConverters._
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       val durs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onJobStart(js: SparkListenerJobStart): Unit = {
-          starts.put(js.jobId, js.time); ()
+          starts.put(js.jobId, js.time)
+          // the result stage's call site names what the job computed
+          names.put(js.jobId, js.stageInfos.lastOption
+            .map(_.name.takeWhile(_ != '\n').take(60)).getOrElse("?"))
+          ()
         }
         override def onJobEnd(je: SparkListenerJobEnd): Unit = {
           durs.put(je.jobId,
@@ -74,6 +79,11 @@ object StageTime {
         println(f"[floor] $name: wall $wall%.2f s, jobs ${ds.size}, " +
           f"job-sum ${ds.sum / 1e3}%.2f s, per-job ms " +
           s"[${ds.mkString(",")}]")
+        durs.entrySet().asScala.toSeq.sortBy(-_.getValue).take(8)
+          .foreach { e =>
+            println(s"[floor]   job ${e.getKey} ${e.getValue} ms  " +
+              names.getOrDefault(e.getKey, "?"))
+          }
       }
       spark.stop()
       return

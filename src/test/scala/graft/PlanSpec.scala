@@ -51,15 +51,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q132: maintenance carries via broadcast anti-joins and probes " +
-       "via broadcast — the kept fp relation is never fp-reshuffled") {
-    val p = plan("q132_incremental_prefixjac")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"carried verdicts must map-side anti-join the dirty set:\n${p.take(3000)}")
-    assert(!p.contains("hashpartitioning(fp"),
-      s"the corpus-scale kept relation must stream through the " +
-        s"broadcast probe, never shuffle on fp:\n${p.take(3000)}")
-    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
-      s"q132 joins must stay keyed:\n${p.take(3000)}")
+       "via broadcast — no fp shuffle in the final (post-checkpoint) plan") {
+    // Scope: this inspects the plan built AFTER the checkpointed
+    // maintenance stages — the dirty-sized fp aggregates inside
+    // incrementalPrefixJaccardOf (dec/inc/touched, and prevDf when
+    // derived) DO hash-partition on fp, but they execute as separate
+    // checkpointed jobs before this plan exists. The assertion below
+    // covers the corpus-scale tail only: the kept relation must
+    // stream through the broadcast probe, never reshuffle on fp.
+    for (q <- Seq("q132_incremental_prefixjac",
+                  "q133_incremental_prefixcontain")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"$q carried verdicts must map-side anti-join the dirty set:\n${p.take(3000)}")
+      assert(!p.contains("hashpartitioning(fp"),
+        s"$q: the corpus-scale kept relation must stream through the " +
+          s"broadcast probe in the visible plan, never shuffle on fp:\n${p.take(3000)}")
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q joins must stay keyed:\n${p.take(3000)}")
+    }
   }
 
   test("q05: dimension joins broadcast, no sort-merge join of facts against dims") {

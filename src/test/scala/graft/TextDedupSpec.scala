@@ -274,6 +274,93 @@ class TextDedupSpec extends AnyFunSuite {
       "a cutoff flip must dirty every doc containing the flipped shingle")
   }
 
+  test("q133 incremental prefix-containment == full q131 recompute over " +
+       "the new snapshot; carried verdicts come from the store") {
+    val docs = Tables.documents(spark, sf)
+    val prev = Corpus.snapshotPrev(docs)
+    val cur = Corpus.snapshotCur(docs)
+    val diff = Corpus.snapshotDiffDerived(docs)
+    val prevFps = Dedup.shingleFpsFrom(prev)
+    val prevPass = Dedup.prefixContainmentPairsFrom(prev)
+    def asRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val inc = asRows(Dedup.incrementalPrefixContainmentOf(
+      prevFps, prevPass, cur, diff).collect())
+    val full = asRows(Dedup.prefixContainmentPairsFrom(cur).collect())
+    assert(full.nonEmpty, "snapshot must keep containment pairs")
+    assert(inc === full,
+      "maintained table must equal the rebuild-from-scratch bit-for-bit")
+    // sentinel poison: corrupt ONE clean carried pair's stored value;
+    // the incremental output must carry the poison — proof it reads
+    // the store instead of recomputing the clean slice
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val dirtyIds = diff.filter(col("status") =!= "unchanged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val victim = inc.find(p =>
+        !dirtyIds.contains(p._1) && !dirtyIds.contains(p._2))
+      .getOrElse(fail("fixture snapshot has no clean carried pair"))
+    val poisoned = prevPass.withColumn("containment_a",
+      when(col("doc_a") === victim._1 && col("doc_b") === victim._2,
+        lit(0.987654)).otherwise(col("containment_a")))
+    val got = Dedup.incrementalPrefixContainmentOf(prevFps, poisoned,
+        cur, diff)
+      .filter(col("doc_a") === victim._1 && col("doc_b") === victim._2)
+      .collect()
+    assert(got.length === 1 && got.head.getDouble(2) === 0.987654,
+      "carried verdict must come from the stored table (sentinel)")
+  }
+
+  test("q133 cutoff flips dirty the affected docs: maintained == rebuild " +
+       "and the untouched pair's stored VALUES go stale under the flip") {
+    // the q132 flip corpus: removing doc 7 flips the boilerplate
+    // shingles hot → kept, changing the kept universes of UNTOUCHED
+    // docs 8 and 9. For containment the (8,9) verdict stays above
+    // τ=0.8 on both universes but its VALUES move — a carry that
+    // misses the flip emits the stale stored ratios, which the
+    // bit-for-bit compare below catches.
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val boiler = (0 until 12).map(j => s"b$j").mkString(" ")
+    val sharedBody = (0 until 19).map(j => s"body$j").mkString(" ")
+    val corpus = ((0L until 60L).map { i =>
+      val text =
+        if (i == 7L) s"$boiler seven only ${(0 until 18).map(j => s"s$j").mkString(" ")}"
+        else if (i == 8L) s"$boiler $sharedBody tail8"
+        else if (i == 9L) s"$boiler $sharedBody tail9"
+        else s"unique body $i " +
+          (0 until 12).map(j => s"u${i}x$j").mkString(" ")
+      (i, text)
+    }).toDF("doc_id", "text")
+    val prev = Corpus.snapshotPrev(corpus)
+    val cur = Corpus.snapshotCur(corpus)
+    val diff = Corpus.snapshotDiffDerived(corpus)
+    val k = 2
+    val prevFps = Dedup.shingleFpsFrom(prev)
+    val prevPass = Dedup.prefixContainmentPairsFrom(prev, threshold = 0.8,
+      maxDocFreq = k)
+    def asRows(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val inc = asRows(Dedup.incrementalPrefixContainmentOf(prevFps,
+      prevPass, cur, diff, threshold = 0.8, maxDocFreq = k).collect())
+    val full = asRows(Dedup.prefixContainmentPairsFrom(cur, threshold = 0.8,
+      maxDocFreq = k).collect())
+    assert(inc === full,
+      "a cutoff flip must dirty every doc containing the flipped shingle")
+    // sensitivity guard: the untouched (8,9) pair's stored value must
+    // actually DIFFER from its rebuilt value, or this test proves
+    // nothing about the flip machinery
+    val stale = asRows(prevPass.filter(col("doc_a") === 8L &&
+      col("doc_b") === 9L).collect())
+    val rebuilt = full.filter(p => p._1 == 8L && p._2 == 9L)
+    assert(stale.nonEmpty && rebuilt.nonEmpty,
+      "flip corpus must keep the (8,9) pair on both universes")
+    assert(stale.head._3 !== rebuilt.head._3,
+      "the flip must move the (8,9) containment value, else no signal")
+  }
+
   test("q47 guard truncation is observable: skipped-bucket audit is empty here") {
     assert(Dedup.lshSkippedBuckets(spark, sf).collect().isEmpty,
       "fixture corpus has no mega-buckets; if this fires, q47 recall " +
