@@ -35,12 +35,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("q130/q131: prefix-filter verify stays keyed — candidates from " +
        "the checkpointed rarity index, nothing cartesian") {
-    // the rarity-ranked index (df join + ranking window) lives behind
-    // its eager checkpoint; the visible plan is candidate join +
-    // verification, which must be keyed joins over ExistingRDD leaves
-    // with the pair aggregate hash-partitioned on the pair key
-    for (q <- Seq("q130_prefix_jaccard", "q131_prefix_containment")) {
-      val p = plan(q)
+    // pins the UNSORTED pipeline (the registered query wraps it in a
+    // verdict-sized checkpoint + presentation sort, so its own visible
+    // plan is just Sort-over-ExistingRDD): the rarity-ranked index
+    // (df join + ranking window) lives behind its lazy checkpoint;
+    // the visible plan is candidate join + verification, which must
+    // be keyed joins over ExistingRDD leaves with the pair aggregate
+    // hash-partitioned on the pair key
+    val fps = operators.Dedup.shingleFps(spark, sf)
+    val pipes = Seq(
+      "q130" -> operators.Dedup.prefixJaccardPairsOver(fps, "fp",
+        operators.Dedup.PrefixJaccardThreshold),
+      "q131" -> operators.Dedup.prefixContainmentPairsOver(fps, "fp",
+        operators.Dedup.ContainmentThreshold))
+    for ((q, df) <- pipes) {
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("Scan ExistingRDD"),
         s"$q candidates must read the checkpointed index:\n${p.take(3000)}")
       assert(p.contains("hashpartitioning(doc_a"),
@@ -48,20 +57,37 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
         s"$q joins must stay keyed:\n${p.take(3000)}")
     }
+    // and the registered queries' visible plans must indeed be the
+    // sorted read of the checkpointed verdict table
+    for (q <- Seq("q130_prefix_jaccard", "q131_prefix_containment")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD") && !p.contains("Cartesian"),
+        s"$q must sort the checkpointed verdicts:\n${p.take(3000)}")
+    }
   }
 
-  test("q132: maintenance carries via broadcast anti-joins and probes " +
-       "via broadcast — no fp shuffle in the final (post-checkpoint) plan") {
-    // Scope: this inspects the plan built AFTER the checkpointed
-    // maintenance stages — the dirty-sized fp aggregates inside
-    // incrementalPrefixJaccardOf (dec/inc/touched, and prevDf when
-    // derived) DO hash-partition on fp, but they execute as separate
-    // checkpointed jobs before this plan exists. The assertion below
-    // covers the corpus-scale tail only: the kept relation must
-    // stream through the broadcast probe, never reshuffle on fp.
-    for (q <- Seq("q132_incremental_prefixjac",
-                  "q133_incremental_prefixcontain")) {
-      val p = plan(q)
+  test("q132/q133: maintenance carries via broadcast anti-joins and " +
+       "probes via broadcast — no fp shuffle in the visible plan") {
+    // Scope: pins the UNSORTED maintenance plan (the registered query
+    // wraps it in a checkpoint + presentation sort). The dirty-sized
+    // fp aggregates (dec/inc/touched, and prevDf when derived) DO
+    // hash-partition on fp, but they execute behind their own lazy
+    // checkpoints, so the assertions below cover the corpus-scale
+    // tail: the kept relation must stream through the broadcast
+    // probe, never reshuffle on fp.
+    val docs = Tables.documents(spark, sf)
+    val prev = operators.Corpus.snapshotPrev(docs)
+    val cur = operators.Corpus.snapshotCur(docs)
+    val diff = operators.Corpus.snapshotDiffDerived(docs)
+    val prevFps = operators.Dedup.shingleFpsFrom(prev)
+    val pipes = Seq(
+      "q132" -> operators.Dedup.incrementalPrefixJaccardPlan(prevFps,
+        operators.Dedup.prefixJaccardPairsFrom(prev,
+          threshold = operators.Dedup.PrefixJaccardThreshold), cur, diff),
+      "q133" -> operators.Dedup.incrementalPrefixContainmentPlan(prevFps,
+        operators.Dedup.prefixContainmentPairsFrom(prev), cur, diff))
+    for ((q, df) <- pipes) {
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
         s"$q carried verdicts must map-side anti-join the dirty set:\n${p.take(3000)}")
       assert(!p.contains("hashpartitioning(fp"),
@@ -301,14 +327,20 @@ class PlanSpec extends AnyFunSuite {
   test("q85 containment: pair aggregate keyed on (doc_a, doc_b), " +
        "nothing cartesian") {
     // the hot-shingle LeftAnti guard sits behind the kernel's
-    // localCheckpoint (plan-truncated, like q45's); pin what the
-    // outer plan shows: a hash-partitioned pair aggregate and keyed
-    // joins only.
-    val p = plan("q85_containment_pairs")
+    // localCheckpoint (plan-truncated, like q45's), and the registered
+    // query now also checkpoints the verdicts before its presentation
+    // sort — so pin the kernel's OWN plan: a hash-partitioned pair
+    // aggregate and keyed joins only.
+    val p = operators.Dedup.pairOverlap(
+        operators.Dedup.shingleFps(spark, sf), "fp")
+      .queryExecution.executedPlan.toString
     assert(p.contains("Exchange hashpartitioning(doc_a"),
       s"pair aggregate must hash-partition on the pair key:\n${p.take(3000)}")
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       s"the pair join must stay keyed:\n${p.take(3000)}")
+    val outer = plan("q85_containment_pairs")
+    assert(outer.contains("Scan ExistingRDD") && !outer.contains("Cartesian"),
+      s"q85 must sort the checkpointed verdicts:\n${outer.take(3000)}")
   }
 
   test("q90 containment over LSH: candidates come from the banded " +
