@@ -23,7 +23,8 @@ object Bench {
         "q39_streaming_pipeline", "q68_streaming_dedup",
         "q71_streaming_near_dups", "q87_streaming_hh",
         "q106_streaming_semdedup", "q119_streaming_decontam",
-        "q123_streaming_nb", "q127_streaming_pq")
+        "q123_streaming_nb", "q127_streaming_pq",
+        "q134_streaming_prefixjac")
 
   /** Why the skip set exists, emitted verbatim into the artifact so
     * the oracle-subset ratio is self-describing (VERDICT r6 item 8). */

@@ -153,6 +153,7 @@ object SparkEntry {
     "q131_prefix_containment" -> (Dedup.prefixContainmentPairs(_, _)),
     "q132_incremental_prefixjac" -> (Dedup.incrementalPrefixJaccard(_, _)),
     "q133_incremental_prefixcontain" -> (Dedup.incrementalPrefixContainment(_, _)),
+    "q134_streaming_prefixjac" -> (graft.streaming.StreamingCorpus.prefixPairsViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -387,6 +388,9 @@ object SparkEntry {
     // q133's oracle is the FULL q131/q85 brute force over the new
     // snapshot — maintained == rebuild, bit for bit.
     "q133_incremental_prefixcontain" -> Dedup.incrementalPrefixContainmentSql,
+    // q134's oracle is the batch q130 statement: the streamed exact
+    // pair table must equal the one-shot prefix-filter verdicts.
+    "q134_streaming_prefixjac" -> Dedup.prefixJaccardPairsSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

@@ -1130,6 +1130,17 @@ object Dedup {
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= JaccardThreshold)
 
+  /** Jaccard verification at an arbitrary threshold — q134's drain
+    * verifies the streamed candidate log at q130's τ against the
+    * final kept universe (same shape as [[verifyCandidatesUnsorted]],
+    * parameterized). */
+  private[graft] def verifyJaccardAt(cand: DataFrame, shf: DataFrame,
+                                     threshold: Double): DataFrame =
+    candidateOverlap(cand, shf)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+
   /** Candidates-only CONTAINMENT verification — q85's asymmetric
     * measure over a candidate set instead of all pairs. */
   private[graft] def verifyContainment(cand: DataFrame,

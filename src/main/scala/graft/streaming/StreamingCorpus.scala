@@ -294,6 +294,118 @@ object StreamingCorpus {
   }
 
   // ---------------------------------------------------------------
+  // q134 — streaming EXACT near-dup pairs: the arrival-time twin of
+  // q130's cutoff-free prefix-filter verdicts, completing the exact
+  // path's deployment story (q71 catches near-dups at ingest
+  // approximately via banded MinHash; this catches them EXACTLY).
+  //
+  // Per batch: sign the arriving docs, probe the accumulated fp log
+  // with the batch's CURRENTLY-KEPT fps, and record every
+  // shared-kept-fp pair in the candidate log. Exactness rides the
+  // hot-cutoff's MONOTONICITY (the q71 bucket-occupancy argument,
+  // applied to document frequency): df only grows, so a shingle that
+  // is kept under the FINAL cutoff was kept in every batch — every
+  // final q130 pair shares ≥ ⌈τ·min⌉ ≥ 1 finally-kept fps and is
+  // therefore recorded no later than its later endpoint's batch.
+  // Probing only currently-kept fps simultaneously BOUNDS per-fp
+  // fan-out at the cutoff; finally-hot fps may record extra
+  // candidates early, which drain-time verification (true Jaccard
+  // over the FINAL kept universe, [[graft.operators.Dedup
+  // .verifyJaccardAt]]) prunes — over-capture is filtered, never
+  // invented.
+  //
+  // State is the q71 append-only-log discipline verbatim: the fp log
+  // IS the product (the same relation the batch path signs),
+  // replayed batches are no-ops under read-side distinct, and at
+  // 100 TB the logs shard by fp under the warehouse layout so a
+  // batch's probe touches only its fps' partitions.
+  // ---------------------------------------------------------------
+
+  private val fpsLogSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("fp", LongType)))
+  private val pairLogSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  /** One micro-batch: sign, probe the pre-batch fp log under the
+    * CURRENT hot cutoff, record new candidate pairs, append fps. */
+  private def processPrefixPairBatch(batch: DataFrame, root: String): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val newFps = Dedup.shingleFpsFrom(batch.select($"doc_id", $"text"))
+      .localCheckpoint(false)
+    val all = readLog(spark, s"$root/fps", fpsLogSchema)
+      .union(newFps).distinct()
+      .localCheckpoint(false) // df + both probe sides share it
+    val hot = all.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > Dedup.MaxShingleDocFreq).select($"fp")
+      .localCheckpoint(false)
+    val keptNew = newFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val keptAll = all.join(broadcast(hot), Seq("fp"), "left_anti")
+    // new × all (old×old pairs were recorded when their later doc
+    // arrived); canonical (least, greatest) + distinct collapses the
+    // doubled new×new matches — the q71 shape on fp buckets
+    val newPairs = keptNew.as("x").join(keptAll.as("y"), Seq("fp"))
+      .filter($"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("doc_a"),
+        greatest($"x.doc_id", $"y.doc_id").as("doc_b"))
+      .distinct()
+    // record candidates BEFORE appending the fp log: the pair scan
+    // must see the pre-batch snapshot it was computed against
+    newPairs.write.mode("append").parquet(s"$root/cand")
+    newFps.write.mode("append").parquet(s"$root/fps")
+  }
+
+  /** Drain-time resolution: true Jaccard over the FINAL kept universe
+    * for every recorded candidate — exactly the batch q130 verdict
+    * semantics, which is why q134's oracle IS q130's SQL. */
+  private def resolvePrefixPairs(spark: SparkSession,
+                                 root: String): DataFrame = {
+    import graft.operators.Dedup
+    val fps = readLog(spark, s"$root/fps", fpsLogSchema).distinct()
+      .localCheckpoint(false)
+    val hot = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" > Dedup.MaxShingleDocFreq).select($"fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val cand = readLog(spark, s"$root/cand", pairLogSchema).distinct()
+    Dedup.verifyJaccardAt(cand, kept, Dedup.PrefixJaccardThreshold)
+      .localCheckpoint(false) // the q130 sort-sample discipline
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Drain `docsPath` through the streaming exact-pair harness into a
+    * fresh state root and return the q130-shaped verdict table. */
+  def prefixPairStream(spark: SparkSession, docsPath: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = StreamingClean.trackedTempDir("graft-xpair-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-xp-ckpt-")
+    val q = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
+      .writeStream
+      .queryName("graft_streaming_prefix_pairs_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processPrefixPairBatch(batch, root)
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    resolvePrefixPairs(spark, root)
+  }
+
+  /** q134 — streaming-vs-batch EXACT pair parity: staged as four
+    * doc_id-ranged files drained one per micro-batch, so pair
+    * discovery genuinely crosses batch boundaries. Oracle = the
+    * batch q130 SQL. */
+  def prefixPairsViaStreaming(spark: SparkSession,
+                              sfDir: String): DataFrame = {
+    val staged = StreamingClean.trackedTempDir("graft-xp-in-") + "/docs"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    prefixPairStream(spark, staged, maxFilesPerTrigger = Some(1))
+  }
+
+  // ---------------------------------------------------------------
   // q87 — streaming heavy hitters under BOUNDED state: the q86 output
   // recovered from two fixed-size streaming summaries (VERDICT r8
   // item 5 — no vocabulary-sized state anywhere).

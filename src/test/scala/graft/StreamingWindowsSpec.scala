@@ -225,6 +225,55 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val batch = batchKeepCorpus(rows.flatten).collect().map(_.getLong(0)).toSeq
     assert(kept === batch)
   }
+
+  private def pairBits(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+
+  test("q134: streaming exact pairs == batch q130 on the fixture corpus") {
+    val streamed = pairBits(graft.streaming.StreamingCorpus
+      .prefixPairsViaStreaming(spark, sf).collect())
+    val batch = pairBits(Dedup.prefixJaccardPairs(spark, sf).collect())
+    assert(batch.nonEmpty, "fixture corpus must keep exact pairs")
+    assert(streamed === batch,
+      "drained exact-pair table must equal the one-shot q130 verdicts")
+  }
+
+  test("q134: a late-arriving exact near-dup pairs ACROSS batch " +
+       "boundaries, and a cross-batch hot-cutoff flip stays exact") {
+    val original = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    // a boilerplate block whose shingles end up HOT only once the
+    // final batch lands (df crosses the cutoff mid-stream): pairs its
+    // docs recorded early must die at drain-time verification over
+    // the FINAL kept universe — exactly the batch exclusion
+    val boiler = (0 to 12).map(i => s"b$i").mkString(" ")
+    val boilerDocs =
+      (300L until (301L + Dedup.MaxShingleDocFreq)).map { i =>
+        i -> s"$boiler filler${i}a filler${i}b filler${i}c"
+      }
+    val rows = Seq(
+      Seq(5L -> original, 9L -> unrelated), // batch 1
+      boilerDocs.take(boilerDocs.size / 2), // batch 2: boiler half 1
+      boilerDocs.drop(boilerDocs.size / 2), // batch 3: crosses cutoff
+      Seq(30L -> nearDup)) // batch 4: near-dup of batch 1's doc 5
+    val streamed = pairBits(graft.streaming.StreamingCorpus
+      .prefixPairStream(spark, stageBatches(rows),
+        maxFilesPerTrigger = Some(1)).collect())
+    val batch = pairBits(
+      Dedup.prefixJaccardPairsFrom(docsDf(rows.flatten),
+        threshold = Dedup.PrefixJaccardThreshold).collect())
+    assert(streamed === batch,
+      "cross-batch pairs + mid-stream cutoff crossing must match batch")
+    // sensitivity: the (5, 30) pair spans three batch boundaries
+    assert(streamed.exists(p => p._1 == 5L && p._2 == 30L),
+      "the late near-dup pair must be discovered across batches")
+    // sensitivity: the boiler shingles' df really crosses the cutoff
+    // mid-stream (so batches 2-3 recorded candidates that verification
+    // had to re-judge over the final kept universe)
+    assert(boilerDocs.size > Dedup.MaxShingleDocFreq)
+  }
 }
 
 class StreamingHeavyHitterSpec extends AnyFunSuite {
