@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Classify, Corpus, Dedup, VectorOps, Weather}
@@ -773,6 +773,90 @@ object ScaleStress {
           maxDocFreq = Int.MaxValue).count())
       require(cCut == cPNo && cPNo == cBNo,
         s"containment arms disagree: cut=$cCut prefixNo=$cPNo bruteNo=$cBNo")
+      spark.stop()
+      return
+    }
+
+    // opt-in EXCLUSIVE mode: the q132 DIRTY-FRACTION sweep — the
+    // carry premise (|dirty| ≪ corpus) receipt for the prefix family
+    // (VERDICT r15 item 8; the q89 family has the q89lowdirty twin).
+    // Corpus: 2000·reps hash-random docs (near-disjoint, so probe
+    // cost is isolated from output cost) with one planted near-dup
+    // twin per 50 docs; the diff dirties a doc_id residue class at
+    // ~5% / ~20% / ~50%. Per fraction, interleaved full-rebuild vs
+    // incremental passes, per-side min, row counts required equal.
+    // The fraction where the incremental min crosses the rebuild min
+    // IS the documented rebuild trigger. Arg: "prefixjacincr".
+    if (args.contains("prefixjacincr")) {
+      val n = 2000L * reps
+      def randText(seed: Column): Column =
+        concat_ws(" ", transform(sequence(lit(1), lit(50)),
+          i => concat(lit("w"), pmod(hash(seed, i), lit(50000)))))
+      // twins: doc i%50==0 gets a near-copy at id i+n (49/50 tokens
+      // shared → J ≈ 0.9 over 3-shingles... enough true pairs to keep
+      // the verdict table non-trivial in every arm)
+      val base = spark.range(n).select($"id".as("doc_id"),
+        randText($"id").as("text"))
+      val twins = spark.range(n).filter($"id" % 50L === 0L)
+        .select(($"id" + n).as("doc_id"),
+          concat(randText($"id"), lit(" twintail")).as("text"))
+      val prevLd = base.unionByName(twins).localCheckpoint(true)
+      println(s"prefixjacincr: ${prevLd.count()} docs, ${reps}x")
+      for ((m, label) <- Seq(20L -> "5%", 5L -> "20%", 2L -> "50%")) {
+        // the diff CHANGES docs in the residue class (text append)
+        val curLd = prevLd.select($"doc_id",
+          when($"doc_id" % m === 1L,
+            concat($"text", lit(" zz"), $"doc_id")).otherwise($"text")
+            .as("text"))
+          .localCheckpoint(true)
+        val diffLd = Corpus.snapshotDiffOf(
+          prevLd.select($"doc_id",
+            md5($"text".cast("binary")).as("prev_digest")),
+          curLd.select($"doc_id",
+            md5($"text".cast("binary")).as("cur_digest")))
+          .localCheckpoint(true)
+        var prevFps: DataFrame = null; var prevPass: DataFrame = null
+        var prevDfT: DataFrame = null; var prevSzT: DataFrame = null
+        time(s"  [$label] stored q130 state build (not charged)") {
+          // ALL FOUR published tables (fps, verdicts, df, kept sizes)
+          // — q132's contract reads stored state; deriving df/sizes
+          // per call would charge two corpus-scale aggregates to the
+          // maintenance that the nightly publish already paid
+          prevFps = Dedup.shingleFpsFrom(prevLd).localCheckpoint(true)
+          prevPass = Dedup.prefixJaccardPairsFrom(prevLd,
+            threshold = 0.8).localCheckpoint(true)
+          prevDfT = prevFps.groupBy($"fp").agg(count(lit(1)).as("df"))
+            .localCheckpoint(true)
+          val hotT = prevDfT
+            .filter($"df" > Dedup.MaxShingleDocFreq).select($"fp")
+          prevSzT = prevFps.join(broadcast(hotT), Seq("fp"), "left_anti")
+            .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          prevPass.count(); ()
+        }
+        def secs(f: => Long): (Double, Long) = {
+          val t0 = System.nanoTime(); val r = f
+          ((System.nanoTime() - t0) / 1e9, r)
+        }
+        val fulls = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val incrs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var fullN = -1L; var incrN = -1L
+        for (p <- 1 to 3) {
+          val (tf, nf) = secs(
+            Dedup.prefixJaccardPairsFrom(curLd, threshold = 0.8).count())
+          val (ti, ni) = secs(
+            Dedup.incrementalPrefixJaccardOf(prevFps, prevPass, curLd,
+              diffLd, threshold = 0.8, storedDf = Some(prevDfT),
+              storedSz = Some(prevSzT)).count())
+          fulls += tf; incrs += ti; fullN = nf; incrN = ni
+          println(f"  [$label] pass $p: rebuild $tf%.2f s, incr $ti%.2f s")
+        }
+        require(fullN == incrN,
+          s"[$label] incremental diverged: $incrN vs rebuild $fullN")
+        println(f"q132 dirty=$label%s ${reps}x: rebuild min " +
+          f"${fulls.min}%.2f s, incremental min ${incrs.min}%.2f s, " +
+          f"ratio ${incrs.min / fulls.min}%.2f (rows $fullN)")
+      }
       spark.stop()
       return
     }
