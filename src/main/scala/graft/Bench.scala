@@ -335,7 +335,7 @@ object Bench {
     // about what carries it); override when a fresher measurement
     // exists.
     val defaultDuckdbHint =
-      """{"value":325.4,"unit":"sec","source":"judge r14 best-of-3 per query over the 118-query timed oracle subset (q30 joined the subset at 0.48 s), sf0.1, 32 threads","ex_new_trio_value":69.1,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 30.9/98.6/126.8 s where Spark pays ~1.6/2.8/0.3 s"}"""
+      """{"value":327.8,"unit":"sec","source":"judge r14 best-of-3 per query over the 118-query timed subset (325.4) + judge r15 for q130/q131/q132 (1.04/0.52/0.48) + builder r16 best-of-3 for q133 (0.41), sf0.1, 32 threads, 122 timed queries","ex_new_trio_value":71.5,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 30.9/98.6/126.8 s where Spark pays ~1.6/2.8/0.3 s"}"""
     // a malformed override would corrupt the artifact line and break
     // the driver's tail JSON parse (ADVICE r13) — validate with a real
     // JSON parse (jackson ships with Spark), not brace counting, which
