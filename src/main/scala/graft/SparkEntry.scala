@@ -154,6 +154,7 @@ object SparkEntry {
     "q132_incremental_prefixjac" -> (Dedup.incrementalPrefixJaccard(_, _)),
     "q133_incremental_prefixcontain" -> (Dedup.incrementalPrefixContainment(_, _)),
     "q134_streaming_prefixjac" -> (graft.streaming.StreamingCorpus.prefixPairsViaStreaming(_, _)),
+    "q135_streaming_prefixcontain" -> (graft.streaming.StreamingCorpus.prefixContainViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -391,6 +392,9 @@ object SparkEntry {
     // q134's oracle is the batch q130 statement: the streamed exact
     // pair table must equal the one-shot prefix-filter verdicts.
     "q134_streaming_prefixjac" -> Dedup.prefixJaccardPairsSql,
+    // q135: same drained state, containment measure — oracle = q131's
+    // (q85's) batch statement.
+    "q135_streaming_prefixcontain" -> Dedup.prefixContainmentPairsSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

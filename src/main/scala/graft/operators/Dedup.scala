@@ -640,13 +640,15 @@ object Dedup {
       curDocs.join(broadcast(deltaIds), Seq("doc_id")))
       .localCheckpoint(false)
     // exact df maintenance on the touched slice: df changes only for
-    // fps occurring in outgoing or incoming docs
-    val dec = prevFps.join(broadcast(dirtyOut), Seq("doc_id"))
-      .groupBy($"fp").agg(count(lit(1)).as("dec"))
-    val inc = deltaFps.groupBy($"fp").agg(count(lit(1)).as("inc"))
-    val touched = dec.join(inc, Seq("fp"), "full_outer")
-      .select($"fp", coalesce($"dec", lit(0L)).as("dec"),
-        coalesce($"inc", lit(0L)).as("inc"))
+    // fps occurring in outgoing or incoming docs. ONE tagged-union
+    // aggregate — fps absent from one side sum to 0 — replaces the
+    // r15 dec-agg + inc-agg + full_outer shape (two shuffles and a
+    // join level on the construction critical path)
+    val touched = prevFps.join(broadcast(dirtyOut), Seq("doc_id"))
+        .select($"fp", lit(1L).as("dec"), lit(0L).as("inc"))
+      .unionByName(
+        deltaFps.select($"fp", lit(0L).as("dec"), lit(1L).as("inc")))
+      .groupBy($"fp").agg(sum($"dec").as("dec"), sum($"inc").as("inc"))
       .localCheckpoint(false) // dirty-sized; feeds two joins below
     // stored df (the published table when the caller has one; derived
     // once here otherwise), scanned and semi-joined down to the

@@ -355,11 +355,13 @@ object StreamingCorpus {
     newFps.write.mode("append").parquet(s"$root/fps")
   }
 
-  /** Drain-time resolution: true Jaccard over the FINAL kept universe
-    * for every recorded candidate — exactly the batch q130 verdict
-    * semantics, which is why q134's oracle IS q130's SQL. */
-  private def resolvePrefixPairs(spark: SparkSession,
-                                 root: String): DataFrame = {
+  /** The drained state's (kept relation, candidate set) under the
+    * FINAL hot cutoff — the measure-independent half of resolution,
+    * shared by the Jaccard (q134) and containment (q135) drains: the
+    * candidate log records any-shared-kept-fp pairs, which is
+    * complete for BOTH measures at any τ > 0. */
+  private def drainedPairState(spark: SparkSession,
+                               root: String): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val fps = readLog(spark, s"$root/fps", fpsLogSchema).distinct()
       .localCheckpoint(false)
@@ -367,15 +369,39 @@ object StreamingCorpus {
       .filter($"df" > Dedup.MaxShingleDocFreq).select($"fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
     val cand = readLog(spark, s"$root/cand", pairLogSchema).distinct()
+    (kept, cand)
+  }
+
+  /** Drain-time resolution: true Jaccard over the FINAL kept universe
+    * for every recorded candidate — exactly the batch q130 verdict
+    * semantics, which is why q134's oracle IS q130's SQL. */
+  private def resolvePrefixPairs(spark: SparkSession,
+                                 root: String): DataFrame = {
+    import graft.operators.Dedup
+    val (kept, cand) = drainedPairState(spark, root)
     Dedup.verifyJaccardAt(cand, kept, Dedup.PrefixJaccardThreshold)
       .localCheckpoint(false) // the q130 sort-sample discipline
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q135's resolution: the containment measure over the same drained
+    * state — the batch q131 verdict semantics. */
+  private def resolvePrefixContain(spark: SparkSession,
+                                   root: String): DataFrame = {
+    import graft.operators.Dedup
+    val (kept, cand) = drainedPairState(spark, root)
+    Dedup.verifyContainmentUnsorted(cand, kept)
+      .localCheckpoint(false)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Drain `docsPath` through the streaming exact-pair harness into a
-    * fresh state root and return the q130-shaped verdict table. */
-  def prefixPairStream(spark: SparkSession, docsPath: String,
-                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    * fresh state root and resolve with `measure` (the q130 Jaccard or
+    * q131 containment tail). */
+  private def exactPairDrain(spark: SparkSession, docsPath: String,
+                             maxFilesPerTrigger: Option[Int],
+                             measure: (SparkSession, String) => DataFrame)
+      : DataFrame = {
     val root = StreamingClean.trackedTempDir("graft-xpair-state-")
     val checkpoint = StreamingClean.trackedTempDir("graft-xp-ckpt-")
     val q = readDocumentsStream(spark, docsPath, maxFilesPerTrigger)
@@ -389,7 +415,27 @@ object StreamingCorpus {
       .start()
     try q.awaitTermination()
     finally StreamingClean.rmTree(checkpoint)
-    resolvePrefixPairs(spark, root)
+    measure(spark, root)
+  }
+
+  /** q134's drain: q130-shaped verdict table. */
+  def prefixPairStream(spark: SparkSession, docsPath: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    exactPairDrain(spark, docsPath, maxFilesPerTrigger, resolvePrefixPairs)
+
+  /** q135's drain: q131-shaped verdict table over the same harness. */
+  def prefixContainStream(spark: SparkSession, docsPath: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    exactPairDrain(spark, docsPath, maxFilesPerTrigger,
+      resolvePrefixContain)
+
+  private def stageRangedDocs(spark: SparkSession, sfDir: String,
+                              prefix: String): String = {
+    val staged = StreamingClean.trackedTempDir(prefix) + "/docs"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    staged
   }
 
   /** q134 — streaming-vs-batch EXACT pair parity: staged as four
@@ -397,13 +443,17 @@ object StreamingCorpus {
     * discovery genuinely crosses batch boundaries. Oracle = the
     * batch q130 SQL. */
   def prefixPairsViaStreaming(spark: SparkSession,
-                              sfDir: String): DataFrame = {
-    val staged = StreamingClean.trackedTempDir("graft-xp-in-") + "/docs"
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartitionByRange(4, $"doc_id")
-      .write.mode("overwrite").parquet(staged)
-    prefixPairStream(spark, staged, maxFilesPerTrigger = Some(1))
-  }
+                              sfDir: String): DataFrame =
+    prefixPairStream(spark, stageRangedDocs(spark, sfDir, "graft-xp-in-"),
+      maxFilesPerTrigger = Some(1))
+
+  /** q135 — the containment twin of q134 over the same staged drain.
+    * Oracle = the batch q131 SQL. */
+  def prefixContainViaStreaming(spark: SparkSession,
+                                sfDir: String): DataFrame =
+    prefixContainStream(spark,
+      stageRangedDocs(spark, sfDir, "graft-xc-in-"),
+      maxFilesPerTrigger = Some(1))
 
   // ---------------------------------------------------------------
   // q87 — streaming heavy hitters under BOUNDED state: the q86 output

@@ -274,6 +274,43 @@ class StreamingNearDupSpec extends AnyFunSuite {
     // had to re-judge over the final kept universe)
     assert(boilerDocs.size > Dedup.MaxShingleDocFreq)
   }
+
+  test("q135: streaming exact containment == batch q131, and a " +
+       "late-arriving SUBSET doc pairs across batch boundaries") {
+    def bits(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+    val streamed = bits(graft.streaming.StreamingCorpus
+      .prefixContainViaStreaming(spark, sf).collect())
+    val batch = bits(Dedup.prefixContainmentPairs(spark, sf).collect())
+    assert(batch.nonEmpty, "fixture corpus must keep containment pairs")
+    assert(streamed === batch,
+      "drained containment table must equal the one-shot q131 verdicts")
+    // the subset family (high containment, LOW Jaccard) is exactly
+    // what q134's Jaccard drain cannot flag — prove the shared
+    // candidate log serves the asymmetric measure across batches
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 20).map(i => s"w$i").mkString(" ") // strict subset
+    val rows = Seq(
+      Seq(5L -> long, 9L -> (100 to 140).map(i => s"u$i").mkString(" ")),
+      Seq(2L -> (200 to 240).map(i => s"v$i").mkString(" ")),
+      Seq(30L -> short)) // batch 3: subset of batch 1's doc 5
+    val got = bits(graft.streaming.StreamingCorpus
+      .prefixContainStream(spark, stageBatches(rows),
+        maxFilesPerTrigger = Some(1)).collect())
+    val want = bits(Dedup.prefixContainmentPairsFrom(docsDf(rows.flatten))
+      .collect())
+    assert(got === want, "cross-batch subset drain must match batch")
+    assert(got.exists(p => p._1 == 5L && p._2 == 30L),
+      "the late subset pair must be discovered across batches")
+    // and it is genuinely the q134-invisible family: J(5,30) < 0.8
+    val jac = Dedup.prefixJaccardPairsFrom(docsDf(rows.flatten),
+        threshold = Dedup.PrefixJaccardThreshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((5L, 30L)),
+      "the subset pair must sit below the Jaccard threshold")
+  }
 }
 
 class StreamingHeavyHitterSpec extends AnyFunSuite {
