@@ -87,12 +87,7 @@ object Classify {
         models.put(dir, (fp, m))
         m
     }
-    val tok = docs.select($"doc_id", $"lang",
-        explode(TextOps.tokens($"text")).as("token"))
-      .groupBy($"doc_id", $"lang", $"token")
-      .agg(count(lit(1)).as("tf"))
-    presentPrediction(nbBestOf(tok, Seq("doc_id", "lang"), model,
-      broadcastModel))
+    scoreDocs(docs, model, broadcastModel)
   }
 
   /** (doc_id, lang, pred_lang, score, correct) for every document,
@@ -116,21 +111,28 @@ object Classify {
     * drives the fallback through this parameter instead of mutating
     * the JVM-global system property mid-suite (ADVICE r13). */
   private[graft] def nbClassifyFrom(docs: DataFrame,
-                                    useBroadcast: Boolean): DataFrame = {
-    // instance-level scoring (VERDICT r14 item 2): no (doc_id, token)
-    // pre-aggregation — every model join is broadcast (row-local),
-    // the per-(doc, cand) partial aggregate collapses instances
-    // map-side before its exchange, and the TRUE lang rides the
-    // stream as a doc-constant grouping key, so the doc-keyed join
-    // back to `documents` is gone too. Summing per-instance lp
-    // equals summing tf·lp (exact decimal integer arithmetic), so
-    // the output is byte-identical to the tf-collapsed shape.
+                                    useBroadcast: Boolean): DataFrame =
+    scoreDocs(docs, nbModelFrom(trainSlice(docs)), useBroadcast)
+
+  /** The ONE home of the q114 scoring chain (fresh-fit and memoized
+    * paths both present through this, so the oracle-checked contract
+    * cannot silently fork): instance-level scoring (VERDICT r14
+    * item 2) — no (doc_id, token) pre-aggregation; every model join
+    * is broadcast (row-local), the per-(doc, cand) partial aggregate
+    * collapses instances map-side before its exchange, and the TRUE
+    * lang rides the stream as a doc-constant grouping key, so the
+    * doc-keyed join back to `documents` is gone too. Summing
+    * per-instance lp equals summing tf·lp (exact decimal integer
+    * arithmetic), so the output is byte-identical to the
+    * tf-collapsed shape. */
+  private def scoreDocs(docs: DataFrame, model: NbModel,
+                        useBroadcast: Boolean): DataFrame = {
     val tok = docs.select($"doc_id", $"lang",
         explode(TextOps.tokens($"text")).as("token"))
       .groupBy($"doc_id", $"lang", $"token")
       .agg(count(lit(1)).as("tf"))
-    presentPrediction(nbBestOf(tok, Seq("doc_id", "lang"),
-      nbModelFrom(trainSlice(docs)), useBroadcast))
+    presentPrediction(nbBestOf(tok, Seq("doc_id", "lang"), model,
+      useBroadcast))
   }
 
   /** The one home of the q114/q116/q123 output contract: column

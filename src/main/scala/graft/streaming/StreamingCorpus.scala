@@ -285,13 +285,9 @@ object StreamingCorpus {
     * boundaries (a doc in batch 3 probes state from batch 1). Oracle =
     * the batch q70 SQL: the streamed keeper set must equal what the
     * one-shot q47→q62→q70 chain computes. */
-  def nearDupViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = StreamingClean.trackedTempDir("graft-nd-in-") + "/docs"
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartitionByRange(4, $"doc_id")
-      .write.mode("overwrite").parquet(staged)
-    nearDupStream(spark, staged, maxFilesPerTrigger = Some(1))
-  }
+  def nearDupViaStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupStream(spark, stageRangedDocs(spark, sfDir, "graft-nd-in-"),
+      maxFilesPerTrigger = Some(1))
 
   // ---------------------------------------------------------------
   // q134 — streaming EXACT near-dup pairs: the arrival-time twin of
