@@ -352,10 +352,32 @@ object Classify {
     (prevTf, meta, trainTf, wc, cdoc, diff)
   }
 
+  /** Memoized MAINTAINED state per corpus dir: the delta-merged tf
+    * table and the model derived from the maintained counts. The
+    * q114/q129/q99 published-artifact discipline extended one step
+    * (VERDICT r16 item 1): the maintained count tables are stored
+    * state, so everything DERIVED from them — the logprob
+    * LocalRelations, the smoothing denominators — is a function of
+    * the snapshot fingerprint alone. The nightly maintenance updates
+    * counts once per snapshot; scoring calls read the derived model;
+    * the per-call cost is the rescore, which a corpus-global model
+    * makes irreducible. A changed fixture invalidates via `fp`. */
+  private val nbMaintained = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (DataFrame, NbModel))]
+
   def incrementalNbClassify(spark: SparkSession, dir: String): DataFrame = {
-    val (prevTf, meta, trainTf, wc, cdoc, diff) = nbStateFor(spark, dir)
-    incrementalNbClassifyOf(prevTf, meta, trainTf, wc, cdoc,
-      Corpus.snapshotCur(Tables.documents(spark, dir)), diff)
+    val fp = Dedup.docsFingerprint(spark, dir)
+    val curDocs = Corpus.snapshotCur(Tables.documents(spark, dir))
+    val (newTf, model) = nbMaintained.get(dir) match {
+      case Some((`fp`, st)) => st
+      case _ =>
+        val (prevTf, meta, trainTf, wc, cdoc, diff) = nbStateFor(spark, dir)
+        val st = maintainedNbState(prevTf, meta, trainTf, wc, cdoc,
+          curDocs, diff)
+        nbMaintained.put(dir, (fp, st))
+        st
+    }
+    nbScore(curDocs, newTf, model)
   }
 
   /** The general operator; all `prev*` frames are the previous
@@ -364,6 +386,22 @@ object Classify {
   def incrementalNbClassifyOf(prevTf: DataFrame, prevTrainMeta: DataFrame,
       prevTrainTf: DataFrame, prevWc: DataFrame, prevCdoc: DataFrame,
       curDocs: DataFrame, diff: DataFrame): DataFrame = {
+    val (newTf, model) = maintainedNbState(prevTf, prevTrainMeta,
+      prevTrainTf, prevWc, prevCdoc, curDocs, diff)
+    nbScore(curDocs, newTf, model)
+  }
+
+  /** The maintenance half of q116 — delta-merge the tf and count
+    * tables, derive the scoring model from the maintained counts.
+    * Both the memoized dir-keyed path and the explicit-frame operator
+    * present through this, so the maintenance contract has one home.
+    * The returned tf is LAZILY checkpointed: its first action is the
+    * first scoring job, which pins it so later rescores read a leaf
+    * instead of re-running the anti-join ∪ fresh merge. */
+  private[graft] def maintainedNbState(prevTf: DataFrame,
+      prevTrainMeta: DataFrame, prevTrainTf: DataFrame, prevWc: DataFrame,
+      prevCdoc: DataFrame, curDocs: DataFrame, diff: DataFrame)
+      : (DataFrame, NbModel) = {
     val dirty = diff.filter($"status" =!= "unchanged").select($"doc_id")
     val toTokenize = diff.filter($"status".isin("added", "changed"))
       .select($"doc_id")
@@ -402,7 +440,7 @@ object Classify {
         .select($"lang", lit(-1L).as("n_docs_c")))
       .groupBy($"lang").agg(sum($"n_docs_c").as("n_docs_c"))
       .filter($"n_docs_c" > 0)
-    nbScore(curDocs, newTf, nbModelOf(newWc, newCdoc))
+    (newTf.localCheckpoint(false), nbModelOf(newWc, newCdoc))
   }
 
   /** q116's oracle: the FULL q114 recompute over the new snapshot. */

@@ -832,8 +832,33 @@ object Corpus {
   /** Continuation-backoff weight (stupid backoff's 0.4). */
   val BigramBackoffAlpha = 0.4
 
-  def bigramLogProb(spark: SparkSession, dir: String): DataFrame =
-    bigramLogProbFrom(Tables.documents(spark, dir))
+  /** The trained bigram LM memo, keyed by corpus dir and invalidated
+    * by the fixture fingerprint (VERDICT r16 item 1 — the q114/q129/
+    * q99 published-artifact precedent applied a fourth time): a
+    * trained n-gram LM is a nightly-published artifact — the fit
+    * writes it, scoring calls read it — so repeated q108 runs against
+    * an unchanged corpus must not re-aggregate the model tables per
+    * call. The per-call cost is the corpus scoring pass (build the
+    * doc-side bigram tf from text, join the broadcast model), which
+    * is the honest per-query work. q109 — the MAINTAINER — stays
+    * fresh per call: its bench row prices the nightly delta merge. */
+  private val bigramModels = scala.collection.concurrent.TrieMap
+    .empty[String, (String, BigramModel)]
+
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.operators.Dedup.docsFingerprint(spark, dir)
+    bigramModels.get(dir) match {
+      case Some((`fp`, bm)) => scoreBigramsWith(bigramTfFrom(docs), bm)
+      case _ =>
+        // first call = the fit: one bigram pass feeds both the doc
+        // side and the model aggregate (the bigramLogProbFrom shape)
+        val bgTf = bigramTfFrom(docs).localCheckpoint(false)
+        val bm = materializeBigramModel(bigramModelFromTf(bgTf))
+        bigramModels.put(dir, (fp, bm))
+        scoreBigramsWith(bgTf, bm)
+    }
+  }
 
   /** The per-(doc, w1, w2) bigram frequency table — row-local pair
     * construction (q73's adjacency expression) + partial-aggregated
@@ -867,14 +892,36 @@ object Corpus {
     * that fits its scorers joins row-locally (no corpus-scale
     * exchange of docBg at all), one that doesn't falls back to the
     * keyed shuffle joins — correct at any model size. */
-  private[graft] def scoreBigrams(docBg: DataFrame,
-                                  model: DataFrame): DataFrame = {
+  /** A materialized bigram LM: the checkpointed model table plus its
+    * one-row stats — the stored form the memo carries and every
+    * scoring call consumes. */
+  private[graft] case class BigramModel(m: DataFrame, total: Long,
+                                        nm: Long)
+
+  /** Checkpoint the model table and collect its 1-row stats (the
+    * leaf's first, strictly sequential action — the q114 discipline);
+    * the measured row count drives the adaptive-broadcast choice. */
+  private[graft] def materializeBigramModel(model: DataFrame): BigramModel = {
     val m = model.localCheckpoint(false)
     val stats = m.agg(sum($"bcnt").as("total"), count(lit(1)).as("nm"))
       .collect()(0)
-    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    BigramModel(m, if (stats.isNullAt(0)) 0L else stats.getLong(0),
+      stats.getLong(1))
+  }
+
+  private[graft] def scoreBigrams(docBg: DataFrame,
+                                  model: DataFrame): DataFrame =
+    scoreBigramsWith(docBg, materializeBigramModel(model))
+
+  /** The ONE home of the q108/q109 scoring tail (fresh-fit, memoized,
+    * and maintained paths all present through this, so the
+    * oracle-checked contract cannot fork). */
+  private[graft] def scoreBigramsWith(docBg: DataFrame,
+                                      bm: BigramModel): DataFrame = {
+    val m = bm.m
+    val total = bm.total
     def side(df: DataFrame) =
-      if (stats.getLong(1) <= VocabBroadcastMaxRows) broadcast(df) else df
+      if (bm.nm <= VocabBroadcastMaxRows) broadcast(df) else df
     val ctx = m.groupBy($"w1").agg(sum($"bcnt").as("ccnt"))
     val cont = m.groupBy($"w2").agg(sum($"bcnt").as("mcnt"))
     val scored = docBg
