@@ -155,6 +155,8 @@ object SparkEntry {
     "q133_incremental_prefixcontain" -> (Dedup.incrementalPrefixContainment(_, _)),
     "q134_streaming_prefixjac" -> (graft.streaming.StreamingCorpus.prefixPairsViaStreaming(_, _)),
     "q135_streaming_prefixcontain" -> (graft.streaming.StreamingCorpus.prefixContainViaStreaming(_, _)),
+    "q136_prefix_keep_corpus" -> (Dedup.prefixKeepCorpus(_, _)),
+    "q137_prefix_canonical_keep" -> (Dedup.prefixCanonicalKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,6 +397,12 @@ object SparkEntry {
     // q135: same drained state, containment measure — oracle = q131's
     // (q85's) batch statement.
     "q135_streaming_prefixcontain" -> Dedup.prefixContainmentPairsSql,
+    // q136/q137's oracles are the q70/q103 keeper chains with q45's
+    // brute-force pair statement at q130's threshold swapped in for
+    // the LSH chain — exact pairs → exact components → exact keepers,
+    // hash-gated end to end.
+    "q136_prefix_keep_corpus" -> Dedup.prefixKeepCorpusSql,
+    "q137_prefix_canonical_keep" -> Dedup.prefixCanonicalKeepSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

@@ -1464,8 +1464,14 @@ object Dedup {
     * documents-shaped source subquery — q89's full-recompute oracle
     * runs it over the current snapshot. */
   def dedupKeepCorpusSqlFrom(src: String): String =
+    dedupKeepCorpusSqlOver(lshNearDupPairsSqlFrom(src), src)
+
+  /** The q62→q70 oracle tail over an ARBITRARY pair statement —
+    * q136's oracle swaps q45's brute-force pairs at q130's threshold
+    * in for the LSH chain (VERDICT r16 item 3). */
+  def dedupKeepCorpusSqlOver(pairsSql: String, src: String): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM (${lshNearDupPairsSqlFrom(src)}) q),
+       |pairs AS (SELECT doc_a, doc_b FROM ($pairsSql) q),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(doc_id, lbl) AS (
@@ -2818,8 +2824,15 @@ object Dedup {
     * documents-shaped source subquery — q104's full-recompute oracle
     * runs it over the current snapshot. */
   def canonicalKeepCorpusSqlFrom(src: String): String =
+    canonicalKeepCorpusSqlOver(lshNearDupPairsSqlFrom(src), src)
+
+  /** The q62→q41→q103 oracle tail over an ARBITRARY pair statement —
+    * q137's oracle swaps q45's brute-force pairs at q130's threshold
+    * in for the LSH chain (the q136 discipline on the
+    * quality-canonical policy). */
+  def canonicalKeepCorpusSqlOver(pairsSql: String, src: String): String =
     s"""WITH RECURSIVE
-       |pairs AS (SELECT doc_a, doc_b FROM (${lshNearDupPairsSqlFrom(src)}) q),
+       |pairs AS (SELECT doc_a, doc_b FROM ($pairsSql) q),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(doc_id, lbl) AS (
@@ -2847,4 +2860,56 @@ object Dedup {
   lazy val incrementalCanonicalKeepSql: String = canonicalKeepCorpusSqlFrom(
     s"(SELECT * FROM documents WHERE doc_id % ${Corpus.SnapRemovedMod}" +
       s" <> ${Corpus.SnapRemovedRes})")
+
+  // ---------------------------------------------------------------
+  // q136/q137 — EXACT kept corpus: the q70 min-id and q103
+  // quality-canonical keeper policies over q130's exact
+  // prefix-filtered Jaccard pairs, closing the last asymmetry between
+  // the approximate and exact dedup paths (VERDICT r16 item 3): the
+  // LSH pairs feed q62→q70/q103; until now the exact pairs terminated
+  // at verdicts. Wiring, not machinery — [[dedupClustersFrom]] /
+  // [[clusterLabels]] / the keep operators take any pair frame; the
+  // pair source is the UNSORTED q130 pipeline (the clustering
+  // checkpoint is the barrier, so the public wrapper's presentation
+  // sort would be a wasted range exchange).
+  //
+  // 100 TB shape: inherited piecewise — pairs are output-sensitive
+  // and rarity-bounded (q130), clustering is the two-tier CC
+  // (O(log n) rounds at any diameter, q62), the corpus pass is one
+  // broadcast anti-join whose drop list is bounded by the near-dup
+  // rate (q70/q103). Unlike the LSH path this one is cutoff-free and
+  // EXACT end to end: every pair decision is a true Jaccard compare,
+  // so the kept corpus is deterministic in the corpus content alone
+  // (no banding parameters, no recall trade).
+  // ---------------------------------------------------------------
+
+  /** q136 — exact dedup end-to-end: keep one survivor (min doc_id)
+    * per exact-Jaccard component. */
+  def prefixKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepCorpusFrom(Tables.documents(spark, dir),
+      dedupClustersFrom(
+        prefixJaccardPairsOver(shingleFps(spark, dir), "fp",
+          PrefixJaccardThreshold)
+          .select($"doc_a", $"doc_b")))
+
+  /** q137 — the q103 argmax-quality keeper over the same exact
+    * components. */
+  def prefixCanonicalKeep(spark: SparkSession, dir: String): DataFrame =
+    canonicalKeepCorpusFrom(Tables.documents(spark, dir),
+      clusterLabels(
+        prefixJaccardPairsOver(shingleFps(spark, dir), "fp",
+          PrefixJaccardThreshold)
+          .select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"lbl".as("cluster_id")))
+
+  /** q136 oracle: the q70 reachability tail over q45's brute-force
+    * statement at q130's threshold — prefix filtering is exact, so
+    * the composed chain must hash-match the quadratic baseline's. */
+  lazy val prefixKeepCorpusSql: String = dedupKeepCorpusSqlOver(
+    jaccardPairsSqlAt(PrefixJaccardThreshold), "documents")
+
+  /** q137 oracle: the q103 quality-ranked tail over the same
+    * brute-force pair statement. */
+  lazy val prefixCanonicalKeepSql: String = canonicalKeepCorpusSqlOver(
+    jaccardPairsSqlAt(PrefixJaccardThreshold), "documents")
 }

@@ -32,6 +32,29 @@ object StageTime {
       println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // opt-in EXCLUSIVE mode: stage attribution of the q136 exact
+    // kept-corpus composition (pairs → clusters → keep). Arg: "q136".
+    if (args.contains("q136")) {
+      (1 to 3).foreach { p =>
+        spark.catalog.clearCache()
+        val pairs = time(s"pass $p pairs pipeline (eager ckpt)") {
+          Dedup.prefixJaccardPairsOver(Dedup.shingleFps(spark, dir), "fp",
+              Dedup.PrefixJaccardThreshold)
+            .select($"doc_a", $"doc_b").localCheckpoint(true)
+        }
+        val clusters = time(s"pass $p clusters") {
+          val c = Dedup.dedupClustersFrom(pairs).localCheckpoint(true)
+          c.count(); c
+        }
+        time(s"pass $p keep") {
+          Dedup.dedupKeepCorpusFrom(Tables.documents(spark, dir), clusters)
+            .count()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // opt-in EXCLUSIVE mode: job-by-job floor attribution for the
     // text-scoring family (VERDICT r12 item 2) — the queries >2×
     // DuckDB at sf0.1 whose plans have no corpus-scale defect. For

@@ -1254,6 +1254,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.size === Dedup.dedupKeepCorpus(spark, sf).count())
   }
 
+  test("q136/q137 exact kept corpus: composition equals the brute-force " +
+       "chain at τ=0.8, exactly one survivor per component") {
+    val docs = Tables.documents(spark, sf)
+    // ground truth: q45's brute-force pairs at q130's threshold feed
+    // the same q62→q70 tail — the oracle's shape, recomputed in-engine
+    val clusters = Dedup.dedupClustersFrom(
+      Dedup.jaccardPairsFrom(docs,
+          threshold = Dedup.PrefixJaccardThreshold)
+        .select(col("doc_a"), col("doc_b")))
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cl.exists(c => c._1 != c._2),
+      "fixture has no exact near-dup clusters at τ=0.8 — test is vacuous")
+    val kept = Dedup.prefixKeepCorpus(spark, sf).collect()
+    assert(kept.toSeq ===
+      Dedup.dedupKeepCorpusFrom(docs, clusters).collect().toSeq)
+    // exactly ONE survivor per component — the min doc_id
+    val keptIds = kept.map(_.getLong(0)).toSet
+    cl.groupBy(_._2).foreach { case (lbl, ms) =>
+      val ids = ms.map(_._1)
+      assert(ids.filter(keptIds).sorted.toSeq === Seq(ids.min),
+        s"cluster $lbl must keep exactly its min doc_id")
+    }
+    // canonical twin: same cardinality (one keeper per component),
+    // keeper = quality argmax with min-id ties
+    val canon = Dedup.prefixCanonicalKeep(spark, sf).collect()
+    assert(canon.length === kept.length)
+    val quality = TextOps.qualityScore(spark, sf).collect().map { r =>
+      val qi = r.fieldIndex("quality")
+      r.getLong(0) -> (if (r.isNullAt(qi)) -1.0 else r.getDouble(qi))
+    }.toMap
+    val canonIds = canon.map(_.getLong(0)).toSet
+    cl.groupBy(_._2).foreach { case (lbl, ms) =>
+      val ids = ms.map(_._1)
+      val best = ids.maxBy(id => (quality(id), -id))
+      assert(ids.filter(canonIds).toSeq === Seq(best),
+        s"cluster $lbl must keep exactly its quality-argmax member")
+    }
+  }
+
   test("q95 incremental semantic dedup == full rebuild over the new " +
        "snapshot against the frozen sample codebook") {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
