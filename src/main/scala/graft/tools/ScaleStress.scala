@@ -86,6 +86,68 @@ object ScaleStress {
       return
     }
 
+    // opt-in EXCLUSIVE mode: the q134/q135 per-batch cost receipt
+    // (VERDICT r16 item 2) — K equal micro-batches driven through BOTH
+    // streaming exact-pair harness shapes. The receipt is per-batch
+    // wall by batch index: the fp-sharded MAINTAINED path (production)
+    // must stay ~flat in k — its cost tracks the batch's content — and
+    // double with batch size across the grid, while the r16
+    // full-recount baseline grows with the accumulated log (stream
+    // length). Both drains must agree. Args: "<dir> <reps> xpair".
+    if (args.contains("xpair")) {
+      import graft.streaming.{StreamingClean, StreamingCorpus}
+      def secs[T](f: => T): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val nBatches = 16
+      for (mult <- Seq(1, 2)) {
+        val amp = reps * mult
+        // TOKEN-disjoint replicas (every token suffixed with its rep):
+        // vocabulary and stream length scale ×amp while the true pair
+        // mass stays the fixture's own (per rep) — clone-style suffix
+        // amplification would instead make every doc a amp-family of
+        // near-dups and the probe's output-sensitive pair work (paid
+        // identically by both shapes) would drown the state-cost
+        // curves this receipt exists to show
+        val adocs = graft.Tables.documents(spark, dir)
+          .withColumn("rep", explode(sequence(lit(0), lit(amp - 1))))
+          .withColumn("doc_id", $"doc_id" * amp + $"rep")
+          .withColumn("text", expr(
+            "array_join(transform(split(text, ' '), " +
+              "t -> concat(t, '_', rep)), ' ')"))
+          .drop("rep")
+          .localCheckpoint(true)
+        val total = adocs.count()
+        println(s"xpair grid ×$amp: $total docs in $nBatches batches of " +
+          s"~${total / nBatches}")
+        val batches = (0 until nBatches).map(k =>
+          adocs.filter($"doc_id" % nBatches === k).localCheckpoint(true))
+        val shapes = Seq(
+          "maintained" -> (StreamingCorpus.processPrefixPairBatch _),
+          "recount   " -> (StreamingCorpus.processPrefixPairBatchRecount _))
+        val roots = shapes.map { case (label, process) =>
+          val root = StreamingClean.trackedTempDir(s"graft-xpair-")
+          val ts = batches.zipWithIndex.map { case (b, k) =>
+            val t = secs(process(b, root))
+            println(f"  ×$amp $label batch ${k + 1}: $t%.2f s")
+            t
+          }
+          println(f"  ×$amp $label: first-half sum " +
+            f"${ts.take(nBatches / 2).sum}%.2f s vs second-half sum " +
+            f"${ts.drop(nBatches / 2).sum}%.2f s")
+          label -> root
+        }
+        val drained = roots.map { case (label, root) =>
+          StreamingCorpus.resolvePrefixPairs(spark, root).count()
+        }
+        println(s"  ×$amp drained pair counts: ${drained.mkString(" vs ")}" +
+          (if (drained.distinct.size == 1) " (equal)" else " MISMATCH"))
+      }
+      spark.stop()
+      return
+    }
+
     // events ×reps: shift each replica by `rep` months of seconds so
     // hour-group density stays constant while group count scales
     val events = graft.Tables.events(spark, dir)

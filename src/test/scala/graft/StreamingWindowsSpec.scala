@@ -311,6 +311,43 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(!jac.contains((5L, 30L)),
       "the subset pair must sit below the Jaccard threshold")
   }
+
+  test("q134 sharded state: maintained df == recount, replay is a " +
+       "no-op, and the recount baseline drains identically") {
+    import graft.streaming.StreamingCorpus
+    val original = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " changed"
+    val rows = Seq(
+      Seq(5L -> original, 9L -> (100 to 140).map(i => s"u$i").mkString(" ")),
+      Seq(2L -> (200 to 240).map(i => s"v$i").mkString(" ")),
+      Seq(30L -> nearDup))
+    val mRoot = TestTmp.dir("graft-xp-m-").toString
+    val rRoot = TestTmp.dir("graft-xp-r-").toString
+    rows.foreach(b => StreamingCorpus.processPrefixPairBatch(docsDf(b), mRoot))
+    rows.foreach(b =>
+      StreamingCorpus.processPrefixPairBatchRecount(docsDf(b), rRoot))
+    // incrementally maintained df == the ground-truth recount (what
+    // keeps the per-batch hot cutoff identical to the r16 shape)
+    def dfMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = dfMap(Dedup.shingleFpsFrom(docsDf(rows.flatten))
+      .groupBy($"fp").agg(count(lit(1)).cast("long").as("df")))
+    assert(dfMap(StreamingCorpus.maintainedDf(spark, mRoot)) === want)
+    // A/B: the maintained harness and the r16 full-recount baseline
+    // drain to byte-identical verdict tables
+    val drainedM =
+      pairBits(StreamingCorpus.resolvePrefixPairs(spark, mRoot).collect())
+    val drainedR =
+      pairBits(StreamingCorpus.resolvePrefixPairs(spark, rRoot).collect())
+    assert(drainedM.nonEmpty && drainedM === drainedR)
+    assert(drainedM.exists(p => p._1 == 5L && p._2 == 30L))
+    // a REPLAYED batch (crash-recovery redelivery) is a no-op: the
+    // anti-join idempotence keeps the log, df, and drain unchanged
+    StreamingCorpus.processPrefixPairBatch(docsDf(rows.last), mRoot)
+    assert(dfMap(StreamingCorpus.maintainedDf(spark, mRoot)) === want)
+    assert(pairBits(StreamingCorpus.resolvePrefixPairs(spark, mRoot)
+      .collect()) === drainedM)
+  }
 }
 
 class StreamingHeavyHitterSpec extends AnyFunSuite {
