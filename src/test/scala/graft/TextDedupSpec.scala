@@ -1254,6 +1254,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.size === Dedup.dedupKeepCorpus(spark, sf).count())
   }
 
+  test("tauFrac: exact short-decimal rationals; the floor fallback is " +
+       "sound-by-construction (ADVICE r16)") {
+    // exact path: τ's shortest decimal representation, reduced
+    assert(Dedup.tauFrac(0.8) === (4L, 5L))
+    assert(Dedup.tauFrac(1.0) === (1L, 1L))
+    assert(Dedup.tauFrac(0.5) === (1L, 2L))
+    assert(Dedup.tauFrac(0.75) === (3L, 4L))
+    assert(Dedup.tauFrac(0.9999) === (9999L, 10000L))
+    // fallback path (non-short-decimal τ): the largest p/10^4 ≤ τ —
+    // sitting BELOW τ only lengthens prefixes and weakens the overlap
+    // bounds, so pruning loses power but never a qualifying pair
+    val (p, q) = Dedup.tauFrac(2.0 / 3)
+    assert((p, q) === (6666L, 10000L))
+    assert(BigDecimal(p) / q <= BigDecimal(2.0 / 3))
+    // a 5+-decimal τ also reduces past q ≤ 10^4 and takes the floor
+    val (p2, q2) = Dedup.tauFrac(0.123456)
+    assert((p2, q2) === (1234L, 10000L))
+    assert(BigDecimal(p2) / q2 <= BigDecimal(0.123456))
+  }
+
   test("q136/q137 exact kept corpus: composition equals the brute-force " +
        "chain at τ=0.8, exactly one survivor per component") {
     val docs = Tables.documents(spark, sf)
