@@ -157,6 +157,7 @@ object SparkEntry {
     "q135_streaming_prefixcontain" -> (graft.streaming.StreamingCorpus.prefixContainViaStreaming(_, _)),
     "q136_prefix_keep_corpus" -> (Dedup.prefixKeepCorpus(_, _)),
     "q137_prefix_canonical_keep" -> (Dedup.prefixCanonicalKeep(_, _)),
+    "q138_streaming_driftgate" -> (graft.streaming.StreamingCorpus.gatedLogProbViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -403,6 +404,11 @@ object SparkEntry {
     // hash-gated end to end.
     "q136_prefix_keep_corpus" -> Dedup.prefixKeepCorpusSql,
     "q137_prefix_canonical_keep" -> Dedup.prefixCanonicalKeepSql,
+    // q138's oracle is the batch q118 statement verbatim: the
+    // ingest-time gate folds the same deltas, lands on the same
+    // maintained vocabulary, and acts through the same single-homed
+    // tail — so the drained output must hash-match the nightly run.
+    "q138_streaming_driftgate" -> Corpus.gatedLogProbSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

@@ -2280,7 +2280,7 @@ object Corpus {
   private val vocabState = scala.collection.concurrent.TrieMap
     .empty[String, (String, (DataFrame, DataFrame, DataFrame, DataFrame))]
 
-  private[operators] def tfState(spark: SparkSession, dir: String)
+  private[graft] def tfState(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val fp = Dedup.docsFingerprint(spark, dir)
@@ -2681,8 +2681,8 @@ object Corpus {
   private val scoreStateMap = scala.collection.concurrent.TrieMap
     .empty[String, (String, DataFrame)]
 
-  private def storedLogProbScores(spark: SparkSession,
-                                  dir: String): DataFrame = {
+  private[graft] def storedLogProbScores(spark: SparkSession,
+                                         dir: String): DataFrame = {
     val fp = Dedup.docsFingerprint(spark, dir)
     scoreStateMap.get(dir) match {
       case Some((`fp`, st)) => st
@@ -2713,6 +2713,21 @@ object Corpus {
       lost = prevTf.join(broadcast(dirty), Seq("doc_id")),
       gained = freshTf)
       .localCheckpoint(false)
+    gatedLogProbFromParts(prevTf, prevVocab, prevScores,
+      freshTf, dirty, newVocab)
+  }
+
+  /** The acting tail shared by batch q118 and the streaming q138
+    * drain: gate verdict over (stored, maintained) vocabularies, then
+    * the chosen branch. Single-homed so the nightly and ingest-time
+    * paths cannot fork — `freshTf`/`dirty` are the (accumulated)
+    * added+changed tf rows and dirty ids, `newVocab` the maintained
+    * current vocabulary (byte-equal to a fresh recompute by q92's
+    * proof, however it was accumulated). */
+  private[graft] def gatedLogProbFromParts(
+      prevTf: DataFrame, prevVocab: DataFrame, prevScores: DataFrame,
+      freshTf: DataFrame, dirty: DataFrame,
+      newVocab: DataFrame): DataFrame = {
     val verdict = vocabDriftVerdictOf(prevVocab, newVocab)
       .select($"verdict").head().getString(0)
     val out =

@@ -1192,4 +1192,186 @@ object StreamingCorpus {
     decontamStream(spark, stageDocs(spark, sfDir, "graft-dc-in-"), bench,
       maxFilesPerTrigger = Some(1))
   }
+
+  // ---------------------------------------------------------------
+  // q138 — streaming drift-gated logprob: the q118 decision loop at
+  // INGEST, completing the drift-gate family's batch/streaming
+  // matrix. In a live pipeline the nightly diff is itself a FEED —
+  // add/change/remove events land continuously — so the q117 gate
+  // should be evaluated as deltas arrive, not once a night: each
+  // micro-batch folds its vocabulary delta into a maintained current
+  // vocabulary (the q92 integer fold, so the final table is
+  // byte-equal to the batch newVocab: counts are additive and each
+  // doc's loss/gain is folded exactly once) and evaluates the q117
+  // verdict against the STORED vocabulary. The per-batch verdict
+  // TRAJECTORY is a first-class output — the ops signal "how far has
+  // the model drifted as of NOW", which is the reason to run the
+  // gate at ingest at all — and the drain acts on the final verdict
+  // through the SAME single-homed acting tail batch q118 calls
+  // ([[graft.operators.Corpus.gatedLogProbFromParts]]), which is why
+  // the oracle is the q118 SQL verbatim.
+  //
+  // State is EPOCH-VERSIONED, not append-only: the maintained vocab
+  // at epoch e is a deterministic pure function of (epoch e-1 table,
+  // batch e content), written as a complete overwrite of
+  // vocab/epoch=e — an at-least-once redelivery of batch e
+  // recomputes the identical epoch, so replay is a no-op by
+  // construction and no seen-docs guard is needed for the versioned
+  // state (contrast q134, whose fp log is append-only and guards
+  // doc-granularly). The tf/dirty/verdict side-logs stay append-only
+  // with drain-time dedup, the q71 discipline; a crash leaves an
+  // epoch dir either complete or absent (parquet job commit), and an
+  // absent epoch e just recomputes from e-1.
+  //
+  // 100 TB shape: per batch, ONE tokenize pass over the arriving
+  // delta slice + a vocab-sized fold + the vocab-sized gate join —
+  // exactly the q117 contract ("two vocab-sized frames and one
+  // aggregate row — never a corpus pass") paid per batch. The
+  // lost-side delta reads STORED tf rows restricted to the batch's
+  // ids (broadcast by batch-premise), never prior text. Nothing here
+  // is corpus-sized or stream-length-sized; at warehouse scale the
+  // vocab table shards by token like any bucketed dimension.
+  // ---------------------------------------------------------------
+
+  private val diffFeedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("status", StringType),
+    StructField("text", StringType)))
+  private val vocabSchema = StructType(Seq(
+    StructField("token", StringType), StructField("cnt", LongType)))
+  private val tfLogSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("token", StringType),
+    StructField("tf", LongType)))
+  private val dirtyLogSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("status", StringType)))
+  private val verdictLogSchema = StructType(Seq(
+    StructField("epoch", LongType),
+    StructField("n_tokens_union", LongType),
+    StructField("n_tokens_moved", LongType),
+    StructField("moved_share", DoubleType),
+    StructField("l1_mass_share", DoubleType),
+    StructField("verdict", StringType)))
+
+  private def vocabEpochs(root: String): Seq[Long] =
+    Option(new java.io.File(s"$root/vocab").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+      .map(_.getName.stripPrefix("epoch=").toLong)
+
+  private def vocabAt(spark: SparkSession, root: String,
+                      epoch: Long): DataFrame =
+    readLog(spark, s"$root/vocab/epoch=$epoch", vocabSchema)
+
+  /** Publish the stored nightly vocabulary as epoch -1 — the table
+    * the maintained chain folds from and the gate compares against. */
+  private[graft] def initDriftGateRoot(prevVocab: DataFrame,
+                                       root: String): Unit =
+    prevVocab.select($"token", $"cnt")
+      .write.mode("overwrite").parquet(s"$root/vocab/epoch=-1")
+
+  /** One micro-batch of the streaming drift gate: fold the batch's
+    * vocabulary delta into vocab/epoch=`epoch` (idempotent complete
+    * overwrite — see the header's replay argument), append the
+    * batch's tf/dirty rows for the drain, and record the gate verdict
+    * of (stored vocab, vocab-as-of-now) — the trajectory row. */
+  private[graft] def processDriftGateBatch(batch: DataFrame, epoch: Long,
+                                           root: String,
+                                           prevTf: DataFrame): Unit = {
+    import graft.operators.Corpus
+    val spark = batch.sparkSession
+    val base = vocabEpochs(root).filter(_ < epoch).max
+    val baseV = vocabAt(spark, root, base)
+    val batchIds = batch.select($"doc_id", $"status").localCheckpoint(false)
+    // the ONLY text processing: the batch's added/changed slice. Lazy
+    // checkpoint — the fold job and the freshtf append both read it.
+    val gained = Corpus.tfFrom(batch
+        .filter($"status".isin("added", "changed"))
+        .select($"doc_id", $"text"))
+      .localCheckpoint(false)
+    // stored tf rows of the batch's dirtied docs (their OLD counts) —
+    // batch-bounded ids broadcast into the stored table, never the
+    // reverse, and never the previous snapshot's text
+    val lost = prevTf.join(broadcast(batchIds.select($"doc_id")),
+      Seq("doc_id"))
+    // exact integer fold; two consumers (epoch write + verdict row)
+    val newV = Corpus.maintainedVocab(baseV, lost = lost, gained = gained)
+      .localCheckpoint(false)
+    newV.write.mode("overwrite").parquet(s"$root/vocab/epoch=$epoch")
+    Corpus.vocabDriftVerdictOf(vocabAt(spark, root, -1L), newV)
+      .select(lit(epoch).as("epoch"), $"n_tokens_union", $"n_tokens_moved",
+        $"moved_share", $"l1_mass_share", $"verdict")
+      .write.mode("append").parquet(s"$root/verdicts")
+    gained.write.mode("append").parquet(s"$root/freshtf")
+    batchIds.write.mode("append").parquet(s"$root/dirty")
+  }
+
+  /** The per-batch gate verdicts in arrival order — the ingest-time
+    * decision trajectory (spec surface; the last row's verdict is the
+    * one the drain acts on). */
+  private[graft] def driftGateTrajectory(spark: SparkSession,
+                                         root: String): DataFrame =
+    readLog(spark, s"$root/verdicts", verdictLogSchema)
+      .dropDuplicates("epoch").orderBy($"epoch")
+
+  /** Drain-time acting: the final maintained vocabulary (byte-equal
+    * to batch q118's newVocab) + the accumulated fresh tf and dirty
+    * set feed the shared acting tail — exactly the batch q118
+    * semantics, which is why q138's oracle IS q118's SQL. */
+  private[graft] def resolveDriftGate(spark: SparkSession, root: String,
+                                      prevTf: DataFrame,
+                                      prevScores: DataFrame): DataFrame = {
+    import graft.operators.Corpus
+    val finalV = vocabAt(spark, root, vocabEpochs(root).max)
+    val stored = vocabAt(spark, root, -1L)
+    val freshTf = readLog(spark, s"$root/freshtf", tfLogSchema).distinct()
+    val dirty = readLog(spark, s"$root/dirty", dirtyLogSchema)
+      .select($"doc_id").distinct()
+    Corpus.gatedLogProbFromParts(prevTf, stored, prevScores,
+      freshTf, dirty, finalV)
+  }
+
+  /** Drain a diff feed (doc_id, status, text-if-added/changed) through
+    * the ingest-time drift gate and return the acted q118-shaped
+    * maintenance output. */
+  def driftGateStream(spark: SparkSession, feedPath: String,
+                      prevTf: DataFrame, prevVocab: DataFrame,
+                      prevScores: DataFrame,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = StreamingClean.trackedTempDir("graft-dg-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-dg-ckpt-")
+    initDriftGateRoot(prevVocab, root)
+    val reader = spark.readStream.schema(diffFeedSchema)
+    val q = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(feedPath)
+      .writeStream
+      .queryName("graft_streaming_driftgate_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processDriftGateBatch(batch, id, root, prevTf); ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    resolveDriftGate(spark, root, prevTf, prevScores)
+  }
+
+  /** q138 — streaming-vs-batch drift-gate parity: the stored state
+    * (prev-snapshot tf/vocab/scores) publishes batch-side exactly as
+    * q118 reads it, the diff feed stages as four doc_id-ranged files
+    * (one per micro-batch), and the drain must match the batch q118
+    * SQL. */
+  def gatedLogProbViaStreaming(spark: SparkSession,
+                               sfDir: String): DataFrame = {
+    import graft.operators.Corpus
+    val (prevTf, prevVocab, _, diff) = Corpus.tfState(spark, sfDir)
+    val cur = Corpus.snapshotCur(graft.Tables.documents(spark, sfDir))
+    val feed = diff.filter($"status" =!= "unchanged")
+      .join(cur.select($"doc_id", $"text"), Seq("doc_id"), "left")
+      .select($"doc_id", $"status", $"text")
+    val staged = StreamingClean.trackedTempDir("graft-dg-in-") + "/feed"
+    feed.repartitionByRange(4, $"doc_id")
+      .write.mode("overwrite").parquet(staged)
+    driftGateStream(spark, staged, prevTf, prevVocab,
+      Corpus.storedLogProbScores(spark, sfDir), maxFilesPerTrigger = Some(1))
+  }
 }

@@ -593,6 +593,72 @@ class StreamingSemanticDedupSpec extends AnyFunSuite {
   }
 }
 
+class StreamingDriftGateSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.operators.Corpus
+  import graft.streaming.StreamingCorpus
+
+  test("q138 streaming drift gate == batch q118 on the fixture corpus") {
+    val streamed = StreamingCorpus.gatedLogProbViaStreaming(spark, sf)
+      .collect()
+    val batch = Corpus.gatedLogProb(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
+  private def feedDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "status", "text")
+
+  test("q138 trajectory: the per-batch verdict starts carry and flips " +
+       "to rescore when the accumulated delta crosses the gate; the " +
+       "drain acts the final verdict and a replayed batch is a no-op") {
+    // prev snapshot: two docs over a 10-token vocabulary, each count 2
+    val tokens = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val prevDocs = Seq(1L -> tokens.mkString(" "), 2L -> tokens.mkString(" "))
+      .toDF("doc_id", "text")
+    val prevTf = Corpus.tfFrom(prevDocs).localCheckpoint(true)
+    val prevVocab = Corpus.vocabFromTf(prevTf).localCheckpoint(true)
+    val prevScores = Corpus.unigramLogProbFrom(prevDocs).localCheckpoint(true)
+    // batch 0 nudges two of ten tokens (moved_share 2/10 = 0.20, not
+    // > 0.20; l1 2/22 < 0.10) — the gate must HOLD; batch 1 adds eight
+    // unseen tokens (moved 10/18 > 0.20) — the gate must FLIP
+    val b0 = feedDf(Seq((3L, "added", "alpha beta")))
+    val b1 = feedDf(Seq((4L, "added",
+      "mu nu xi omicron pi rho sigma tau")))
+    val root = TestTmp.dir("graft-dg-traj-").toString
+    StreamingCorpus.initDriftGateRoot(prevVocab, root)
+    StreamingCorpus.processDriftGateBatch(b0, 0L, root, prevTf)
+    StreamingCorpus.processDriftGateBatch(b1, 1L, root, prevTf)
+    val traj = StreamingCorpus.driftGateTrajectory(spark, root).collect()
+    assert(traj.map(r => r.getLong(0) -> r.getString(5)).toSeq
+      === Seq(0L -> "carry", 1L -> "rescore"),
+      "the ingest-time verdict trajectory must hold then flip")
+    // the drain acts the FINAL verdict through the shared q118 tail,
+    // landing bit-identically on the batch operator over the same diff
+    val drained = StreamingCorpus.resolveDriftGate(spark, root,
+      prevTf, prevScores).collect()
+    val curDocs = prevDocs.unionByName(feedDf(
+        Seq((3L, "added", "alpha beta"),
+          (4L, "added", "mu nu xi omicron pi rho sigma tau")))
+      .select($"doc_id", $"text"))
+    val diff = Seq(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "added", 4L -> "added").toDF("doc_id", "status")
+    val batch = Corpus.gatedLogProbOf(prevTf, prevVocab, prevScores,
+      curDocs, diff).collect()
+    assert(drained.toSeq === batch.toSeq)
+    assert(drained.forall(
+      _.getAs[String]("maintenance_path") == "rescore"))
+    // at-least-once redelivery of batch 1: the epoch-versioned vocab
+    // overwrite and read-side dedup make the replay invisible
+    StreamingCorpus.processDriftGateBatch(b1, 1L, root, prevTf)
+    assert(StreamingCorpus.driftGateTrajectory(spark, root).collect()
+      .toSeq === traj.toSeq)
+    assert(StreamingCorpus.resolveDriftGate(spark, root,
+      prevTf, prevScores).collect().toSeq === drained.toSeq)
+  }
+}
+
 class PartitionedUpsertSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
