@@ -2608,15 +2608,14 @@ object Dedup {
     val carried = prevOut.join(
       broadcast(dirty.unionByName(candDocs).distinct()),
       Seq("doc_id"), "left_anti")
-    // lazy checkpoint before the presentation sort (the r16
-    // pair-family fix, VERDICT r16 item 6): the range-exchange SAMPLE
-    // job otherwise re-executes the carry anti-join + the whole
-    // dirty-slice rebuild chain before the sort job runs them again.
-    // The checkpointed frame is the published output itself (one thin
-    // row per doc) — the table a nightly maintenance run persists
-    // anyway; the sort exists only for the driver contract's
-    // presentation order.
-    carried.unionByName(rebuilt).localCheckpoint(false).orderBy($"doc_id")
+    // NO checkpoint ahead of this presentation sort, unlike the pair
+    // family (q45/q85/q130/q131): an r17 A/B re-measured both shapes
+    // and the checkpoint DOUBLES the query (1.3 → 2.6 s steady-state)
+    // — the sample-job double-execution it would save is cheaper here
+    // than materializing the 4.7k-row output into block storage and
+    // re-scanning it, consistent with the r15 lazy-posture A/B this
+    // function already carries (SCALE.md "q115 checkpoint-posture").
+    carried.unionByName(rebuilt).orderBy($"doc_id")
   }
 
   /** q115's oracle: the FULL q113 recompute over the new snapshot. */
