@@ -25,7 +25,7 @@ object Bench {
         "q106_streaming_semdedup", "q119_streaming_decontam",
         "q123_streaming_nb", "q127_streaming_pq",
         "q134_streaming_prefixjac", "q135_streaming_prefixcontain",
-        "q138_streaming_driftgate")
+        "q138_streaming_driftgate", "q139_streaming_vecgate")
 
   /** Why the skip set exists, emitted verbatim into the artifact so
     * the oracle-subset ratio is self-describing (VERDICT r6 item 8). */

@@ -158,6 +158,7 @@ object SparkEntry {
     "q136_prefix_keep_corpus" -> (Dedup.prefixKeepCorpus(_, _)),
     "q137_prefix_canonical_keep" -> (Dedup.prefixCanonicalKeep(_, _)),
     "q138_streaming_driftgate" -> (graft.streaming.StreamingCorpus.gatedLogProbViaStreaming(_, _)),
+    "q139_streaming_vecgate" -> (graft.streaming.StreamingCorpus.gatedIvfViaStreaming(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -409,6 +410,11 @@ object SparkEntry {
     // maintained vocabulary, and acts through the same single-homed
     // tail — so the drained output must hash-match the nightly run.
     "q138_streaming_driftgate" -> Corpus.gatedLogProbSql,
+    // q139: the vector twin — per-batch state is an early-warning
+    // signal only, but the drain reconstructs the current snapshot
+    // and runs the exact batch q110 operator, so the oracle is the
+    // q110 SQL verbatim.
+    "q139_streaming_vecgate" -> VectorOps.gatedIvfMaintenanceSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

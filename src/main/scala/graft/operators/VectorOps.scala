@@ -208,7 +208,8 @@ object VectorOps {
     * sorting a (vectors × centroids)-wide exchange. centroid_id is
     * unique per group, so the trailing v/nrm fields never participate
     * in the comparison; they just ride along with the winner. */
-  private def assignCells(all: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assignCells(all: DataFrame,
+                                 centroids: DataFrame): DataFrame =
     all.crossJoin(broadcast(centroids))
       .withColumn("dist2", round(expr("graft_sqdist(v, cv)"), 6))
       .groupBy($"vec_id")
@@ -731,7 +732,7 @@ object VectorOps {
 
   /** (sample codebook rows, prev q50 assignment, prev q69 N-probe
     * assignment, prev verified pairs, diff). */
-  private def vecIndexState(spark: SparkSession, dir: String)
+  private[graft] def vecIndexState(spark: SparkSession, dir: String)
       : (Array[(Long, Seq[Double])], DataFrame, DataFrame, DataFrame,
          DataFrame) = {
     val all = vecs(spark, dir)

@@ -1374,4 +1374,176 @@ object StreamingCorpus {
     driftGateStream(spark, staged, prevTf, prevVocab,
       Corpus.storedLogProbScores(spark, sfDir), maxFilesPerTrigger = Some(1))
   }
+
+  // ---------------------------------------------------------------
+  // q139 — streaming drift-gated IVF maintenance: the q110 decision
+  // loop at INGEST — the VECTOR half of the matrix q138 completes on
+  // the text side. The two families are NOT symmetric, and the
+  // asymmetry dictates the design: q138's per-batch verdict is the
+  // EXACT q117 gate because the vocabulary gate is an integer fold
+  // over delta-maintainable counts, but q105's verdict needs a FRESH
+  // Lloyd fit over the accumulated current snapshot — re-fitting per
+  // micro-batch would cost O(stream) per batch, the exact defect the
+  // fp-sharded q134 state exists to avoid. So the ingest-time signal
+  // here is the cheap sound half: each batch assigns its ARRIVALS
+  // against the STORED codebook (one broadcast-codebook scan over the
+  // batch — vector-local, the q91 soundness argument) and tracks the
+  // arrivals' quantization error against the stored index's published
+  // baseline error; the trajectory row's `watch` flag (error drift >
+  // the q105 Dist2RefitDrift bound) is the documented EARLY-WARNING
+  // heuristic, and the EXACT q105 verdict + acted maintenance run
+  // ONCE at drain through the very batch operator
+  // ([[graft.operators.VectorOps.gatedIvfMaintenanceOf]]) — which is
+  // why q139's oracle is the q110 SQL verbatim.
+  //
+  // State is append-only (arrivals + dirty logs, drain-time dedup,
+  // the q71 discipline — replay appends identical rows); the
+  // trajectory row is recomputed from the deduped accumulated log, so
+  // a redelivered batch lands the identical row and epoch-dedup at
+  // read absorbs it.
+  //
+  // 100 TB shape: per batch, one broadcast-codebook argmin over the
+  // arriving slice + an arrivals-log-sized mean (bounded by the DIFF,
+  // not the corpus); the drain pays one fresh fit + the gate's fused
+  // single corpus scan + the chosen branch — exactly the nightly q110
+  // cost, paid once. Nothing per-batch is corpus- or stream-sized.
+  // ---------------------------------------------------------------
+
+  private val vecFeedSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("status", StringType),
+    StructField("embedding", ArrayType(FloatType))))
+  private val arrivalsLogSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("v", ArrayType(DoubleType)),
+    StructField("nrm", DoubleType), StructField("cell_id", LongType),
+    StructField("dist2", DoubleType)))
+  private val vecDirtySchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("status", StringType)))
+  private val vecTrajSchema = StructType(Seq(
+    StructField("epoch", LongType), StructField("n_arrivals", LongType),
+    StructField("mean_dist2_batch", DoubleType),
+    StructField("mean_dist2_cum", DoubleType),
+    StructField("baseline_dist2", DoubleType),
+    StructField("err_drift_cum", DoubleType),
+    StructField("watch", BooleanType)))
+
+  /** One micro-batch of the streaming IVF gate: assign the batch's
+    * added/changed vectors against the stored codebook, append
+    * arrivals + dirty ids, and record the early-warning trajectory
+    * row (arrival quantization error vs the stored `baseline`). */
+  private[graft] def processVecGateBatch(batch: DataFrame, epoch: Long,
+      root: String, cbRows: Array[(Long, Seq[Double])],
+      baseline: Double): Unit = {
+    import graft.operators.VectorOps
+    val spark = batch.sparkSession
+    val codebook = spark.createDataFrame(cbRows.toIndexedSeq)
+      .toDF("centroid_id", "cv")
+    val arrivals = VectorOps.vecsFrom(batch
+      .filter($"status".isin("added", "changed"))
+      .select($"vec_id", $"embedding"))
+    val assigned = VectorOps.assignCells(arrivals, broadcast(codebook))
+      .select($"vec_id", $"v", $"nrm", $"cell_id", $"dist2")
+    assigned.write.mode("append").parquet(s"$root/arrivals")
+    batch.select($"vec_id", $"status")
+      .write.mode("append").parquet(s"$root/dirty")
+    // trajectory from the DEDUPED accumulated log (which now includes
+    // this batch), so a replayed batch recomputes the identical row;
+    // dist2 is 6dp-rounded by assignCells, so the decimal means are
+    // exact and order-independent
+    val batchIds = assigned.select($"vec_id").distinct()
+    val log = readLog(spark, s"$root/arrivals", arrivalsLogSchema)
+      .dropDuplicates("vec_id").localCheckpoint(false)
+    val dmean: Column =
+      sum($"dist2".cast(DecimalType(18, 6))).cast(DoubleType) /
+        count(lit(1))
+    val batchMean = log.join(broadcast(batchIds), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), dmean.as("m"))
+    val cumMean = log.agg(dmean.as("mc"))
+    batchMean.crossJoin(cumMean)
+      .select(lit(epoch).as("epoch"), $"n".as("n_arrivals"),
+        round($"m", 6).as("mean_dist2_batch"),
+        round($"mc", 6).as("mean_dist2_cum"),
+        lit(baseline).as("baseline_dist2"),
+        round(($"mc" - lit(baseline)) / lit(baseline), 6)
+          .as("err_drift_cum"))
+      .withColumn("watch", coalesce(
+        $"err_drift_cum" > graft.operators.VectorOps.Dist2RefitDrift,
+        lit(false)))
+      .write.mode("append").parquet(s"$root/traj")
+  }
+
+  /** The per-batch early-warning rows in arrival order (spec
+    * surface). */
+  private[graft] def vecGateTrajectory(spark: SparkSession,
+                                       root: String): DataFrame =
+    readLog(spark, s"$root/traj", vecTrajSchema)
+      .dropDuplicates("epoch").orderBy($"epoch")
+
+  /** Drain-time acting: reconstruct the current snapshot from the
+    * stored prev vectors + the accumulated feed, then run the EXACT
+    * batch q110 operator — fresh fit, fused gate, chosen branch. */
+  private[graft] def resolveVecGate(spark: SparkSession, root: String,
+      prevVecs: DataFrame, prevAssign: DataFrame,
+      storedCb: DataFrame): DataFrame = {
+    import graft.operators.VectorOps
+    val arrivals = readLog(spark, s"$root/arrivals", arrivalsLogSchema)
+      .dropDuplicates("vec_id").localCheckpoint(false)
+    val dirty = readLog(spark, s"$root/dirty", vecDirtySchema)
+      .dropDuplicates("vec_id").localCheckpoint(false)
+    val cur = prevVecs
+      .join(broadcast(dirty.select($"vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(arrivals.select($"vec_id", $"v", $"nrm"))
+      .localCheckpoint(false)
+    VectorOps.gatedIvfMaintenanceOf(prevAssign, cur, dirty, storedCb,
+      VectorOps.fittedCentroids(cur).localCheckpoint(false))
+  }
+
+  /** Drain a vector diff feed through the ingest-time IVF gate and
+    * return the acted q110-shaped maintenance output. */
+  def vecGateStream(spark: SparkSession, feedPath: String,
+      cbRows: Array[(Long, Seq[Double])], prevVecs: DataFrame,
+      prevAssign: DataFrame, baseline: Double,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val root = StreamingClean.trackedTempDir("graft-vg-state-")
+    val checkpoint = StreamingClean.trackedTempDir("graft-vg-ckpt-")
+    val reader = spark.readStream.schema(vecFeedSchema)
+    val q = maxFilesPerTrigger.fold(reader)(n =>
+        reader.option("maxFilesPerTrigger", n))
+      .parquet(feedPath)
+      .writeStream
+      .queryName("graft_streaming_vecgate_" + sinkSeq.incrementAndGet())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processVecGateBatch(batch, id, root, cbRows, baseline); ()
+      }
+      .start()
+    try q.awaitTermination()
+    finally StreamingClean.rmTree(checkpoint)
+    resolveVecGate(spark, root, prevVecs, prevAssign,
+      spark.createDataFrame(cbRows.toIndexedSeq).toDF("centroid_id", "cv"))
+  }
+
+  /** q139 — streaming-vs-batch IVF-gate parity: stored state (sample
+    * codebook, prev assignment, its baseline error) publishes
+    * batch-side exactly as q110 reads it; the vector diff feed stages
+    * as four vec_id-ranged files. Oracle = the batch q110 SQL. */
+  def gatedIvfViaStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val all = VectorOps.vecsFrom(graft.Tables.embeddings(spark, sfDir))
+    val (cbRows, prevAssign, _, _, _) = VectorOps.vecIndexState(spark, sfDir)
+    val baseline = prevAssign
+      .agg((sum($"dist2".cast(DecimalType(18, 6))).cast(DoubleType)
+        / count(lit(1))).as("m"))
+      .head().getDouble(0)
+    val feed = VectorOps.vecSnapshotDiff(all)
+      .filter($"status" =!= "unchanged")
+      .join(graft.Tables.embeddings(spark, sfDir)
+        .select($"vec_id", $"embedding"), Seq("vec_id"), "left")
+      .select($"vec_id", $"status", $"embedding")
+    val staged = StreamingClean.trackedTempDir("graft-vg-in-") + "/feed"
+    feed.repartitionByRange(4, $"vec_id")
+      .write.mode("overwrite").parquet(staged)
+    vecGateStream(spark, staged, cbRows, VectorOps.vecSnapshotPrev(all),
+      prevAssign, baseline, maxFilesPerTrigger = Some(1))
+  }
 }

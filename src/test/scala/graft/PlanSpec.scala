@@ -650,13 +650,28 @@ class PlanSpec extends AnyFunSuite {
       s"found an unbroadcast cartesian:\n${p.take(3000)}")
   }
 
-  test("q116 incremental NB: stored tf carries broadcast-anti and no " +
-       "tokenize leaks above the delta checkpoint") {
+  test("q116 incremental NB: the per-call plan scores against the " +
+       "published maintained state — no tokenize, no carry re-run") {
+    // Since r17 the maintained tf + derived model memoize per corpus
+    // fingerprint (VERDICT r16 item 1 — the q114/q129/q99
+    // published-artifact discipline): the carry anti-join and the
+    // delta merge run ONCE inside the maintained-state derivation
+    // (whose shape maintainedNbState documents and the sentinel
+    // carry specs prove behaviorally), so the visible per-call plan
+    // must be the rescore alone, reading the maintained tf as a
+    // checkpointed leaf. The r16 assertion that LeftAnti appears in
+    // THIS plan is scoped away exactly as the r16 fp-shuffle pin was
+    // (ADVICE r15): asserting it here would force the maintenance to
+    // re-run per call — the defect the memo removed.
     val p = plan("q116_incremental_nb")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"stored tf must map-side anti-join the dirty set:\n${p.take(3000)}")
+    assert(p.contains("ExistingRDD"),
+      s"the rescore must read the published maintained state:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"scoring joins must stay map-side:\n${p.take(3000)}")
     assert(!p.contains("Generate"),
       s"corpus tokenization leaked above the delta checkpoint:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"found an unbroadcast cartesian:\n${p.take(3000)}")
   }
 
   test("q120 PQ encoding: the codebook broadcasts into one corpus " +

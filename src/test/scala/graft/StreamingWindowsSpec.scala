@@ -657,6 +657,70 @@ class StreamingDriftGateSpec extends AnyFunSuite {
     assert(StreamingCorpus.resolveDriftGate(spark, root,
       prevTf, prevScores).collect().toSeq === drained.toSeq)
   }
+
+  test("q139 streaming IVF gate == batch q110 on the fixture corpus") {
+    val streamed = StreamingCorpus.gatedIvfViaStreaming(spark, sf)
+      .collect()
+    val batch = graft.operators.VectorOps.gatedIvfMaintenance(spark, sf)
+      .collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
+  test("q139 trajectory: in-distribution arrivals keep the watch flag " +
+       "down, a drifted batch raises it, the drain reconstructs the " +
+       "snapshot exactly, and a replayed batch is a no-op") {
+    import graft.operators.VectorOps
+    val cbRows = Array(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0))
+    val cbDf = cbRows.toSeq.toDF("centroid_id", "cv")
+    def vecsOf(rows: Seq[(Long, Seq[Float])]) =
+      VectorOps.vecsFrom(rows.toDF("vec_id", "embedding"))
+    // prev snapshot: two seed-eligible ids (%100 == 0) + one extra,
+    // all snug against the stored centroids (small baseline error)
+    val prevRows = Seq(100L -> Seq(1.0f, 0.1f), 200L -> Seq(0.1f, 1.0f),
+      7L -> Seq(0.9f, 0.05f))
+    val prevVecs = vecsOf(prevRows).localCheckpoint(true)
+    val prevAssign = VectorOps.assignCells(prevVecs, cbDf)
+      .select($"vec_id", $"cell_id", $"dist2").localCheckpoint(true)
+    val baseline = prevAssign
+      .agg((sum($"dist2".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("m")).head().getDouble(0)
+    def feedOf(rows: Seq[(Long, String, Seq[Float])]) =
+      rows.toDF("vec_id", "status", "embedding")
+    // batch 0: an arrival inside the stored distribution; batch 1: a
+    // removal plus an arrival far from every centroid
+    val b0 = feedOf(Seq((300L, "added", Seq(1.0f, 0.1f))))
+    val b1 = feedOf(Seq((7L, "removed", null),
+      (400L, "added", Seq(5.0f, 5.0f))))
+    val root = TestTmp.dir("graft-vg-traj-").toString
+    StreamingCorpus.processVecGateBatch(b0, 0L, root, cbRows, baseline)
+    StreamingCorpus.processVecGateBatch(b1, 1L, root, cbRows, baseline)
+    val traj = StreamingCorpus.vecGateTrajectory(spark, root).collect()
+    assert(traj.map(r =>
+        r.getLong(0) -> r.getAs[Boolean]("watch")).toSeq
+      === Seq(0L -> false, 1L -> true),
+      "arrival-error early warning must stay down then trip")
+    // drain == the batch q110 operator over the directly-built
+    // current snapshot (prev - removed + arrivals)
+    val drained = StreamingCorpus.resolveVecGate(spark, root,
+      prevVecs, prevAssign, cbDf).collect()
+    val curDirect = vecsOf(Seq(100L -> Seq(1.0f, 0.1f),
+      200L -> Seq(0.1f, 1.0f), 300L -> Seq(1.0f, 0.1f),
+      400L -> Seq(5.0f, 5.0f))).localCheckpoint(true)
+    val diffDirect = Seq(300L -> "added", 400L -> "added",
+      7L -> "removed").toDF("vec_id", "status")
+    val batch = VectorOps.gatedIvfMaintenanceOf(prevAssign, curDirect,
+      diffDirect, cbDf,
+      VectorOps.fittedCentroids(curDirect).localCheckpoint(false))
+      .collect()
+    assert(drained.toSeq === batch.toSeq)
+    // replay batch 1: append-only logs + read-side dedup, and the
+    // trajectory row recomputes identically from the deduped log
+    StreamingCorpus.processVecGateBatch(b1, 1L, root, cbRows, baseline)
+    assert(StreamingCorpus.vecGateTrajectory(spark, root).collect()
+      .toSeq === traj.toSeq)
+    assert(StreamingCorpus.resolveVecGate(spark, root,
+      prevVecs, prevAssign, cbDf).collect().toSeq === drained.toSeq)
+  }
 }
 
 class PartitionedUpsertSpec extends AnyFunSuite {
