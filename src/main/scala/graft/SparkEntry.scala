@@ -159,6 +159,7 @@ object SparkEntry {
     "q137_prefix_canonical_keep" -> (Dedup.prefixCanonicalKeep(_, _)),
     "q138_streaming_driftgate" -> (graft.streaming.StreamingCorpus.gatedLogProbViaStreaming(_, _)),
     "q139_streaming_vecgate" -> (graft.streaming.StreamingCorpus.gatedIvfViaStreaming(_, _)),
+    "q140_containment_keep" -> (Dedup.containmentKeepCorpus(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -415,6 +416,10 @@ object SparkEntry {
     // and runs the exact batch q110 operator, so the oracle is the
     // q110 SQL verbatim.
     "q139_streaming_vecgate" -> VectorOps.gatedIvfMaintenanceSql,
+    // q140's oracle is q85's brute-force CTEs re-tailed with the same
+    // integer-size drop rule — the exactness claim composed through
+    // the subset-doc removal act.
+    "q140_containment_keep" -> Dedup.containmentKeepCorpusSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

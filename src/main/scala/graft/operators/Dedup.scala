@@ -547,6 +547,20 @@ object Dedup {
   /** The UNSORTED q131 pipeline (see [[prefixJaccardPairsOver]]). */
   private[graft] def prefixContainmentPairsOver(
       items: DataFrame, itemCol: String, threshold: Double,
+      maxDocFreq: Int = MaxShingleDocFreq): DataFrame =
+    prefixContainmentSizedOver(items, itemCol, threshold, maxDocFreq)
+      .select($"doc_a", $"doc_b",
+        ($"i" * lit(1.0) / $"na").as("containment_a"),
+        ($"i" * lit(1.0) / $"nb").as("containment_b"))
+
+  /** The q131 pipeline stopped at the sized pair frame (doc_a, doc_b,
+    * i, na, nb) — same candidates, same verify, same threshold
+    * predicate (the ratio projection above is a pure re-expression of
+    * the filter's own operands, so q131's output is unchanged by this
+    * split); q140's drop rule wants the exact integer sizes, not
+    * their double ratios. */
+  private[graft] def prefixContainmentSizedOver(
+      items: DataFrame, itemCol: String, threshold: Double,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
     val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
     val pref = ranked
@@ -569,10 +583,8 @@ object Dedup {
       .filter($"bound" >= $"need")
       .select($"doc_a", $"doc_b")
     candidateOverlap(cand, it)
-      .select($"doc_a", $"doc_b",
-        ($"i" * lit(1.0) / $"na").as("containment_a"),
-        ($"i" * lit(1.0) / $"nb").as("containment_b"))
-      .filter(greatest($"containment_a", $"containment_b") >= threshold)
+      .filter(greatest($"i" * lit(1.0) / $"na",
+        $"i" * lit(1.0) / $"nb") >= threshold)
   }
 
   /** q131 oracle: q85's brute-force statement VERBATIM (both run at
@@ -2926,4 +2938,81 @@ object Dedup {
     * brute-force pair statement. */
   lazy val prefixCanonicalKeepSql: String = canonicalKeepCorpusSqlOver(
     jaccardPairsSqlAt(PrefixJaccardThreshold), "documents")
+
+  // ---------------------------------------------------------------
+  // q140 — containment kept corpus (subset-doc removal): the ACT of
+  // the asymmetric measure, which q136/q137 structurally cannot
+  // perform — their Jaccard components never contain the
+  // quote-and-extend pair (a document wholly embedded in a much
+  // longer one sits below any Jaccard threshold; catching it is
+  // q85/q131's entire reason to exist). The keeper rule is the
+  // measure's own semantics, not clustering: every exact containment
+  // pair drops its COVERED endpoint — the smaller kept-shingle side,
+  // whose containment is by definition the pair's max and hence ≥ τ —
+  // keeping the superset document; equal sizes (mutual containment ≈
+  // near-dup) keep the min doc_id, the q70 tie policy. One pass, no
+  // components: for a chain a ⊂ b ⊂ c each link drops its own subset
+  // doc, so exactly the maximal document survives; the rule is
+  // deterministic in corpus content alone (exact pairs, exact integer
+  // sizes — no double ratios in the decision).
+  //
+  // 100 TB shape: pairs are q131's rarity-bounded prefix filter; the
+  // drop list is one projection of the pair table (bounded by the
+  // containment-dup rate); the corpus pass is a single broadcast
+  // anti-join — the q70 shape with the containment measure's drop
+  // rule in place of connected components.
+  // ---------------------------------------------------------------
+
+  /** q140 — keep the superset side of every exact containment pair. */
+  def containmentKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    containmentKeepCorpusOf(Tables.documents(spark, dir),
+      prefixContainmentSizedOver(shingleFps(spark, dir), "fp",
+        ContainmentThreshold))
+
+  /** The keep pass over any sized containment-pair frame (doc_a,
+    * doc_b, i, na, nb). */
+  def containmentKeepCorpusOf(docs: DataFrame,
+                              sizedPairs: DataFrame): DataFrame = {
+    val dropped = sizedPairs.select(
+        when($"na" < $"nb", $"doc_a")
+          .when($"nb" < $"na", $"doc_b")
+          .otherwise(greatest($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** q140 oracle: q85's brute-force CTEs (verbatim) re-tailed with
+    * the same integer-size drop rule — prefix filtering is exact, so
+    * the composed keep must hash-match the quadratic baseline's. */
+  lazy val containmentKeepCorpusSql: String =
+    s"""WITH ${shinglesCte(src = "documents")},
+       |$fpsCte,
+       |hot AS (SELECT fp FROM fps GROUP BY fp
+       |        HAVING COUNT(*) > $MaxShingleDocFreq),
+       |kept AS (SELECT * FROM fps
+       |         WHERE fp NOT IN (SELECT fp FROM hot)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, i, sa.n AS na, sb.n AS nb
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b
+       |  WHERE greatest(i * 1.0 / sa.n, i * 1.0 / sb.n)
+       |    >= $ContainmentThreshold),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN na < nb THEN doc_a
+       |                       WHEN nb < na THEN doc_b
+       |                       ELSE GREATEST(doc_a, doc_b) END AS doc_id
+       |  FROM pairs)
+       |SELECT d.doc_id, LENGTH(d.text) AS n_chars
+       |FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM dropped
+       |                  WHERE dropped.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

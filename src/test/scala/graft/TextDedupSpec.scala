@@ -1313,6 +1313,64 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q140 containment keep: every pair drops its covered endpoint " +
+       "— equals the brute-force rule on the fixture; a subset doc " +
+       "the Jaccard keeper retains is removed; chains keep only the " +
+       "maximal doc") {
+    // fixture: the composed keep equals the brute-force sized pairs +
+    // the same integer-size drop rule applied in plain Scala
+    val docs = Tables.documents(spark, sf)
+    val bruteDrop = Dedup.pairOverlap(Dedup.shingleFpsFrom(docs), "fp")
+      .filter(greatest(col("i") * lit(1.0) / col("na"),
+        col("i") * lit(1.0) / col("nb")) >= Dedup.ContainmentThreshold)
+      .collect().map { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+        if (na < nb) a else if (nb < na) b else math.max(a, b)
+      }.toSet
+    assert(bruteDrop.nonEmpty, "fixture has no containment pairs — vacuous")
+    val kept = Dedup.containmentKeepCorpus(spark, sf).collect()
+    val expected = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").length)
+      .filterNot(d => bruteDrop(d._1)).sortBy(_._1)
+    assert(kept.map(r => r.getLong(0) -> r.getLong(1).toInt).toSeq
+      === expected.toSeq)
+    // hand corpus: w ⊂ x ⊂ y is a containment CHAIN whose links sit
+    // below the 0.8 Jaccard threshold, plus a near-equal clone pair
+    // (z, z') — the act the Jaccard keeper structurally cannot take
+    val base = (1 to 60).map(i => s"t$i")
+    val hand = spark.createDataFrame(Seq(
+      10L -> base.take(20).mkString(" "),          // w  ⊂ x
+      20L -> base.take(40).mkString(" "),          // x  ⊂ y
+      30L -> base.mkString(" "),                   // y  (maximal)
+      40L -> ((1 to 59).map(i => s"t$i") :+ "zz").mkString(" "), // y clone
+      50L -> (100 to 140).map(i => s"u$i").mkString(" ")))       // bystander
+      .toDF("doc_id", "text")
+    val handKept = Dedup.containmentKeepCorpusOf(hand,
+        Dedup.prefixContainmentSizedOver(Dedup.shingleFpsFrom(hand), "fp",
+          Dedup.ContainmentThreshold))
+      .collect().map(_.getLong(0)).toSeq
+    // chain: only the maximal doc of {10, 20, 30} survives; the
+    // near-equal pair {30, 40} keeps one side; 50 untouched.
+    // 40 (59 shared of 60) covers 30 and vice versa — near-equal,
+    // sizes differ by the mutated tail's shingles, so the smaller
+    // drops; the surviving superset chain member must be 30 or 40.
+    assert(handKept.contains(50L))
+    assert(!handKept.contains(10L) && !handKept.contains(20L),
+      "subset docs of the chain must drop")
+    assert(handKept.count(Set(30L, 40L)) === 1,
+      "the near-equal pair must keep exactly one side")
+    // the Jaccard keeper CANNOT drop the chain's subset docs: no link
+    // reaches Jaccard 0.8, so w/x survive there — the q140 contrast
+    val jacKept = Dedup.dedupKeepCorpusFrom(hand,
+        Dedup.dedupClustersFrom(Dedup.jaccardPairsFrom(hand,
+            threshold = Dedup.PrefixJaccardThreshold)
+          .select(col("doc_a"), col("doc_b"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(jacKept.contains(10L) && jacKept.contains(20L),
+      "expected the Jaccard keeper to retain the subset docs q140 drops")
+  }
+
   test("q95 incremental semantic dedup == full rebuild over the new " +
        "snapshot against the frozen sample codebook") {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
