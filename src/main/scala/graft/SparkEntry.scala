@@ -160,6 +160,7 @@ object SparkEntry {
     "q138_streaming_driftgate" -> (graft.streaming.StreamingCorpus.gatedLogProbViaStreaming(_, _)),
     "q139_streaming_vecgate" -> (graft.streaming.StreamingCorpus.gatedIvfViaStreaming(_, _)),
     "q140_containment_keep" -> (Dedup.containmentKeepCorpus(_, _)),
+    "q141_incremental_prefix_keep" -> (Dedup.incrementalPrefixKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -420,6 +421,9 @@ object SparkEntry {
     // integer-size drop rule — the exactness claim composed through
     // the subset-doc removal act.
     "q140_containment_keep" -> Dedup.containmentKeepCorpusSql,
+    // q141's oracle is the full q136 chain over the new snapshot:
+    // maintained exact pairs -> CC -> keep == rebuild-everything.
+    "q141_incremental_prefix_keep" -> Dedup.incrementalPrefixKeepSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

@@ -1664,6 +1664,21 @@ object Dedup {
       keptItems(fps, "fp", MaxShingleDocFreq)
         .groupBy($"doc_id").agg(count(lit(1)).as("n"))
         .localCheckpoint(true)
+    /** PUBLISHED: the maintained q130 verdict table of the CURRENT
+      * snapshot — what q132's nightly run writes; q141 reads it
+      * (q132 itself stays the maintainer and prices the dirty-slice
+      * machinery in its own row). */
+    lazy val prefixPairsCur: DataFrame =
+      incrementalPrefixJaccardPlan(fps, prefixPass, cur, diff,
+        PrefixJaccardThreshold, MaxShingleDocFreq,
+        Some(prefixDf), Some(prefixSz)).localCheckpoint(true)
+    /** PUBLISHED: CC labels over [[prefixPairsCur]] — the exact
+      * family's label leaf, exactly as [[labels]] is the LSH
+      * family's: the nightly job runs CC once so keeper-policy
+      * consumers read a leaf instead of re-running the rounds. */
+    lazy val prefixLabels: DataFrame =
+      clusterLabels(prefixPairsCur.select($"doc_a", $"doc_b"))
+        .localCheckpoint(true)
   }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
@@ -2981,6 +2996,28 @@ object Dedup {
     docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
       .select($"doc_id", length($"text").cast("long").as("n_chars"))
       .orderBy($"doc_id")
+  }
+
+  /** q141 — incremental EXACT kept corpus: q136's min-id keeper over
+    * the PUBLISHED maintained exact pair table's label leaf — the
+    * q104 discipline applied to the prefix family (every stored
+    * artifact keeps a maintained twin; the exact kept corpus was the
+    * last without one). q132 stays the MAINTAINER (its row prices the
+    * nightly dirty-slice machinery); this consumer pays keeper
+    * selection + one broadcast anti-join over the current snapshot.
+    * Oracle = the FULL q136 chain over the new snapshot — maintained
+    * pairs → CC → keep must land byte-identically on
+    * rebuild-everything. */
+  def incrementalPrefixKeep(spark: SparkSession, dir: String): DataFrame = {
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    dedupKeepCorpusFrom(idx.cur,
+      idx.prefixLabels.select($"doc_id", $"lbl".as("cluster_id")))
+  }
+
+  lazy val incrementalPrefixKeepSql: String = {
+    val src = s"(SELECT * FROM documents WHERE doc_id % " +
+      s"${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes})"
+    dedupKeepCorpusSqlOver(jaccardPairsSqlAt(PrefixJaccardThreshold, src), src)
   }
 
   /** q140 oracle: q85's brute-force CTEs (verbatim) re-tailed with

@@ -1371,6 +1371,24 @@ class TextDedupSpec extends AnyFunSuite {
       "expected the Jaccard keeper to retain the subset docs q140 drops")
   }
 
+  test("q141 incremental exact keep == the full q136 chain over the " +
+       "new snapshot") {
+    val cur = Corpus.snapshotCur(Tables.documents(spark, sf))
+    // the oracle's claim, in-engine: maintained pairs -> CC -> keep
+    // lands byte-identically on rebuilding everything from cur text
+    val rebuild = Dedup.dedupKeepCorpusFrom(cur,
+        Dedup.dedupClustersFrom(
+          Dedup.prefixJaccardPairsFrom(cur,
+              threshold = Dedup.PrefixJaccardThreshold)
+            .select(col("doc_a"), col("doc_b"))))
+      .collect()
+    val inc = Dedup.incrementalPrefixKeep(spark, sf).collect()
+    assert(rebuild.length < cur.count(),
+      "snapshot has no exact near-dup drops — test is vacuous")
+    assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rebuild.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("q95 incremental semantic dedup == full rebuild over the new " +
        "snapshot against the frozen sample codebook") {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
