@@ -161,6 +161,7 @@ object SparkEntry {
     "q139_streaming_vecgate" -> (graft.streaming.StreamingCorpus.gatedIvfViaStreaming(_, _)),
     "q140_containment_keep" -> (Dedup.containmentKeepCorpus(_, _)),
     "q141_incremental_prefix_keep" -> (Dedup.incrementalPrefixKeep(_, _)),
+    "q142_incremental_containment_keep" -> (Dedup.incrementalContainmentKeep(_, _)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,6 +425,8 @@ object SparkEntry {
     // q141's oracle is the full q136 chain over the new snapshot:
     // maintained exact pairs -> CC -> keep == rebuild-everything.
     "q141_incremental_prefix_keep" -> Dedup.incrementalPrefixKeepSql,
+    // q142's oracle is the full q140 statement over the new snapshot.
+    "q142_incremental_containment_keep" -> Dedup.incrementalContainmentKeepSql,
     // q30 (r14, VERDICT r13 item 7): the closed-form normal-equation
     // fit IS bit-reproducible once the features are floor-quantized,
     // the sufficient statistics are exact BIGINT sums, and the 5×5

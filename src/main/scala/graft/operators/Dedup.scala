@@ -1679,6 +1679,12 @@ object Dedup {
     lazy val prefixLabels: DataFrame =
       clusterLabels(prefixPairsCur.select($"doc_a", $"doc_b"))
         .localCheckpoint(true)
+    /** PUBLISHED: the maintained q131 verdict table of the CURRENT
+      * snapshot — what q133's nightly run writes; q142 reads it. */
+    lazy val prefixContainCur: DataFrame =
+      incrementalPrefixContainmentPlan(fps, prefixContainPass, cur, diff,
+        ContainmentThreshold, MaxShingleDocFreq,
+        Some(prefixDf), Some(prefixSz)).localCheckpoint(true)
   }
 
   /** Shared by the q88/q89/q91/q92 stored-state memos (the q50
@@ -3020,11 +3026,44 @@ object Dedup {
     dedupKeepCorpusSqlOver(jaccardPairsSqlAt(PrefixJaccardThreshold, src), src)
   }
 
+  /** q142 — incremental containment kept corpus: q140's drop rule
+    * over the PUBLISHED maintained q131 verdict table (q141's
+    * discipline with the containment measure — q133 stays the
+    * maintainer). The stored table carries the RATIO columns, so the
+    * rule re-expresses size comparison through them: i/na > i/nb ⟺
+    * na < nb, and the double ratios preserve that order exactly —
+    * the relative gap between i/na and i/nb at na ≠ nb is
+    * |nb−na|/na ≥ 1/na > 2⁻²⁶ (the ceilTauN document-size premise),
+    * ~10⁷ ulps, so distinct sizes can never round to equal doubles
+    * and equal ratios occur exactly at equal sizes (identical
+    * operands → identical doubles). Oracle = the FULL q140 statement
+    * over the new snapshot. */
+  def incrementalContainmentKeep(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val idx = storedIndexFor(spark, dir, Tables.documents(spark, dir))
+    val dropped = idx.prefixContainCur.select(
+        when($"containment_a" > $"containment_b", $"doc_a")
+          .when($"containment_b" > $"containment_a", $"doc_b")
+          .otherwise(greatest($"doc_a", $"doc_b")).as("doc_id"))
+      .distinct()
+    idx.cur.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .select($"doc_id", length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val incrementalContainmentKeepSql: String =
+    containmentKeepCorpusSqlFrom(
+      s"(SELECT * FROM documents WHERE doc_id % " +
+        s"${Corpus.SnapRemovedMod} <> ${Corpus.SnapRemovedRes})")
+
   /** q140 oracle: q85's brute-force CTEs (verbatim) re-tailed with
     * the same integer-size drop rule — prefix filtering is exact, so
     * the composed keep must hash-match the quadratic baseline's. */
   lazy val containmentKeepCorpusSql: String =
-    s"""WITH ${shinglesCte(src = "documents")},
+    containmentKeepCorpusSqlFrom("documents")
+
+  def containmentKeepCorpusSqlFrom(src: String): String =
+    s"""WITH ${shinglesCte(src = src)},
        |$fpsCte,
        |hot AS (SELECT fp FROM fps GROUP BY fp
        |        HAVING COUNT(*) > $MaxShingleDocFreq),
@@ -3048,7 +3087,7 @@ object Dedup {
        |                       ELSE GREATEST(doc_a, doc_b) END AS doc_id
        |  FROM pairs)
        |SELECT d.doc_id, LENGTH(d.text) AS n_chars
-       |FROM documents d
+       |FROM $src d
        |WHERE NOT EXISTS (SELECT 1 FROM dropped
        |                  WHERE dropped.doc_id = d.doc_id)
        |ORDER BY d.doc_id""".stripMargin

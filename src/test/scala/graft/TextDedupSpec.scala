@@ -1389,6 +1389,28 @@ class TextDedupSpec extends AnyFunSuite {
       rebuild.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("q142 incremental containment keep == the full q140 chain over " +
+       "the new snapshot; the ratio drop rule equals the size rule") {
+    val cur = Corpus.snapshotCur(Tables.documents(spark, sf))
+    val sized = Dedup.prefixContainmentSizedOver(
+      Dedup.shingleFpsFrom(cur), "fp", Dedup.ContainmentThreshold)
+    val rebuild = Dedup.containmentKeepCorpusOf(cur, sized).collect()
+    val inc = Dedup.incrementalContainmentKeep(spark, sf).collect()
+    assert(rebuild.length < cur.count(),
+      "snapshot has no containment drops — test is vacuous")
+    assert(inc.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      rebuild.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // the scaladoc's equivalence premise, checked on real pairs: the
+    // ratio comparison decides exactly as the integer-size comparison
+    sized.collect().foreach { r =>
+      val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      val i = r.getAs[Long]("i")
+      val (ca, cb) = (i * 1.0 / na, i * 1.0 / nb)
+      assert((ca > cb) === (na < nb) && (ca == cb) === (na == nb),
+        s"ratio/size order diverged at na=$na nb=$nb i=$i")
+    }
+  }
+
   test("q95 incremental semantic dedup == full rebuild over the new " +
        "snapshot against the frozen sample codebook") {
     val incremental = VectorOps.incrementalSemanticKeep(spark, sf).collect()
