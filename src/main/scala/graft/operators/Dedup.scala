@@ -370,7 +370,7 @@ object Dedup {
     * of the subtree into a private RDD, which no lock can dedupe;
     * the eager barrier that fixed it also serialized a full
     * materialization in front of the self-join.) */
-  private def rarityRanked(items: DataFrame, itemCol: String,
+  private[graft] def rarityRanked(items: DataFrame, itemCol: String,
                            maxDocFreq: Int): (DataFrame, DataFrame) = {
     val it = keptItems(items, itemCol, maxDocFreq)
     // global rarity order: document frequency over the kept universe.
@@ -398,6 +398,72 @@ object Dedup {
       .localCheckpoint(false)
     (it, ranked)
   }
+
+  /** r17 (guide §2.4): the doc-grouped rarity artifact behind
+    * q130/q131/q136/q137/q140 — ONE fp-keyed aggregate (raw df), ONE
+    * shuffle_hash join attaching df to kept occurrences, ONE doc-keyed
+    * aggregate building each doc's rarity-SORTED kept-fp array. The
+    * ranked occurrence view (pos, n), the prefix rows, and the verify
+    * arrays all derive ROW-LOCALLY from this checkpointed 1-row-per-doc
+    * frame. The old shape ([[rarityRanked]] + [[candidateOverlap]]'s
+    * array build) paid: a hot-set aggregate, a SECOND df aggregate over
+    * the kept relation, a Window sort exchange, and a THIRD doc-keyed
+    * aggregate for verify arrays — 6 exchanges of the occurrence
+    * relation vs 3 here, plan-diffed in plans/r17.
+    *
+    * Universe equivalence with [[keptItems]] (what keeps the prefix
+    * operators ≡ their brute-force oracle twins): kept occurrences are
+    * exactly those whose fp has raw df ≤ maxDocFreq, and dropping hot
+    * fps does not change any other fp's df — so the inner join against
+    * the df-filtered table IS the hot-set anti-join, and the df values
+    * attached are the kept-universe df values. Rank order matches the
+    * old Window spec: sort_array over struct(df, item) sorts
+    * lexicographically = (df asc, item asc); items are distinct per
+    * doc, so the order is total.
+    *
+    * Returns (doc_id, sfps: array<struct<df,item>> rarity-sorted,
+    * n: long). */
+  private def rarityDocArrays(items: DataFrame, itemCol: String,
+                              maxDocFreq: Int): DataFrame = {
+    val src = items.localCheckpoint(true)
+    val df = src.groupBy(col(itemCol)).agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDocFreq)
+      .hint("shuffle_hash") // vocabulary-sized: never broadcast (q65)
+    src.join(df, Seq(itemCol))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", col(itemCol).as("item"))))
+        .as("sfps"))
+      .select($"doc_id", $"sfps", size($"sfps").cast(LongType).as("n"))
+      .localCheckpoint(false)
+  }
+
+  /** The exploded (doc_id, item, pos, n) view of [[rarityDocArrays]]'
+    * PREFIX slice at threshold τ — row-local from the checkpointed
+    * array frame (pos is 1-based, matching the old Window rank). */
+  private def prefixRowsOf(docArr: DataFrame, itemCol: String,
+                           threshold: Double): DataFrame = {
+    val len = ($"n" - ceilTauN($"n", threshold) + lit(1L)).cast("int")
+    docArr
+      .select($"doc_id", $"n", posexplode(slice($"sfps", lit(1), len)))
+      .select($"doc_id", $"col.item".as(itemCol),
+        ($"pos" + 1).cast(LongType).as("pos"), $"n")
+  }
+
+  /** [[candidateOverlap]] over a prebuilt (doc_id, fps, n) array frame
+    * — the prefix pipelines pass arrays derived from the SAME
+    * [[rarityDocArrays]] checkpoint their candidates came from, so no
+    * re-aggregation of the occurrence relation exists anywhere in the
+    * verify tail. */
+  private def candidateOverlapArrs(cand: DataFrame,
+                                   arrs: DataFrame): DataFrame =
+    cand
+      .join(arrs.select($"doc_id".as("doc_a"),
+        $"fps".as("fps_a"), $"n".as("na")), Seq("doc_a"))
+      .join(arrs.select($"doc_id".as("doc_b"),
+        $"fps".as("fps_b"), $"n".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"fps_a", $"fps_b")).cast(LongType).as("i"),
+        $"na", $"nb")
 
   /** τ as the exact reduced rational p/q of its shortest decimal
     * representation (0.8 → 4/5). ALL prefix-filter pruning arithmetic
@@ -444,7 +510,7 @@ object Dedup {
     * would have chunked it (q72) and the row itself strained the
     * shuffle. ADVICE r16 asked for the premise to be written where n
     * is produced; this is that note. */
-  private def ceilTauN(n: Column, threshold: Double): Column = {
+  private[graft] def ceilTauN(n: Column, threshold: Double): Column = {
     val (p, q) = tauFrac(threshold)
     call_function("div", n * lit(p) + lit(q - 1L), lit(q))
   }
@@ -456,13 +522,12 @@ object Dedup {
   private[graft] def prefixJaccardPairsOver(
       items: DataFrame, itemCol: String, threshold: Double,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
-    val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
+    // r17: prefixes, ranks, and verify arrays all derive row-locally
+    // from ONE doc-grouped rarity artifact (see [[rarityDocArrays]]).
+    val docArr = rarityDocArrays(items, itemCol, maxDocFreq)
     val (p, q) = tauFrac(threshold)
-    // prefix = the doc's first L = n − ⌈τ·n⌉ + 1 rarity-ranked items;
-    // a row-local filter over the resident ranked leaf, cheap on
-    // both sides of the self-join
-    val pref = ranked
-      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
+    // prefix = the doc's first L = n − ⌈τ·n⌉ + 1 rarity-ranked items
+    val pref = prefixRowsOf(docArr, itemCol, threshold)
     // required overlap: J ≥ τ ⟺ i ≥ τ(na+nb)/(1+τ) = (na+nb)·p/(p+q),
     // ceil'd exactly over longs (see tauFrac)
     val iMin = call_function("div",
@@ -489,7 +554,8 @@ object Dedup {
         first($"na").as("na"), first($"nb").as("nb"))
       .filter($"bound" >= iMin)
       .select($"doc_a", $"doc_b")
-    candidateOverlap(cand, it)
+    candidateOverlapArrs(cand,
+      docArr.select($"doc_id", transform($"sfps", _("item")).as("fps"), $"n"))
       .select($"doc_a", $"doc_b",
         ($"i" * lit(1.0) / ($"na" + $"nb" - $"i")).as("jaccard"))
       .filter($"jaccard" >= threshold)
@@ -562,9 +628,15 @@ object Dedup {
   private[graft] def prefixContainmentSizedOver(
       items: DataFrame, itemCol: String, threshold: Double,
       maxDocFreq: Int = MaxShingleDocFreq): DataFrame = {
-    val (it, ranked) = rarityRanked(items, itemCol, maxDocFreq)
-    val pref = ranked
-      .filter($"pos" <= $"n" - ceilTauN($"n", threshold) + lit(1L))
+    // r17: one doc-grouped rarity artifact (see [[rarityDocArrays]]);
+    // the full-list probe side is the posexplode view of the same
+    // checkpointed array frame — no Window sort, no re-aggregation.
+    val docArr = rarityDocArrays(items, itemCol, maxDocFreq)
+    val pref = prefixRowsOf(docArr, itemCol, threshold)
+    val ranked = docArr
+      .select($"doc_id", $"n", posexplode($"sfps"))
+      .select($"doc_id", $"col.item".as(itemCol),
+        ($"pos" + 1).cast(LongType).as("pos"), $"n")
     // smaller-side prefix probes the larger side's full list; ties in
     // size probe both ways and the (least, greatest) normalization +
     // pair groupBy collapse the duplicates
@@ -582,7 +654,8 @@ object Dedup {
       .agg(min($"bound").as("bound"), first($"need").as("need"))
       .filter($"bound" >= $"need")
       .select($"doc_a", $"doc_b")
-    candidateOverlap(cand, it)
+    candidateOverlapArrs(cand,
+      docArr.select($"doc_id", transform($"sfps", _("item")).as("fps"), $"n"))
       .filter(greatest($"i" * lit(1.0) / $"na",
         $"i" * lit(1.0) / $"nb") >= threshold)
   }
@@ -1131,16 +1204,25 @@ object Dedup {
     * callers' contract). Shared by the Jaccard (q47/q71/q89) and
     * containment (q90) verification tails. */
   private def candidateOverlap(cand: DataFrame, shf: DataFrame): DataFrame = {
-    val sizes = shf.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shf.select($"doc_id".as("doc_a"), $"fp"), Seq("doc_a"))
-      .join(shf.select($"doc_id".as("doc_b"), $"fp"), Seq("doc_b", "fp"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n", "nb"), Seq("doc_b"))
+    // r17 (guide §8/§2.3): verify with per-doc fp ARRAYS instead of the
+    // exploded (pair, fp) join. The old shape joined cand against the
+    // occurrence relation twice and counted matches in a pair-keyed
+    // aggregate — at sf0.1 that materializes Σ_pairs n_a ≈ 8M rows
+    // through a HashAggregate for 152k candidates (the dominant job of
+    // q131: ~2.0 s), and at cluster scale the second join ships those
+    // exploded rows through an exchange. One groupBy of shf builds the
+    // (doc_id, fps[], n) relation; each candidate pair then computes
+    // i = |A ∩ B| ROW-LOCALLY with the codegen array_intersect kernel
+    // (fps are distinct per doc by construction, so intersect-size is
+    // exact). Same i/na/nb integers, same output — oracle-gated.
+    // The aggregate exchange is built once and reused by both joins
+    // (identical subtree); only the thin pair frame re-shuffles.
+    // shuffle_hash, never broadcast: the array relation is corpus-sized
+    // (one row per doc) — the q65/df-table discipline.
+    val arrs = shf.groupBy($"doc_id")
+      .agg(collect_list($"fp").as("fps"), count(lit(1)).as("n"))
+      .hint("shuffle_hash")
+    candidateOverlapArrs(cand, arrs)
   }
 
   /** Candidates-only Jaccard verification: true hashed-shingle Jaccard
@@ -1320,10 +1402,17 @@ object Dedup {
     // join+aggregate round, so one full round of join/checkpoint/
     // checksum is saved (per-round latency is the whole cost here).
     //
+    // r17: every round's checkpoint is LAZY and the convergence
+    // checksum is the action that materializes it — one scheduler job
+    // per round instead of two (eager ckpt + separate checksum collect
+    // each paid ~60-100 ms of per-job latency; rounds are
+    // latency-bound, not data-bound). Lineage truncation is unchanged:
+    // the lazy checkpoint pins the RDD when the checksum job runs, so
+    // the next round still plans over a leaf.
     var labels = edges.groupBy($"src".as("doc_id"))
       .agg(min($"dst").as("mn"))
       .select($"doc_id", least($"doc_id", $"mn").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def checksum(df: DataFrame): Long =
       df.agg(coalesce(sum($"lbl"), lit(0L))).head().getLong(0)
     var prev = checksum(labels)
@@ -1335,7 +1424,7 @@ object Dedup {
         .select($"dst".as("doc_id"), $"lbl")
         .union(labels)
         .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = checksum(next)
       labels = next
       converged = cur == prev
@@ -1398,17 +1487,19 @@ object Dedup {
         coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // r17: lazy checkpoints materialized by the checksum action — one
+    // job per round instead of two (see clusterLabels).
     var e = edges
       .filter($"src" =!= $"dst")
       .select(greatest($"src", $"dst").as("src"),
               least($"src", $"dst").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var prev = checksum(e)
     var converged = false
     var round = 0
     while (!converged && round < MaxStarRounds) {
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = checksum(next)
       // a fingerprint match is necessary but not sufficient (a ~2^-64
       // per-round hash collision between DIFFERENT edge sets would

@@ -2,13 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: time one driver-contract query for a few passes under
-  * the bench posture — for the sink/publish queries Bench excludes
-  * (q34/q35/q38/q68) and for one-off plan iteration without a full
-  * bench run. Usage: runMain graft.tools.TimeQuery <name> [sfDir] [passes]. */
+/** Dev utility: time one driver-contract query (or a comma-separated
+  * list — r17: amortizes JVM start across an iteration loop) for a few
+  * passes under the bench posture — for the sink/publish queries Bench
+  * excludes (q34/q35/q38/q68) and for one-off plan iteration without a
+  * full bench run.
+  * Usage: runMain graft.tools.TimeQuery <name>[,<name>...] [sfDir] [passes]. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
@@ -28,13 +30,19 @@ object TimeQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // codegen warmup
-    val fn = graft.SparkEntry.queries(name)
+    val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { p =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[time] $name pass $p: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      names.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).fold(dt)(_ min dt)
+        println(f"[time] $name pass $p: $dt%.2f s ($n rows)")
+      }
     }
+    names.foreach(n => println(f"[time] BEST $n: ${best(n)}%.2f s"))
     spark.stop()
   }
 }
