@@ -1232,10 +1232,14 @@ object Corpus {
     def thin(df: => DataFrame): Future[DataFrame] =
       Future(df.localCheckpoint(true))
     val keepersF = thin {
-      val clusters = Dedup.dedupClustersFrom(
+      // r17: label-only CC — the keep never reads cluster_size, so
+      // dedupClustersFrom's size join-back + sort were dead work on
+      // this stage's critical path (the q137/q103 shape).
+      val clusters = Dedup.clusterLabels(
         Dedup.lshNearDupPairsFrom(
           Dedup.shingleFpsFrom(docs).localCheckpoint(false))
           .select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"lbl".as("cluster_id"))
       Dedup.dedupKeepCorpusFrom(docs, clusters).select($"doc_id")
     }
     val repKeepF = thin(repetitionStatsFrom(docs)

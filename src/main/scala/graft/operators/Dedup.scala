@@ -1553,8 +1553,12 @@ object Dedup {
   // ---------------------------------------------------------------
 
   def dedupKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    // r17: label-only CC — the keep never reads cluster_size, so the
+    // q62 size join-back + presentation sort were dead work here
+    // (q62's own row still prices the full component table).
     dedupKeepCorpusFrom(Tables.documents(spark, dir),
-      dedupClusters(spark, dir))
+      clusterLabels(lshNearDupPairs(spark, dir).select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"lbl".as("cluster_id")))
 
   /** Kept rows of `docs` given a (doc_id, cluster_id, *) cluster
     * frame; emits (doc_id, n_chars) — thin on purpose (the full-text
@@ -1916,9 +1920,13 @@ object Dedup {
                               prevCand: DataFrame, prevVerified: DataFrame,
                               curDocs: DataFrame,
                               diff: DataFrame): DataFrame =
-    dedupKeepCorpusFrom(curDocs, dedupClustersFrom(
+    // r17: label-only CC ([[clusterLabels]]) — the keep never reads
+    // cluster_size, so [[dedupClustersFrom]]'s size join-back and
+    // presentation sort were dead work here (q137's shape).
+    dedupKeepCorpusFrom(curDocs, clusterLabels(
       maintainedVerifiedPairs(prevFps, prevBands, prevCand, prevVerified,
-        curDocs, diff)))
+        curDocs, diff))
+      .select($"doc_id", $"lbl".as("cluster_id")))
 
   /** The q89 maintenance core without the keep step: the verified
     * near-dup pair set of the NEW snapshot, built from the stored
@@ -3024,11 +3032,15 @@ object Dedup {
   /** q136 — exact dedup end-to-end: keep one survivor (min doc_id)
     * per exact-Jaccard component. */
   def prefixKeepCorpus(spark: SparkSession, dir: String): DataFrame =
+    // r17: label-only CC — the keep never reads cluster_size, so
+    // dedupClustersFrom's size join-back + sort were dead work
+    // (measured 2.96 vs q137's 1.74 s for the same pair pipeline).
     dedupKeepCorpusFrom(Tables.documents(spark, dir),
-      dedupClustersFrom(
+      clusterLabels(
         prefixJaccardPairsOver(shingleFps(spark, dir), "fp",
           PrefixJaccardThreshold)
-          .select($"doc_a", $"doc_b")))
+          .select($"doc_a", $"doc_b"))
+        .select($"doc_id", $"lbl".as("cluster_id")))
 
   /** q137 — the q103 argmax-quality keeper over the same exact
     * components. */

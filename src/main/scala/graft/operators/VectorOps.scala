@@ -1079,12 +1079,13 @@ object VectorOps {
     * frame; emits (vec_id, label) — thin, the q70 convention. */
   def semanticKeepCorpusFrom(embeddings: DataFrame,
                              pairs: DataFrame): DataFrame = {
-    val clusters = Dedup.dedupClustersFrom(
+    // r17: label-only CC (Dedup.clusterLabels) — the keep never reads
+    // cluster_size, so dedupClustersFrom's size join-back and sort
+    // were dead work here (the q137/q103 shape).
+    val dropList = Dedup.clusterLabels(
         pairs.select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
-      .select($"doc_id".as("vec_id"), $"cluster_id")
-    val dropList = clusters
-      .filter($"vec_id" =!= $"cluster_id") // keepers label themselves
-      .select($"vec_id")
+      .filter($"doc_id" =!= $"lbl") // keepers label themselves
+      .select($"doc_id".as("vec_id"))
     embeddings.join(broadcast(dropList), Seq("vec_id"), "left_anti")
       .select($"vec_id", $"label")
       .orderBy($"vec_id")

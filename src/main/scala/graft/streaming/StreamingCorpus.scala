@@ -252,8 +252,11 @@ object StreamingCorpus {
       .select($"doc_a", $"doc_b").distinct()
     val fps = spark.read.parquet(s"$root/fps").distinct()
     val verified = Dedup.verifyCandidates(cand, fps)
-    val clusters = Dedup.dedupClustersFrom(
+    // r17: label-only CC — the keep never reads cluster_size (q137's
+    // shape; see dedupKeepCorpusFrom callers).
+    val clusters = Dedup.clusterLabels(
       verified.select($"doc_a", $"doc_b"))
+      .select($"doc_id", $"lbl".as("cluster_id"))
     val docs = spark.read.parquet(s"$root/docs").dropDuplicates("doc_id")
     Dedup.dedupKeepCorpusFrom(docs, clusters)
   }
