@@ -378,7 +378,7 @@ object Bench {
     // about what carries it); override when a fresher measurement
     // exists.
     val defaultDuckdbHint =
-      """{"value":457.3,"unit":"sec","source":"judge r16 best-of-3 per query over the full 122-query timed subset (451.1 s, sf0.1, 32 threads, one coherent rerun incl. the CTE trio) + builder r17 best-of-3 for the new q136/q137 (3.03/3.14), 124 timed queries","ex_new_trio_value":125.4,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 30.1/121.0/180.7 s where Spark pays ~1.4/2.7/0.3 s"}"""
+      """{"value":461.1,"unit":"sec","source":"judge r16 best-of-3 per query over the full 122-query timed subset (451.1 s, sf0.1, 32 threads, one coherent rerun incl. the CTE trio) + builder r17 best-of-3 for the new q136/q137 (3.03/3.14) and q140/q141/q142 (0.45/2.90/0.50 via scripts/oracle_time.py), 127 timed queries","ex_new_trio_value":129.2,"ex_new_trio_note":"excluding q126/q128/q129, whose DuckDB oracles (unrolled BPE merge rounds, recursive-CTE reachability) pay 30.1/121.0/180.7 s where Spark pays ~1.4/2.7/0.3 s"}"""
     // a malformed override would corrupt the artifact line and break
     // the driver's tail JSON parse (ADVICE r13) — validate with a real
     // JSON parse (jackson ships with Spark), not brace counting, which
