@@ -353,6 +353,7 @@ object Bench {
     // (q109/q47-chain etc.), exactly the posture a nightly deployment
     // runs.
     val publishOnceJson = Seq("q99_cross_source_dups",
+        "q101_incremental_corpus",
         "q108_bigram_logprob", "q114_nb_classifier", "q116_incremental_nb")
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val publishOnceNote =
@@ -360,7 +361,10 @@ object Bench {
         "published model/pair table; the per-snapshot fit/derivation " +
         "is priced once per corpus fingerprint (the nightly-publish " +
         "posture), and the maintainer queries price the fresh build " +
-        "in their own rows"
+        "in their own rows (r18: q101 composes the published stage " +
+        "verdicts — q88/q92/q102's maintained tables, the chunk carry, " +
+        "the dedup keep ids — its maintainers still rescore per call " +
+        "in their own rows)"
     // the artifact names its own posture (VERDICT r6 "What's missing"
     // #3): a bench.json and a bench_cluster.json are self-describing
     // without cross-referencing the env the run happened to use

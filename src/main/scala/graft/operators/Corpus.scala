@@ -3240,32 +3240,81 @@ object Corpus {
       .unionByName(fresh)
   }
 
+  /** PUBLISHED stage-verdict tables of the CURRENT snapshot — what
+    * each nightly maintainer writes after its run (q88's maintained
+    * score keeps, q92's rescored logprob keeps, q102's contamination
+    * report, the chunk-stats carry, and the dedup keep ids over the
+    * q89-published labels), memoized per corpus fingerprint: the
+    * q104/q107/q111 publish-once pattern applied to the training-
+    * corpus composition (OPTIMIZATION_r17 "not yet optimized" item 2).
+    * Built CONCURRENTLY on first access (the q76 stage discipline
+    * applies to the publish); steady-state q101 calls read five
+    * checkpointed leaves. The maintainers' own rows (q88/q92/q102)
+    * still price the fresh dirty-slice machinery per call, and q101's
+    * oracle stays the FULL q76 chain over the current snapshot. */
+  private final class PublishedCorpusVerdicts(spark: SparkSession,
+                                              dir: String) {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    private val keepIdsF = Future(
+      Dedup.publishedKeepCorpus(spark, dir).select($"doc_id")
+        .localCheckpoint(true))
+    private val repKeepF = Future(incrementalScores(spark, dir)
+      .filter($"keep").select($"doc_id").localCheckpoint(true))
+    private val lpKeepF = Future(incrementalLogProb(spark, dir)
+      .filter($"keep").select($"doc_id").localCheckpoint(true))
+    private val contaminatedF = Future(incrementalDecontam(spark, dir)
+      .filter($"contamination" >= DecontamMaxRate).select($"doc_id")
+      .localCheckpoint(true))
+    private val chunkStatsF = Future(
+      incrementalChunkStats(spark, dir).localCheckpoint(true))
+    lazy val (keepIds, repKeep, lpKeep, contaminated, chunkStats) = {
+      def get(f: Future[DataFrame]) = Await.result(f, Duration.Inf)
+      (get(keepIdsF), get(repKeepF), get(lpKeepF), get(contaminatedF),
+        get(chunkStatsF))
+    }
+  }
+
+  private val corpusVerdictState = scala.collection.concurrent.TrieMap
+    .empty[String, (String, PublishedCorpusVerdicts)]
+
+  private def publishedCorpusVerdicts(spark: SparkSession,
+                                      dir: String): PublishedCorpusVerdicts = {
+    val fp = Dedup.docsFingerprint(spark, dir)
+    corpusVerdictState.get(dir) match {
+      case Some((`fp`, v)) => v
+      case _ =>
+        val v = new PublishedCorpusVerdicts(spark, dir)
+        corpusVerdictState.put(dir, (fp, v))
+        v
+    }
+  }
+
   def incrementalTrainingCorpus(spark: SparkSession, dir: String)
       : DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val cur = snapshotCur(Tables.documents(spark, dir))
-    // q76's concurrent-stage discipline; each stage is the maintained
-    // (not recomputed) table
+    // r18: the five maintained stages are PUBLISHED tables (see
+    // [[PublishedCorpusVerdicts]]) — the floors trace showed q101's
+    // per-call cost was re-running each maintainer's rescore tail
+    // (four ~0.5-1.1 s stage checkpoints per call) for verdicts the
+    // nightly maintainers publish anyway. Sampling/splits stay
+    // per-call: pure doc-local hashes over the current snapshot with
+    // no stored state to read (q76's concurrent-stage discipline).
+    val pub = publishedCorpusVerdicts(spark, dir)
     def thin(df: => DataFrame): Future[DataFrame] =
       Future(df.localCheckpoint(true))
-    // keepers come from the PUBLISHED maintained tables (labels over
-    // pairs — one anti-join), NOT from incrementalKeepCorpus (the q89
-    // maintainer that re-runs signing/banding/verification per call);
-    // VERDICT r12 item 1 — the q104 publish-once pattern applied here
-    val keepersF = thin(Dedup.publishedKeepCorpus(spark, dir)
-      .select($"doc_id"))
-    val repKeepF = thin(incrementalScores(spark, dir)
-      .filter($"keep").select($"doc_id"))
-    val lpKeepF = thin(incrementalLogProb(spark, dir)
-      .filter($"keep").select($"doc_id"))
-    val contaminatedF = thin(incrementalDecontam(spark, dir)
-      .filter($"contamination" >= DecontamMaxRate).select($"doc_id"))
+    val keepersF = Future(pub.keepIds)
+    val repKeepF = Future(pub.repKeep)
+    val lpKeepF = Future(pub.lpKeep)
+    val contaminatedF = Future(pub.contaminated)
     val sampledF = thin(mixtureSampleFrom(cur, MixtureRates,
       MixtureDefaultRate).filter($"sampled").select($"doc_id", $"source"))
     val splitsF = thin(splitAssignFrom(cur).select($"doc_id", $"split"))
-    val chunkStatsF = thin(incrementalChunkStats(spark, dir))
+    val chunkStatsF = Future(pub.chunkStats)
     def get(f: Future[DataFrame]): DataFrame = Await.result(f, Duration.Inf)
     cur.select($"doc_id").filter($"doc_id" >= BenchmarkMaxDocId)
       .join(get(keepersF), Seq("doc_id"))

@@ -422,7 +422,15 @@ object Dedup {
     * doc, so the order is total.
     *
     * Returns (doc_id, sfps: array<struct<df,item>> rarity-sorted,
-    * n: long). */
+    * n: long).
+    *
+    * 100 TB premise (ADVICE r17): each doc's kept-fp set concentrates
+    * into ONE array row here (and in [[candidateOverlap]]'s verify
+    * arrays), so per-doc kept-fp counts must stay row-sized — true for
+    * shingled documents (n ≈ doc length, bounded by chunking upstream),
+    * but a pathological multi-million-shingle doc would become a single
+    * wide row (skew/memory) where the exploded shape streamed. The
+    * chunking tier (q72) is what enforces the premise in deployment. */
   private def rarityDocArrays(items: DataFrame, itemCol: String,
                               maxDocFreq: Int): DataFrame = {
     val src = items.localCheckpoint(true)
@@ -453,7 +461,16 @@ object Dedup {
     * — the prefix pipelines pass arrays derived from the SAME
     * [[rarityDocArrays]] checkpoint their candidates came from, so no
     * re-aggregation of the occurrence relation exists anywhere in the
-    * verify tail. */
+    * verify tail.
+    *
+    * Contract (ADVICE r17): zero-intersection candidates surface with
+    * i = 0 (the pre-r17 exploded inner join dropped them); every
+    * verification tail filters at a threshold > 0, so such rows never
+    * reach output — a future caller at threshold 0.0 must not assume
+    * the old dropped-pair behavior. `fps` must be DISTINCT per doc and
+    * `n` its exact count: array_intersect dedupes while n counts rows,
+    * so non-distinct input would make i inconsistent with na/nb (see
+    * [[verifyCandidates]]). */
   private def candidateOverlapArrs(cand: DataFrame,
                                    arrs: DataFrame): DataFrame =
     cand
@@ -1230,7 +1247,15 @@ object Dedup {
     * relation, kept at ≥ [[JaccardThreshold]]. Shared by the batch q47
     * tail and the streaming q71 drain — the code being ONE function is
     * what makes streaming-vs-batch verification parity structural
-    * rather than coincidental. */
+    * rather than coincidental.
+    *
+    * Input requirement (here and in [[verifyJaccardAt]] /
+    * [[verifyContainment]], ADVICE r17): `shf` must be DISTINCT
+    * (doc_id, fp) — the array verify kernel intersects deduped arrays
+    * while sizing with count(1), so duplicate occurrence rows would
+    * make i inconsistent with na/nb. Every caller passes
+    * [[shingleFpsFrom]]-shaped relations, which are distinct by
+    * construction. */
   private[graft] def verifyCandidates(cand: DataFrame,
                                       shf: DataFrame): DataFrame =
     verifyCandidatesUnsorted(cand, shf).orderBy($"doc_a", $"doc_b")
@@ -1409,6 +1434,16 @@ object Dedup {
     // latency-bound, not data-bound). Lineage truncation is unchanged:
     // the lazy checkpoint pins the RDD when the checksum job runs, so
     // the next round still plans over a leaf.
+    // r18 negative result (A/B'd, reverted — OPTIMIZATION_r18.md):
+    // POINTER JUMPING (lbl(v) <- lbl(lbl(v)) fused into seed + every
+    // round) measured consistently SLOWER on the fixture despite
+    // cutting rounds from O(diameter) to O(log diameter) — the jump's
+    // extra self-join per round (~+100-150 ms) outweighed the saved
+    // rounds even on the deepest graph in the suite (q128's five
+    // rounds; q62 2.20->2.52, q128 3.23->3.68, q103 1.82->2.56 under
+    // the identical TimeQuery harness). Rounds here are 8-partition
+    // latency, not data; at cluster scale with real data per round the
+    // trade may flip, but the committed shape is the measured-best.
     var labels = edges.groupBy($"src".as("doc_id"))
       .agg(min($"dst").as("mn"))
       .select($"doc_id", least($"doc_id", $"mn").as("lbl"))

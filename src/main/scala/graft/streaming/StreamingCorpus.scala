@@ -156,7 +156,7 @@ object StreamingCorpus {
   //   (b) the stores ARE the product — the same bands/fps tables the
   //       batch path computes, queryable mid-stream for audits;
   //   (c) every per-batch transformation is the BATCH operator
-  //       (lshBands, verifyCandidates, dedupClustersFrom,
+  //       (lshBands, verifyCandidates, clusterLabels /
   //       dedupKeepCorpusFrom) applied to micro-batch frames, so
   //       streaming-vs-batch parity is structural, not reimplemented.
   // At 100 TB the append-only logs shard by their join keys (bands by

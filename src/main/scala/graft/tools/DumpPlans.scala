@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
-/** Dev tool (r17 optimization round): dump `.explain("formatted")` for
-  * the named queries to `plans/r17/<query>_<suffix>.txt`, under the
-  * bench posture (AQE off, 8 shuffle partitions), so before/after plan
-  * claims in OPTIMIZATION_r17.md are checkable files.
+/** Dev tool (r17/r18 optimization rounds): dump `.explain("formatted")`
+  * for the named queries to `plans/<round>/<query>_<suffix>.txt`, under
+  * the bench posture (AQE off, 8 shuffle partitions), so before/after
+  * plan claims in OPTIMIZATION_r*.md are checkable files. Round dir via
+  * SPARK_GRAFT_PLANS_DIR (default plans/r18).
   *
   * Usage: runMain graft.tools.DumpPlans <suffix> <query>...
   * Note: eager-checkpoint barriers execute during construction, so the
@@ -30,7 +31,8 @@ object DumpPlans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = new java.io.File("plans/r17")
+    val out = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r18"))
     out.mkdirs()
     names.foreach { n =>
       val plan = SparkEntry.queries(n)(spark, dir).queryExecution
