@@ -1409,8 +1409,17 @@ object Dedup {
     // the maintenance plan before this barrier existed. One eager
     // checkpoint runs them once; every edge consumer then reads a leaf.
     val p = pairs.select($"doc_a", $"doc_b").localCheckpoint(true)
+    // r18 (guide §2.4: establish a partitioning once and reuse it):
+    // hash-partition the symmetrized edge set by src BEFORE the loop.
+    // The checkpoint preserves the physical partitioning, and every
+    // round's labels frame leaves its aggregate hash-partitioned by
+    // doc_id — so the per-round edges-to-labels join is co-partitioned
+    // and exchange-FREE, and the seed aggregate needs no exchange
+    // either. The old shape re-exchanged the edge set inside every
+    // round (rounds are latency-bound; one fewer stage per round).
     val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .repartition($"src")
       .localCheckpoint(false) // every round re-reads the edge set; lazy
                               // so its job folds into the seed's
     // Each round references `labels` twice (propagation + identity), so
