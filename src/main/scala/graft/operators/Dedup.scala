@@ -1391,8 +1391,13 @@ object Dedup {
     * (doc_id, cluster_id, cluster_size) for every doc in a pair. */
   def dedupClustersFrom(pairs: DataFrame): DataFrame = {
     val labels = clusterLabels(pairs)
-    val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
+    // r18 (guide §2.4): cluster_size as ONE window count over the
+    // label leaf instead of the agg + join-back (two exchanges + a
+    // join of the same rows); count() needs no frame ordering, so no
+    // sort beyond the exchange.
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lbl")))
       .select($"doc_id", $"lbl".as("cluster_id"), $"cluster_size")
       .orderBy($"doc_id")
   }
